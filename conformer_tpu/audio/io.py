@@ -1,0 +1,73 @@
+"""Host-side audio I/O.
+
+Replaces the reference's librosa load/resample path
+(reference: processing/processor.py:139-153, dataset.py:30) with
+stdlib/scipy-based WAV decoding and polyphase resampling. Pure host CPU —
+feature extraction itself happens on-device in :mod:`conformer_tpu.audio.mel`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    from scipy.io import wavfile as _wavfile
+    from scipy.signal import resample_poly as _resample_poly
+except Exception:  # pragma: no cover - scipy is expected in the image
+    _wavfile = None
+    _resample_poly = None
+
+_INT_SCALE = {np.dtype(np.int16): 32768.0, np.dtype(np.int32): 2147483648.0,
+              np.dtype(np.uint8): 128.0}
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Load a WAV file -> (float32 mono-or-multichannel signal in [-1, 1], sr).
+
+    Multi-channel data is returned as (channels, samples) to match the
+    reference's stereo call-recording handling (reference: dataset.py:29-31).
+    """
+    if _wavfile is None:
+        raise RuntimeError("scipy is required for WAV decoding")
+    sr, data = _wavfile.read(path)
+    if data.dtype in _INT_SCALE:
+        signal = data.astype(np.float32) / _INT_SCALE[data.dtype]
+        if data.dtype == np.dtype(np.uint8):
+            signal = signal - 1.0
+    else:
+        signal = data.astype(np.float32)
+    if signal.ndim == 2:
+        signal = signal.T  # (channels, samples)
+    return signal, int(sr)
+
+
+def resample(signal: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling (kaiser-windowed), float32."""
+    if orig_sr == target_sr:
+        return signal.astype(np.float32)
+    g = np.gcd(orig_sr, target_sr)
+    return _resample_poly(signal, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
+
+
+def load_audio(path: str, sample_rate: int = 16000, mono: bool = True,
+               channel: Optional[int] = None) -> np.ndarray:
+    """Load + resample an audio file to `sample_rate` float32.
+
+    `channel` selects one channel of a multi-channel file; `mono` averages
+    channels (librosa semantics) when no channel is selected.
+    """
+    signal, sr = read_wav(path)
+    if signal.ndim == 2:
+        if channel is not None:
+            signal = signal[channel]
+        elif mono:
+            signal = signal.mean(axis=0)
+    return resample(signal, sr, sample_rate)
+
+
+def split_segment(signal: np.ndarray, start_s: float, end_s: float,
+                  sample_rate: int = 16000) -> np.ndarray:
+    """Slice [start_s, end_s) seconds (reference: processing/processor.py:147-148)."""
+    return signal[int(start_s * sample_rate): int(end_s * sample_rate)]

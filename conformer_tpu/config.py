@@ -1,0 +1,243 @@
+"""Typed configuration tree for the whole framework.
+
+The reference spreads ~40 CLI flags verbatim across three entry points
+(reference: train.py:289-342, test.py:176-211, infer.py:157-187). Here a single
+dataclass tree is the source of truth; every entry point takes `--config path.json`
+plus dotted overrides, and the tree round-trips to/from JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass
+class AudioConfig:
+    """Log-mel frontend parameters.
+
+    Defaults mirror the reference operating point
+    (reference: train.py:309-317, processing/processor.py:53-63).
+    """
+
+    sample_rate: int = 16000
+    n_fft: int = 400
+    win_length: int = 400
+    hop_length: int = 160
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    mel_norm: str = "slaney"
+    mel_scale: str = "slaney"
+    log_clamp_min: float = 1e-5
+    # 'rfft' uses jnp.fft.rfft; 'matmul' uses an explicit DFT-as-matmul that maps
+    # onto the MXU (useful when XLA's TPU FFT underperforms for small n_fft).
+    stft_impl: str = "matmul"
+
+
+@dataclass
+class AugmentConfig:
+    """SpecAugment. Unlike the reference (which computes but never applies it,
+    reference: dataset.py:88,94), this is actually wired into training.
+
+    Defaults follow the reference's *intended* training setting
+    (reference: train.py:128-133, processing/augment.py:8-16).
+    """
+
+    enabled: bool = True
+    n_time_masks: int = 2
+    time_mask_param: int = 100
+    n_freq_masks: int = 2
+    freq_mask_param: int = 27
+    prob: float = 1.0
+    zero_masking: bool = True
+
+
+@dataclass
+class ModelConfig:
+    """Conformer encoder + LSTM decoder hyperparameters.
+
+    Defaults are the reference's production config (reference: train.py:324-330);
+    the reference class defaults (16 blocks / d=256 / 4 heads,
+    reference: model/conformer.py:12-19) are available as `ModelConfig.small()`.
+    """
+
+    vocab_size: int = 370
+    n_mel_channels: int = 80
+    n_blocks: int = 17
+    d_model: int = 512
+    n_heads: int = 8
+    kernel_size: int = 31
+    ffn_expansion: int = 4
+    lstm_hidden_dim: int = 640
+    n_lstm_layers: int = 1
+    dropout_rate: float = 0.1
+    # TPU-specific knobs (no reference counterpart):
+    use_remat: bool = True           # jax.checkpoint each block: trade FLOPs for HBM
+    use_scan_layers: bool = True     # lax.scan over blocks: O(1) compile in depth
+    conv_norm: str = "batch"         # 'batch' (reference semantics) or 'group'
+    decoder_norm_masked: bool = True # mask-aware BatchNorm stats in the decoder
+    attention_impl: str = "xla"      # 'xla' dense or 'pallas' fused kernel
+
+    @staticmethod
+    def small(vocab_size: int = 370) -> "ModelConfig":
+        return ModelConfig(vocab_size=vocab_size, n_blocks=16, d_model=256, n_heads=4)
+
+    @staticmethod
+    def tiny(vocab_size: int = 64) -> "ModelConfig":
+        """For tests: 2 blocks, d=64."""
+        return ModelConfig(
+            vocab_size=vocab_size, n_blocks=2, d_model=64, n_heads=2,
+            kernel_size=7, lstm_hidden_dim=80, dropout_rate=0.0,
+            use_remat=False, use_scan_layers=False,
+        )
+
+
+@dataclass
+class OptimConfig:
+    """Adam + exponential decay (reference: train.py:188-189,251 steps the
+    gamma=0.9999 scheduler per *epoch*; we decay per step with a configurable
+    interval so behaviour is reproducible without knowing epoch length)."""
+
+    learning_rate: float = 2e-5
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    lr_decay_gamma: float = 0.9999
+    lr_decay_every_steps: int = 0    # 0 = decay per epoch (reference semantics)
+    warmup_steps: int = 0
+    grad_clip_norm: float = 0.0      # 0 disables
+    # 'bfloat16' compute with fp32 params/loss is the TPU-native analogue of the
+    # reference's fp16 AMP + fp32 CTC island (reference: train.py:232-243).
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class DataConfig:
+    train_manifest: Optional[str] = None
+    val_manifest: Optional[str] = None
+    batch_size: int = 16
+    num_workers: int = 2
+    num_examples: Optional[int] = None
+    # Static-shape length bucketing (TPU necessity; reference pads per-batch to
+    # the max which would retrigger XLA compilation every step).
+    bucket_boundaries_s: Tuple[float, ...] = (2.0, 4.0, 8.0, 12.0, 16.0, 24.0)
+    max_audio_s: float = 24.0
+    max_tokens: int = 256
+    drop_remainder: bool = True
+    shuffle_buffer: int = 2048
+    seed: int = 0
+
+
+@dataclass
+class DecodeConfig:
+    """Beam search + n-gram LM shallow fusion operating point
+    (reference: processing/lm.py:10-15)."""
+
+    lm_path: Optional[str] = None
+    alpha: float = 2.1
+    beta: float = 9.2
+    beam_width: int = 190
+    beam_prune_logp: float = -20.0
+    hotwords: Tuple[str, ...] = ()
+    hotword_weight: float = 9.0
+    token_min_logp: float = -5.0
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh layout. dp * tp must equal the number of participating chips.
+
+    The reference only supports single-node data parallelism (SURVEY §2.10);
+    tensor parallelism over the 'model' mesh axis is a new capability.
+    """
+
+    dp: int = 1           # data-parallel mesh axis size ('data')
+    tp: int = 1           # tensor-parallel mesh axis size ('model')
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+
+@dataclass
+class TrainConfig:
+    num_epochs: int = 1
+    num_steps: Optional[int] = None
+    checkpoint_dir: str = "./checkpoints"
+    checkpoint_every_steps: int = 1000
+    keep_checkpoints: int = 3
+    log_every_steps: int = 50
+    val_every_steps: int = 0         # 0 = per epoch
+    seed: int = 0
+    tokenizer_path: Optional[str] = None
+    resume: bool = True
+
+
+@dataclass
+class Config:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ---- (de)serialization -------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        def build(dc_type, values):
+            if not dataclasses.is_dataclass(dc_type):
+                return values
+            kwargs = {}
+            fields = {f.name: f for f in dataclasses.fields(dc_type)}
+            for k, v in values.items():
+                if k not in fields:
+                    raise KeyError(f"Unknown config key: {dc_type.__name__}.{k}")
+                ft = fields[k].type
+                sub = _DATACLASS_BY_NAME.get(str(ft))
+                if sub is not None and isinstance(v, dict):
+                    kwargs[k] = build(sub, v)
+                elif isinstance(v, list):
+                    kwargs[k] = tuple(v)
+                else:
+                    kwargs[k] = v
+            return dc_type(**kwargs)
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def override(self, **dotted: Any) -> "Config":
+        """Apply dotted-path overrides, e.g. override(**{"model.d_model": 256})."""
+        d = self.to_dict()
+        for key, value in dotted.items():
+            parts = key.split(".")
+            node = d
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"Unknown config key: {key}")
+            node[parts[-1]] = value
+        return Config.from_dict(d)
+
+
+_DATACLASS_BY_NAME = {
+    str(t): t
+    for t in (AudioConfig, AugmentConfig, ModelConfig, OptimConfig, DataConfig,
+              DecodeConfig, ParallelConfig, TrainConfig)
+}
+_DATACLASS_BY_NAME.update({t.__name__: t for t in list(_DATACLASS_BY_NAME.values())})

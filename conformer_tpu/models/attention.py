@@ -1,0 +1,86 @@
+"""Relative-position multi-head self-attention (Transformer-XL style).
+
+Semantics follow the reference module (reference: model/utils/attention.py:20-101):
+shared Q/K/V/pos projections, learned per-head content/position biases (u, v),
+score = ((q+u)·kT + rel_shift((q+v)·posT)) / sqrt(d_head), PAD keys masked to
+dtype-min before softmax.
+
+TPU-first choices:
+- all four projections and both score terms are batched matmuls (MXU);
+- softmax and masking are computed in float32 regardless of compute dtype;
+- the PE table is broadcast, never tiled per batch;
+- attention probability dropout as in the reference (attention.py:67).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from conformer_tpu.ops.rel_shift import rel_shift
+
+
+class RelativeMultiHeadAttention(nn.Module):
+    d_model: int
+    n_heads: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """x: (B, L, D); pos_emb: (2L-1, D); mask: (B, 1, 1, L) True at PAD."""
+        b, l, _ = x.shape
+        h, dh = self.n_heads, self.d_model // self.n_heads
+        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype,
+                                      param_dtype=jnp.float32, name=name)
+
+        q = dense("query")(x).reshape(b, l, h, dh)
+        k = dense("key")(x).reshape(b, l, h, dh)
+        v = dense("value")(x).reshape(b, l, h, dh)
+        # Position projection has no batch dim: (2L-1, D) -> (2L-1, H, dh)
+        p = dense("pos")(pos_emb).reshape(-1, h, dh)
+
+        u = self.param("content_bias", nn.initializers.xavier_uniform(), (h, dh),
+                       jnp.float32).astype(self.dtype)
+        vb = self.param("position_bias", nn.initializers.xavier_uniform(), (h, dh),
+                        jnp.float32).astype(self.dtype)
+
+        # (B, H, L, L) content scores and (B, H, L, 2L-1) position scores.
+        content = jnp.einsum("blhd,bmhd->bhlm", q + u, k,
+                             preferred_element_type=jnp.float32)
+        pos = jnp.einsum("blhd,mhd->bhlm", q + vb, p,
+                         preferred_element_type=jnp.float32)
+        scores = (content + rel_shift(pos)) * (1.0 / jnp.sqrt(dh).astype(jnp.float32))
+
+        if mask is not None:
+            scores = jnp.where(mask, jnp.finfo(jnp.float32).min, scores)
+        weights = nn.softmax(scores, axis=-1)
+        weights = nn.Dropout(self.dropout_rate, deterministic=deterministic)(weights)
+
+        context = jnp.einsum("bhlm,bmhd->blhd", weights.astype(self.dtype), v,
+                             preferred_element_type=jnp.float32)
+        context = context.reshape(b, l, self.d_model).astype(self.dtype)
+        return dense("out")(context)
+
+
+class MHSAModule(nn.Module):
+    """Pre-LN wrapper (reference: model/utils/attention.py:7-18)."""
+
+    d_model: int
+    n_heads: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = RelativeMultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout_rate, self.dtype,
+            name="attention")(x, pos_emb, mask, deterministic)
+        return nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)

@@ -1,0 +1,131 @@
+"""Conformer encoder: subsample -> project -> N macaron blocks.
+
+Structure mirrors the reference encoder (reference: model/modules/encoder.py:9-36,
+model/utils/block.py:8-28): conv subsampling x4, linear projection
+``d*(((n_mels-1)//2-1)//2) -> d``, dropout, shared relative PE, then N blocks of
+[0.5*ffn + x] -> [mhsa + x] -> [conv + x] -> [0.5*ffn + x] -> LayerNorm.
+
+TPU-first: optional ``lax.scan`` over stacked block parameters (constant compile
+time in depth) and per-block rematerialization (recompute activations in the
+backward pass instead of holding 17 blocks of activations in HBM).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from conformer_tpu.config import ModelConfig
+from conformer_tpu.models.attention import MHSAModule
+from conformer_tpu.models.layers import (ConvolutionModule, ConvolutionSubsampling,
+                                         FeedForwardModule)
+from conformer_tpu.models.position import relative_positional_encoding
+from conformer_tpu.utils.masking import attention_pad_mask, padding_mask, subsampled_length
+
+
+class ConformerBlock(nn.Module):
+    d_model: int
+    n_heads: int
+    kernel_size: int
+    ffn_expansion: int = 4
+    dropout_rate: float = 0.0
+    conv_norm: str = "batch"
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
+                 attn_mask: Optional[jnp.ndarray],
+                 frame_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        det = self.deterministic
+        x = 0.5 * FeedForwardModule(self.d_model, self.ffn_expansion,
+                                    self.dropout_rate, self.dtype,
+                                    name="ffn1")(x, det) + x
+        x = MHSAModule(self.d_model, self.n_heads, self.dropout_rate,
+                       self.dtype, name="mhsa")(x, pos_emb, attn_mask, det) + x
+        x = ConvolutionModule(self.d_model, self.kernel_size, self.dropout_rate,
+                              self.conv_norm, self.bn_axis_name, self.dtype,
+                              name="conv")(x, frame_mask, det) + x
+        x = 0.5 * FeedForwardModule(self.d_model, self.ffn_expansion,
+                                    self.dropout_rate, self.dtype,
+                                    name="ffn2")(x, det) + x
+        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                            name="final_norm")(x)
+
+
+class _ScanCell(nn.Module):
+    """Adapter giving ConformerBlock the (carry, *broadcast) -> (carry, None)
+    signature nn.scan expects."""
+
+    block_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x, pos_emb, attn_mask, frame_mask):
+        x = ConformerBlock(**self.block_kwargs, name="block")(
+            x, pos_emb, attn_mask, frame_mask)
+        return x, None
+
+
+class ConformerEncoder(nn.Module):
+    cfg: ModelConfig
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, mels: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """mels: (B, T, n_mels); lengths: (B,) valid frame counts.
+
+        Returns (B, T', d_model) encodings and subsampled lengths.
+        """
+        cfg = self.cfg
+        x = ConvolutionSubsampling(cfg.d_model, self.dtype,
+                                   name="subsample")(mels)
+        x = nn.Dense(cfg.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="input_proj")(x)
+        x = nn.Dropout(cfg.dropout_rate,
+                       deterministic=self.deterministic)(x)
+
+        l = x.shape[1]
+        attn_mask = frame_mask = None
+        out_lengths = None
+        if lengths is not None:
+            out_lengths = subsampled_length(lengths)
+            frame_mask = padding_mask(out_lengths, l)
+            attn_mask = attention_pad_mask(out_lengths, l)
+
+        pos_emb = relative_positional_encoding(l, cfg.d_model, self.dtype)
+
+        block_kwargs = dict(
+            d_model=cfg.d_model, n_heads=cfg.n_heads, kernel_size=cfg.kernel_size,
+            ffn_expansion=cfg.ffn_expansion, dropout_rate=cfg.dropout_rate,
+            conv_norm=cfg.conv_norm, bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype, deterministic=self.deterministic,
+        )
+
+        if cfg.use_scan_layers:
+            cell = _ScanCell
+            if cfg.use_remat:
+                cell = nn.remat(cell, prevent_cse=False)
+            blocks = nn.scan(
+                cell,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"dropout": True, "params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=cfg.n_blocks,
+            )(block_kwargs=block_kwargs, name="blocks")
+            x, _ = blocks(x, pos_emb, attn_mask, frame_mask)
+        else:
+            block_cls = ConformerBlock
+            if cfg.use_remat:
+                block_cls = nn.remat(block_cls, prevent_cse=False)
+            for i in range(cfg.n_blocks):
+                x = block_cls(**block_kwargs, name=f"block_{i}")(
+                    x, pos_emb, attn_mask, frame_mask)
+
+        return x, out_lengths

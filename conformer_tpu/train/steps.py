@@ -1,0 +1,124 @@
+"""Jitted train/eval steps: audio -> mel -> SpecAugment -> model -> CTC.
+
+The whole hot path (reference: train.py:226-243) is ONE XLA program per bucket
+shape: featurization, augmentation, forward, loss, backward, and optimizer
+update all fuse under jit; the only host<->device traffic is the input batch
+and the scalar loss. Gradients across the data axis and BatchNorm statistics
+are globally correct under GSPMD without explicit collectives (the reference
+needed DDP allreduce + local BN).
+
+Mixed precision: bf16 compute / fp32 params & CTC loss — the TPU-native
+analogue of the reference's fp16 AMP + fp32 loss island
+(reference: train.py:232-243, evaluation.py:12-16). No GradScaler is needed:
+bf16 has fp32's exponent range.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from conformer_tpu.audio.augment import spec_augment
+from conformer_tpu.audio.mel import MelFrontend
+from conformer_tpu.config import Config
+from conformer_tpu.models.conformer import Conformer
+from conformer_tpu.ops.ctc import ctc_loss, greedy_decode
+from conformer_tpu.train.state import TrainState
+
+
+def build_models(cfg: Config) -> Tuple[Conformer, Conformer]:
+    """(train_model, eval_model) sharing one parameter structure."""
+    train_model = Conformer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                            deterministic=False)
+    eval_model = Conformer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                           deterministic=True)
+    return train_model, eval_model
+
+
+def init_variables(cfg: Config, rng: jax.Array, mel_frames: int = 256):
+    """Initialize params/batch_stats with a dummy batch (shape-only)."""
+    model = Conformer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                      deterministic=True)
+    mels = jnp.zeros((1, mel_frames, cfg.model.n_mel_channels), jnp.float32)
+    lengths = jnp.full((1,), mel_frames, jnp.int32)
+    return model.init({"params": rng}, mels, lengths)
+
+
+def make_train_step(cfg: Config, tx: optax.GradientTransformation,
+                    frontend: Optional[MelFrontend] = None,
+                    donate: bool = True) -> Callable:
+    """-> jitted step(state, audio, audio_lengths, tokens, token_lengths, rng)
+    -> (state, metrics dict)."""
+    frontend = frontend or MelFrontend(cfg.audio)
+    model, _ = build_models(cfg)
+
+    def step(state: TrainState, audio, audio_lengths, tokens, token_lengths, rng):
+        mels = frontend(audio)
+        mel_lengths = frontend.frame_lengths(audio_lengths)
+        aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        mels = spec_augment(aug_rng, mels, cfg.augment, mel_lengths)
+
+        def loss_fn(params):
+            (logits, out_lengths), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                mels, mel_lengths, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            loss = ctc_loss(logits, out_lengths, tokens, token_lengths)
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "audio_seconds": jnp.sum(audio_lengths) / cfg.audio.sample_rate,
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: Config, frontend: Optional[MelFrontend] = None,
+                   unk_id: Optional[int] = None) -> Callable:
+    """-> jitted step(state, audio, audio_lengths, tokens, token_lengths) ->
+    metrics + collapsed greedy tokens (device-side; text assembly on host)."""
+    frontend = frontend or MelFrontend(cfg.audio)
+    _, model = build_models(cfg)
+
+    def step(state: TrainState, audio, audio_lengths, tokens, token_lengths):
+        mels = frontend(audio)
+        mel_lengths = frontend.frame_lengths(audio_lengths)
+        (logits, out_lengths), _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            mels, mel_lengths, mutable=[])
+        loss = ctc_loss(logits, out_lengths, tokens, token_lengths)
+        packed, counts = greedy_decode(logits, out_lengths, unk_id=unk_id)
+        return {"loss": loss, "tokens": packed, "counts": counts,
+                "log_probs": jax.nn.log_softmax(logits, axis=-1),
+                "lengths": out_lengths}
+
+    return jax.jit(step)
+
+
+def make_forward(cfg: Config, frontend: Optional[MelFrontend] = None) -> Callable:
+    """Plain jittable forward (audio -> logits, lengths) for export/serving."""
+    frontend = frontend or MelFrontend(cfg.audio)
+    _, model = build_models(cfg)
+
+    def forward(variables, audio, audio_lengths):
+        mels = frontend(audio)
+        mel_lengths = frontend.frame_lengths(audio_lengths)
+        (logits, out_lengths), _ = model.apply(variables, mels, mel_lengths,
+                                               mutable=[])
+        return logits, out_lengths
+
+    return forward
