@@ -1,0 +1,96 @@
+"""Benchmark: train-step throughput of the flagship Conformer on one chip.
+
+Measures the BASELINE.json north-star metric — audio-seconds of speech
+processed per wall-clock second per chip — for the production model config
+(17 blocks, d=512, 8 heads; reference: train.py:324-330) with the full fused
+train step (mel frontend + SpecAugment + forward + CTC + backward + Adam) in
+bf16 compute / fp32 params.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (SURVEY §6), so ``vs_baseline``
+compares against the previous locally recorded value in BENCH_LAST.json
+(1.0 on first run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from conformer_tpu.config import Config
+    from conformer_tpu.data.dataset import synthetic_batch
+    from conformer_tpu.train.state import TrainState, make_optimizer
+    from conformer_tpu.train.steps import init_variables, make_train_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    audio_s = float(os.environ.get("BENCH_AUDIO_S", "8.0"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    cfg = Config()  # production model, bf16 compute
+    num_samples = int(audio_s * cfg.audio.sample_rate)
+
+    tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
+    variables = init_variables(cfg, jax.random.PRNGKey(0),
+                               mel_frames=num_samples // 160 + 1)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    state = jax.device_put(state)
+
+    b = synthetic_batch(batch_size, num_samples, cfg.model.vocab_size,
+                        max_tokens=cfg.data.max_tokens, seed=0)
+    # All-full-length batch => audio seconds processed is exact.
+    audio_lengths = np.full((batch_size,), num_samples, np.int32)
+    args = jax.device_put((b.audio, audio_lengths, b.tokens, b.token_lengths))
+
+    step_fn = make_train_step(cfg, tx, donate=True)
+    rng = jax.random.PRNGKey(1)
+
+    # Warmup / compile.
+    for _ in range(2):
+        state, metrics = step_fn(state, *args, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, *args, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    audio_seconds = batch_size * audio_s * steps
+    value = audio_seconds / dt
+
+    last_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LAST.json")
+    vs_baseline = 1.0
+    try:
+        with open(last_path) as f:
+            prev = json.load(f).get("value", 0.0)
+        if prev > 0:
+            vs_baseline = value / prev
+    except (OSError, ValueError):
+        pass
+    try:
+        with open(last_path, "w") as f:
+            json.dump({"value": value, "time": time.time()}, f)
+    except OSError:
+        pass
+
+    print(json.dumps({
+        "metric": "train_throughput_audio_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Shared CLI plumbing: config loading + dotted overrides + device/mesh setup.
+
+Replaces the reference's 40-flag-per-entry-point duplication
+(reference: train.py:289-342, test.py:176-211, infer.py:157-187) with
+``--config cfg.json`` plus ``--set section.key=value`` overrides shared by
+every entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import List, Optional
+
+import jax
+
+from conformer_tpu.config import Config
+from conformer_tpu.parallel.mesh import make_mesh
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default=None, help="path to a Config JSON")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="dotted config override, e.g. --set model.d_model=256")
+    p.add_argument("--tokenizer", default="vi",
+                   help="tokenizer spec name or path (vi, en, or a JSON path)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices / tp)")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before device use")
+
+
+def parse_value(raw: str):
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return raw
+
+
+def load_config(args: argparse.Namespace) -> Config:
+    cfg = Config.from_json(args.config) if args.config else Config()
+    overrides = {}
+    for item in args.overrides:
+        if "=" not in item:
+            raise SystemExit(f"--set expects KEY=VALUE, got {item!r}")
+        key, raw = item.split("=", 1)
+        overrides[key] = parse_value(raw)
+    if overrides:
+        cfg = cfg.override(**overrides)
+    return cfg
+
+
+def setup_mesh(args: argparse.Namespace):
+    """-> mesh or None (single device). Initializes multi-host first if asked."""
+    if args.multihost:
+        jax.distributed.initialize()
+    n = len(jax.devices())
+    if n == 1 and args.tp == 1:
+        return None
+    dp = args.dp or n // args.tp
+    return make_mesh(dp=dp, tp=args.tp)
+
+
+def load_tokenizer_from_args(args: argparse.Namespace):
+    from conformer_tpu.text.tokenizer import load_tokenizer
+
+    return load_tokenizer(args.tokenizer)

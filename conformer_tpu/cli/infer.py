@@ -1,0 +1,65 @@
+"""Transcribe audio: single file, list of files, or a CSV manifest.
+
+Working replacement for the reference inference entry point, which is broken
+as shipped (reference: infer.py:48,138,152,191 — nonexistent lm.decode_batch,
+undefined device, unassigned lengths; SURVEY §2).
+
+    python -m conformer_tpu.cli.infer --audio a.wav b.wav --checkpoint-dir ckpts
+    python -m conformer_tpu.cli.infer --manifest batch.csv --output out.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+
+from conformer_tpu.cli.common import (add_common_args, load_config,
+                                      load_tokenizer_from_args)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    add_common_args(p)
+    p.add_argument("--audio", nargs="*", default=[], help="audio file(s)")
+    p.add_argument("--manifest", default=None, help="CSV manifest with a path column")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--decode", choices=["greedy", "beam"], default="greedy")
+    p.add_argument("--lm", default=None)
+    p.add_argument("--output", default=None, help="CSV output (manifest mode)")
+    p.add_argument("--batch-size", type=int, default=8)
+    args = p.parse_args(argv)
+
+    if not args.audio and not args.manifest:
+        raise SystemExit("need --audio files or --manifest")
+
+    cfg = load_config(args)
+    if args.lm:
+        cfg = cfg.override(**{"decode.lm_path": args.lm})
+    tokenizer = load_tokenizer_from_args(args)
+
+    from conformer_tpu.decode.pipeline import InferencePipeline
+
+    pipe = InferencePipeline(cfg, tokenizer,
+                             checkpoint_dir=args.checkpoint_dir,
+                             decode=args.decode)
+
+    paths = list(args.audio)
+    if args.manifest:
+        from conformer_tpu.data.dataset import load_manifest
+
+        table = load_manifest(args.manifest)
+        paths.extend(table["path"].to_pylist())
+
+    texts = pipe.transcribe_files(paths, batch_size=args.batch_size)
+    for path, text in zip(paths, texts):
+        print(f"{path}\t{text}")
+    if args.output:
+        with open(args.output, "w", newline="", encoding="utf8") as f:
+            w = csv.writer(f)
+            w.writerow(["path", "prediction"])
+            w.writerows(zip(paths, texts))
+
+
+if __name__ == "__main__":
+    main()

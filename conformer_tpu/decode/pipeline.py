@@ -1,0 +1,174 @@
+"""Inference pipeline: checkpoint -> batched transcription (greedy or beam+LM).
+
+Working replacement for the reference's broken infer path
+(reference: infer.py:48,138,152,191 — calls nonexistent ``lm.decode_batch``,
+references undefined ``device``; SURVEY §2) and the distributed eval driver
+(reference: test.py:53-174).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from conformer_tpu.config import Config
+from conformer_tpu.data.dataset import Batch, BucketedLoader, ManifestDataset
+from conformer_tpu.text.metrics import cer, wer
+from conformer_tpu.text.tokenizer import GraphemeTokenizer
+from conformer_tpu.train.checkpoint import CheckpointManager
+from conformer_tpu.train.state import TrainState, make_optimizer
+from conformer_tpu.train.steps import init_variables, make_eval_step
+
+
+def _gather_pairs_across_hosts(refs: List[str], hyps: List[str]
+                               ) -> Tuple[List[str], List[str]]:
+    """Concatenate (ref, hyp) lists from every host process.
+
+    Replaces the reference's ``all_gather_object`` + interleave-reorder dance
+    (reference: test.py:31-51): because each host reads a disjoint manifest
+    stripe (not DistributedSampler round-robin), plain concatenation in
+    process order is already correct for corpus-level WER/CER.
+    """
+    if jax.process_count() == 1:
+        return refs, hyps
+    import json as _json
+
+    from jax.experimental import multihost_utils
+
+    payload = _json.dumps([refs, hyps]).encode("utf8")
+    data = np.frombuffer(payload, np.uint8)
+    # Pad to a common size and allgather bytes.
+    size = np.array([len(data)], np.int32)
+    sizes = multihost_utils.process_allgather(size).reshape(-1)
+    buf = np.zeros((int(sizes.max()),), np.uint8)
+    buf[: len(data)] = data
+    gathered = multihost_utils.process_allgather(buf)
+    all_refs: List[str] = []
+    all_hyps: List[str] = []
+    for i in range(jax.process_count()):
+        raw = bytes(gathered[i][: int(sizes[i])])
+        r, h = _json.loads(raw.decode("utf8"))
+        all_refs.extend(r)
+        all_hyps.extend(h)
+    return all_refs, all_hyps
+
+
+class InferencePipeline:
+    """Restores a checkpoint and transcribes batches.
+
+    decode='greedy' uses the on-device collapse; decode='beam' uses the
+    CTC beam search with optional n-gram LM shallow fusion
+    (conformer_tpu.decode.beam_search).
+    """
+
+    def __init__(self, cfg: Config, tokenizer: GraphemeTokenizer,
+                 checkpoint_dir: Optional[str] = None,
+                 decode: str = "greedy"):
+        cfg = cfg.override(**{"model.vocab_size": tokenizer.vocab_size})
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.decode = decode
+
+        tx = make_optimizer(cfg.optim)
+        variables = init_variables(cfg, jax.random.PRNGKey(0))
+        state = TrainState.create(variables["params"],
+                                  variables.get("batch_stats", {}), tx)
+        ckpt_dir = checkpoint_dir or cfg.train.checkpoint_dir
+        mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
+        if mgr.latest_step() is not None:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+            state, _ = mgr.restore(abstract)
+            print(f"[infer] restored step {int(jax.device_get(state.step))} "
+                  f"from {ckpt_dir}")
+        else:
+            print(f"[infer] WARNING: no checkpoint in {ckpt_dir}; random weights")
+        self.state = jax.device_put(state)
+        self.eval_step = make_eval_step(cfg, unk_id=tokenizer.unk_id)
+
+        self._beam = None
+        if decode == "beam":
+            from conformer_tpu.decode.beam_search import BeamSearchDecoder
+
+            self._beam = BeamSearchDecoder(tokenizer, cfg.decode)
+
+    # ------------------------------------------------------------------
+    def transcribe_batch(self, batch: Batch) -> List[str]:
+        args = jax.device_put((batch.audio, batch.audio_lengths,
+                               batch.tokens, batch.token_lengths))
+        out = self.eval_step(self.state, *args)
+        if self._beam is not None:
+            log_probs = np.asarray(jax.device_get(out["log_probs"]))
+            lengths = np.asarray(jax.device_get(out["lengths"]))
+            return self._beam.decode_batch(log_probs, lengths)
+        tokens = np.asarray(jax.device_get(out["tokens"]))
+        counts = np.asarray(jax.device_get(out["counts"]))
+        return [self.tok.collapsed_ids_to_text(tokens[i], counts[i])
+                for i in range(len(counts))]
+
+    def transcribe_files(self, paths: Sequence[str],
+                         batch_size: int = 8) -> List[str]:
+        from conformer_tpu.audio.io import load_audio
+
+        results: List[str] = []
+        for i in range(0, len(paths), batch_size):
+            chunk = paths[i: i + batch_size]
+            signals = [load_audio(p, self.cfg.audio.sample_rate) for p in chunk]
+            size = max(len(s) for s in signals)
+            size = max(size, self.cfg.audio.hop_length)
+            audio = np.zeros((len(chunk), size), np.float32)
+            lengths = np.zeros((len(chunk),), np.int32)
+            for j, s in enumerate(signals):
+                audio[j, : len(s)] = s
+                lengths[j] = len(s)
+            tokens = np.zeros((len(chunk), 1), np.int32)
+            tlens = np.zeros((len(chunk),), np.int32)
+            results.extend(self.transcribe_batch(
+                Batch(audio, lengths, tokens, tlens)))
+        return results
+
+    # ------------------------------------------------------------------
+    def evaluate(self, manifest: str, batch_size: Optional[int] = None
+                 ) -> Tuple[dict, List[Tuple[str, str]]]:
+        """-> (metrics {wer, cer, loss}, [(ref, hyp), ...]).
+
+        Corpus WER/CER x100 like the reference eval
+        (reference: test.py:160-165).
+        """
+        ds = ManifestDataset(manifest, self.cfg.audio.sample_rate,
+                             num_examples=self.cfg.data.num_examples)
+        data_cfg = self.cfg.data
+        loader = BucketedLoader(ds, self.tok, data_cfg,
+                                shard_index=jax.process_index(),
+                                shard_count=jax.process_count(),
+                                training=False,
+                                batch_size=batch_size or data_cfg.batch_size)
+        refs, hyps, losses = [], [], []
+        for batch in loader.epoch(0):
+            args = jax.device_put((batch.audio, batch.audio_lengths,
+                                   batch.tokens, batch.token_lengths))
+            out = self.eval_step(self.state, *args)
+            losses.append(float(jax.device_get(out["loss"])))
+            if self._beam is not None:
+                log_probs = np.asarray(jax.device_get(out["log_probs"]))
+                lengths = np.asarray(jax.device_get(out["lengths"]))
+                texts = self._beam.decode_batch(log_probs, lengths)
+            else:
+                tokens = np.asarray(jax.device_get(out["tokens"]))
+                counts = np.asarray(jax.device_get(out["counts"]))
+                texts = [self.tok.collapsed_ids_to_text(tokens[i], counts[i])
+                         for i in range(len(counts))]
+            for i, ref_text in enumerate(batch.texts or []):
+                if not ref_text:
+                    continue
+                refs.append(self.tok.clean_text(ref_text.upper()))
+                hyps.append(texts[i])
+        refs, hyps = _gather_pairs_across_hosts(refs, hyps)
+        metrics = {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "wer": wer(hyps, refs) * 100 if refs else float("nan"),
+            "cer": cer(hyps, refs) * 100 if refs else float("nan"),
+        }
+        return metrics, list(zip(refs, hyps))

@@ -118,6 +118,40 @@ def make_param_shardings(mesh: Mesh, params: Any, tp_enabled: bool = True) -> An
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def make_opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any,
+                             tp_enabled: bool = True) -> Any:
+    """Shardings for an optax state: leaves whose shape matches a parameter
+    (Adam moments) get that parameter's sharding; scalars/counters replicate.
+
+    Works structurally: any opt-state leaf that is itself a pytree congruent
+    with `params` is mapped leaf-by-leaf.
+    """
+    param_sh = make_param_shardings(mesh, params, tp_enabled)
+    params_struct = jax.tree_util.tree_structure(params)
+
+    def map_node(node):
+        try:
+            if jax.tree_util.tree_structure(node) == params_struct:
+                return param_sh
+        except Exception:
+            pass
+        return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), node)
+
+    # optax states are tuples/namedtuples of nodes; map one level down.
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "shape"):
+        mapped = []
+        for node in opt_state:
+            if isinstance(node, tuple) and not hasattr(node, "shape"):
+                inner = type(node)(*[map_node(x) for x in node]) \
+                    if hasattr(node, "_fields") else tuple(map_node(x) for x in node)
+                mapped.append(inner)
+            else:
+                mapped.append(map_node(node))
+        return type(opt_state)(*mapped) if hasattr(opt_state, "_fields") \
+            else tuple(mapped)
+    return map_node(opt_state)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

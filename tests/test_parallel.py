@@ -1,0 +1,117 @@
+"""Distributed tests on the simulated 8-device CPU mesh (SURVEY §4):
+DP-sharded steps must match single-device numerics; TP sharding must not
+change results; the full dryrun path must execute."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from conformer_tpu.config import Config
+from conformer_tpu.data.dataset import synthetic_batch
+from conformer_tpu.parallel.mesh import (make_mesh, make_opt_state_shardings,
+                                         make_param_shardings, shard_batch_tree)
+from conformer_tpu.train.state import TrainState, make_optimizer
+from conformer_tpu.train.steps import init_variables, make_train_step
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 simulated devices")
+
+
+def tiny_cfg(**over):
+    cfg = Config().override(**{
+        "model.vocab_size": 40, "model.n_blocks": 2, "model.d_model": 64,
+        "model.n_heads": 2, "model.kernel_size": 7, "model.lstm_hidden_dim": 64,
+        "model.dropout_rate": 0.0, "optim.compute_dtype": "float32",
+        "augment.enabled": False,
+    })
+    return cfg.override(**over) if over else cfg
+
+
+def build_state(cfg, tx):
+    variables = init_variables(cfg, jax.random.PRNGKey(0), mel_frames=64)
+    return TrainState.create(variables["params"],
+                             variables.get("batch_stats", {}), tx)
+
+
+def batch_args(cfg, batch_size=8):
+    b = synthetic_batch(batch_size, 160 * 63, cfg.model.vocab_size,
+                        max_tokens=16, seed=7)
+    return (b.audio, b.audio_lengths, b.tokens, b.token_lengths)
+
+
+def run_step(cfg, mesh=None, tp=False, steps=2):
+    tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+    state = build_state(cfg, tx)
+    args = batch_args(cfg)
+    step_fn = make_train_step(cfg, tx, donate=False)
+    if mesh is not None:
+        param_sh = make_param_shardings(mesh, state.params, tp_enabled=tp)
+        state_sh = TrainState(
+            step=NamedSharding(mesh, P()), params=param_sh,
+            batch_stats=jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P()), state.batch_stats),
+            opt_state=make_opt_state_shardings(mesh, state.opt_state,
+                                               state.params, tp_enabled=tp))
+        state = jax.device_put(state, state_sh)
+        args = jax.device_put(args, shard_batch_tree(mesh, args))
+    losses = []
+    for i in range(steps):
+        state, metrics = step_fn(state, *args, jax.random.PRNGKey(5))
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+class TestDataParallel:
+    def test_dp_matches_single_device(self):
+        cfg = tiny_cfg()
+        losses_1, state_1 = run_step(cfg, mesh=None)
+        mesh = make_mesh(dp=8, tp=1)
+        losses_8, state_8 = run_step(cfg, mesh=mesh)
+        np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4)
+        # Parameters after 2 steps must agree too (gradient psum correctness).
+        p1 = jax.tree_util.tree_leaves(state_1.params)[0]
+        p8 = jax.tree_util.tree_leaves(state_8.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+    def test_tp_matches_single_device(self):
+        cfg = tiny_cfg()
+        losses_1, _ = run_step(cfg, mesh=None)
+        mesh = make_mesh(dp=4, tp=2)
+        losses_tp, _ = run_step(cfg, mesh=mesh, tp=True)
+        np.testing.assert_allclose(losses_1, losses_tp, rtol=2e-4)
+
+    def test_param_shardings_cover_big_matmuls(self):
+        cfg = tiny_cfg()
+        mesh = make_mesh(dp=4, tp=2)
+        variables = init_variables(cfg, jax.random.PRNGKey(0), mel_frames=64)
+        sh = make_param_shardings(mesh, variables["params"], tp_enabled=True)
+        flat = jax.tree_util.tree_leaves_with_path(sh)
+        specs = {"/".join(str(getattr(k, "key", k)) for k in path): s.spec
+                 for path, s in flat}
+        ffn_specs = [s for p, s in specs.items() if "hidden/kernel" in p]
+        assert ffn_specs and all(s != P() for s in ffn_specs), \
+            "FFN hidden kernels must be TP-sharded"
+        cls = [s for p, s in specs.items() if "classifier/kernel" in p]
+        assert cls and cls[0] != P()
+
+
+class TestBatchNormGlobal:
+    def test_bn_stats_are_global_under_dp(self):
+        # Under GSPMD, BatchNorm batch statistics reduce over the GLOBAL
+        # batch — sharding must not change them.
+        cfg = tiny_cfg()
+        _, state_1 = run_step(cfg, mesh=None, steps=1)
+        mesh = make_mesh(dp=8, tp=1)
+        _, state_8 = run_step(cfg, mesh=mesh, steps=1)
+        bs1 = jax.tree_util.tree_leaves(state_1.batch_stats)
+        bs8 = jax.tree_util.tree_leaves(state_8.batch_stats)
+        for a, b in zip(bs1, bs8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestDryRun:
+    def test_graft_dryrun(self):
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(8)
