@@ -1,0 +1,220 @@
+"""CTC prefix beam search with n-gram LM shallow fusion and hotword boosting.
+
+Replaces the reference's pyctcdecode+KenLM decode path
+(reference: processing/lm.py:6-75) with the same operating point: beam width
+190, LM weight alpha=2.1, word bonus beta=9.2, beam prune logp -20, hotword
+weight 9.0 (lm.py:10-15). Scoring follows pyctcdecode's convention: CTC
+probabilities in natural log; LM contribution = alpha * log10->ln converted
+n-gram score + beta per completed word; hotwords get an additional
+hotword_weight * ln(10) bonus on completion.
+
+Differences from the reference (improvements, documented):
+- operates on true log-softmax outputs (the reference feeds raw unnormalized
+  logits into pyctcdecode, test.py:149);
+- word boundaries use the tokenizer's delimiter token directly (the reference's
+  "|" delimiter is opaque to pyctcdecode, which splits on spaces, so its LM
+  effectively scored one giant word per utterance);
+- ``<UNK>`` frames are skipped like the reference's greedy path
+  (processor.py:309).
+
+Host-side decoder; the encoder forward + log-softmax stay on device.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from conformer_tpu.config import DecodeConfig
+from conformer_tpu.text.tokenizer import GraphemeTokenizer
+
+LOG10_TO_LN = math.log(10.0)
+NEG_INF = -float("inf")
+
+
+def _logsumexp2(a: float, b: float) -> float:
+    if a == NEG_INF:
+        return b
+    if b == NEG_INF:
+        return a
+    m = a if a > b else b
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+@dataclass
+class _Beam:
+    # CTC bookkeeping
+    last_token: int = -1
+    p_b: float = 0.0          # log prob ending in blank
+    p_nb: float = NEG_INF     # log prob ending in non-blank
+    # text state
+    text: str = ""            # completed words joined by spaces
+    partial: str = ""         # current partial word
+    # LM state
+    lm_ctx: Tuple[int, ...] = ()
+    lm_score: float = 0.0     # accumulated fused LM contribution (natural log)
+    n_words: int = 0
+
+    def total(self) -> float:
+        return _logsumexp2(self.p_b, self.p_nb) + self.lm_score
+
+    def key(self) -> Tuple:
+        return (self.text, self.partial, self.last_token)
+
+
+class BeamSearchDecoder:
+    def __init__(self, tokenizer: GraphemeTokenizer, cfg: DecodeConfig,
+                 lm=None):
+        self.tok = tokenizer
+        self.cfg = cfg
+        self.lm = lm
+        if lm is None and cfg.lm_path:
+            from conformer_tpu.lm.ngram import NgramLM
+
+            self.lm = NgramLM(cfg.lm_path)
+        self.hotwords = {h.upper() for h in cfg.hotwords}
+        self._hot_prefixes = set()
+        for h in self.hotwords:
+            words = h.split()
+            for i in range(1, len(words) + 1):
+                self._hot_prefixes.add(" ".join(words[:i]))
+
+    # ------------------------------------------------------------------
+    def _word_bonus(self, beam: _Beam, word: str) -> Tuple[float, Tuple[int, ...]]:
+        """LM + hotword contribution of completing `word` in `beam`'s context.
+
+        -> (delta natural-log score, new lm context ids)."""
+        delta = 0.0
+        new_ctx = beam.lm_ctx
+        if self.lm is not None:
+            wid = self.lm.vocab_id(word)
+            delta += self.cfg.alpha * LOG10_TO_LN * self.lm.score_id(
+                list(beam.lm_ctx), wid)
+            delta += self.cfg.beta
+            max_ctx = max(self.lm.order - 1, 1)
+            new_ctx = (beam.lm_ctx + (wid,))[-max_ctx:]
+        if self.hotwords:
+            tail = (beam.text + " " + word).strip().split()
+            # boost if any suffix of the text is a hotword prefix ending here
+            for span in range(1, min(len(tail), 4) + 1):
+                phrase = " ".join(tail[-span:])
+                if phrase in self.hotwords:
+                    delta += (self.cfg.hotword_weight or 0.0) * LOG10_TO_LN
+                    break
+        return delta, new_ctx
+
+    # ------------------------------------------------------------------
+    def decode(self, log_probs: np.ndarray,
+               length: Optional[int] = None) -> str:
+        """log_probs: (T, V) natural-log softmax outputs -> text."""
+        cfg = self.cfg
+        tok = self.tok
+        t_max = int(length) if length is not None else log_probs.shape[0]
+        blank = tok.pad_id
+        unk = tok.unk_id
+        delim = tok.delim_id
+
+        beams: List[_Beam] = [_Beam(lm_ctx=(self.lm.bos_id,) if self.lm else ())]
+
+        for t in range(t_max):
+            frame = log_probs[t]
+            # candidate tokens above the per-frame floor (blank always allowed)
+            cand = np.nonzero(frame >= cfg.token_min_logp)[0]
+            if len(cand) == 0:
+                cand = np.array([int(np.argmax(frame))])
+            next_beams: Dict[Tuple, _Beam] = {}
+
+            def merge(nb: _Beam) -> None:
+                k = nb.key()
+                old = next_beams.get(k)
+                if old is None:
+                    next_beams[k] = nb
+                else:
+                    old.p_b = _logsumexp2(old.p_b, nb.p_b)
+                    old.p_nb = _logsumexp2(old.p_nb, nb.p_nb)
+
+            for beam in beams:
+                p_total = _logsumexp2(beam.p_b, beam.p_nb)
+                for c in cand:
+                    c = int(c)
+                    lp = float(frame[c])
+                    if c == blank:
+                        merge(_Beam(last_token=beam.last_token,
+                                    p_b=p_total + lp, p_nb=NEG_INF,
+                                    text=beam.text, partial=beam.partial,
+                                    lm_ctx=beam.lm_ctx,
+                                    lm_score=beam.lm_score,
+                                    n_words=beam.n_words))
+                        continue
+                    if c == unk:
+                        continue  # reference drops <UNK> (processor.py:309)
+                    if c == beam.last_token:
+                        # same prefix, repeat collapses
+                        merge(_Beam(last_token=c, p_b=NEG_INF,
+                                    p_nb=beam.p_nb + lp,
+                                    text=beam.text, partial=beam.partial,
+                                    lm_ctx=beam.lm_ctx,
+                                    lm_score=beam.lm_score,
+                                    n_words=beam.n_words))
+                        # extension after blank: new occurrence of c
+                        base = beam.p_b
+                    else:
+                        base = p_total
+                    if base == NEG_INF:
+                        continue
+                    if c == delim:
+                        # word boundary: complete the partial word
+                        if beam.partial:
+                            delta, new_ctx = self._word_bonus(beam, beam.partial)
+                            merge(_Beam(
+                                last_token=c, p_b=NEG_INF, p_nb=base + lp,
+                                text=(beam.text + " " + beam.partial).strip(),
+                                partial="", lm_ctx=new_ctx,
+                                lm_score=beam.lm_score + delta,
+                                n_words=beam.n_words + 1))
+                        else:
+                            merge(_Beam(last_token=c, p_b=NEG_INF,
+                                        p_nb=base + lp, text=beam.text,
+                                        partial="", lm_ctx=beam.lm_ctx,
+                                        lm_score=beam.lm_score,
+                                        n_words=beam.n_words))
+                    else:
+                        merge(_Beam(last_token=c, p_b=NEG_INF,
+                                    p_nb=base + lp, text=beam.text,
+                                    partial=beam.partial + tok.vocab[c],
+                                    lm_ctx=beam.lm_ctx,
+                                    lm_score=beam.lm_score,
+                                    n_words=beam.n_words))
+
+            scored = sorted(next_beams.values(), key=_Beam.total, reverse=True)
+            best = scored[0].total() if scored else 0.0
+            floor = best + cfg.beam_prune_logp  # prune_logp is negative
+            beams = [b for b in scored[: cfg.beam_width] if b.total() >= floor]
+            if not beams:
+                beams = scored[:1]
+
+        # finalize: score trailing partial word
+        final: List[Tuple[float, str]] = []
+        for beam in beams:
+            score = _logsumexp2(beam.p_b, beam.p_nb) + beam.lm_score
+            text = beam.text
+            if beam.partial:
+                delta, _ = self._word_bonus(beam, beam.partial)
+                score += delta
+                text = (text + " " + beam.partial).strip()
+            final.append((score, text))
+        final.sort(key=lambda x: x[0], reverse=True)
+        best_text = final[0][1] if final else ""
+        return self.tok.spec_decode(best_text)
+
+    def decode_batch(self, log_probs: np.ndarray,
+                     lengths: Optional[np.ndarray] = None) -> List[str]:
+        """(B, T, V) -> list of texts (reference: processing/lm.py:62-75)."""
+        out = []
+        for i in range(log_probs.shape[0]):
+            n = int(lengths[i]) if lengths is not None else None
+            out.append(self.decode(log_probs[i], n))
+        return out
