@@ -162,6 +162,39 @@ class ParallelConfig:
 
 
 @dataclass
+class PretrainConfig:
+    """Self-supervised pretraining (wav2vec2-style contrastive or BYOL).
+
+    The reference's wav2vec2 model is unrunnable and has no loss or entry
+    point (reference: model/wav2vec2.py:9,21 — imports a nonexistent
+    ``generate_mask`` and passes a wrong kwarg; SURVEY §2.6); BYOL exists only
+    as a README diagram. This config drives working implementations of both.
+    Quantizer defaults follow the reference quantizer semantics
+    (reference: model/modules/quantization.py:7-27: 2 groups x 320 codes,
+    Gumbel tau=2).
+    """
+
+    method: str = "wav2vec2"        # 'wav2vec2' | 'byol'
+    proj_dim: int = 256
+    # quantizer (wav2vec2)
+    num_groups: int = 2
+    num_vars: int = 320
+    gumbel_temperature: float = 2.0
+    min_temperature: float = 0.5
+    temperature_decay: float = 0.999995
+    # masking
+    mask_prob: float = 0.065
+    mask_span: int = 10
+    # contrastive loss
+    num_negatives: int = 100
+    contrastive_temperature: float = 0.1
+    diversity_weight: float = 0.1
+    # byol
+    ema_decay: float = 0.996
+    predictor_hidden: int = 1024
+
+
+@dataclass
 class TrainConfig:
     num_epochs: int = 1
     num_steps: Optional[int] = None
@@ -184,6 +217,7 @@ class Config:
     data: DataConfig = field(default_factory=DataConfig)
     decode: DecodeConfig = field(default_factory=DecodeConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    pretrain: PretrainConfig = field(default_factory=PretrainConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
 
     # ---- (de)serialization -------------------------------------------------
@@ -238,6 +272,6 @@ class Config:
 _DATACLASS_BY_NAME = {
     str(t): t
     for t in (AudioConfig, AugmentConfig, ModelConfig, OptimConfig, DataConfig,
-              DecodeConfig, ParallelConfig, TrainConfig)
+              DecodeConfig, ParallelConfig, PretrainConfig, TrainConfig)
 }
 _DATACLASS_BY_NAME.update({t.__name__: t for t in list(_DATACLASS_BY_NAME.values())})

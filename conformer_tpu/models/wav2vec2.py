@@ -1,0 +1,173 @@
+"""wav2vec2-style contrastive pretraining of the Conformer encoder.
+
+A *working* version of what the reference attempted and abandoned
+(reference: model/wav2vec2.py — unrunnable: imports a nonexistent
+``generate_mask`` :9, wrong ConformerBlock kwarg :21, no loss, no entry
+point; SURVEY §2.6). Structure keeps the reference's intent:
+
+  subsample -> [target branch: Gumbel-quantize the *unmasked* features]
+            -> [context branch: mask spans, learned mask embedding,
+                conformer blocks] -> project both to proj_dim
+  loss = InfoNCE(context@masked vs quantized target + K in-utterance
+         distractors) + diversity penalty on codebook usage.
+
+TPU-first: span masking, negative sampling, and the cosine-logit InfoNCE are
+all static-shape batched ops inside one jit; the pretrained encoder's
+subsample/blocks parameters transfer directly into the CTC Conformer
+(same module names — see conformer_tpu.train.pretrain.transfer_encoder).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from conformer_tpu.config import ModelConfig, PretrainConfig
+from conformer_tpu.models.encoder import ConformerBlock, _ScanCell
+from conformer_tpu.models.layers import ConvolutionSubsampling
+from conformer_tpu.models.position import relative_positional_encoding
+from conformer_tpu.models.quantizer import GumbelQuantizer
+from conformer_tpu.utils.masking import (attention_pad_mask, padding_mask,
+                                         subsampled_length)
+
+
+def sample_mask_spans(rng: jax.Array, batch: int, length: int,
+                      mask_prob: float, span: int,
+                      valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(B, T) bool span mask: Bernoulli(mask_prob) starts dilated to `span`."""
+    starts = jax.random.bernoulli(rng, mask_prob, (batch, length))
+    # dilate each start over the next `span` frames with a cumulative trick
+    idx = jnp.arange(length)
+    def dilate(row):
+        start_idx = jnp.where(row, idx, -span - 1)
+        # frame j is masked if any start in (j-span, j]
+        best = jax.lax.cummax(start_idx, axis=0)
+        return (idx - best) < span
+    mask = jax.vmap(dilate)(starts)
+    if valid_mask is not None:
+        mask &= valid_mask
+    return mask
+
+
+class Wav2Vec2Pretrain(nn.Module):
+    cfg: ModelConfig
+    pre: PretrainConfig
+    dtype: jnp.dtype = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, mels: jnp.ndarray, lengths: Optional[jnp.ndarray],
+                 mask_time_indices: jnp.ndarray,
+                 gumbel_temperature: float | jnp.ndarray = 2.0
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """mels (B, T, n_mels); mask_time_indices (B, T') from
+        sample_mask_spans.
+
+        -> (context_proj (B, T', proj), target_proj (B, T', proj), perplexity).
+        """
+        cfg, pre = self.cfg, self.pre
+        features = ConvolutionSubsampling(cfg.d_model, self.dtype,
+                                          name="subsample")(mels)
+        b, t, feat_dim = features.shape
+
+        # Target branch: quantize the *unmasked* features
+        # (reference intent: wav2vec2.py:38).
+        quantized, perplexity = GumbelQuantizer(
+            input_dim=feat_dim, num_groups=pre.num_groups,
+            num_vars=pre.num_vars, codevector_dim=pre.proj_dim,
+            dtype=self.dtype, name="quantizer")(
+                features, mask_time_indices, gumbel_temperature,
+                train=not self.deterministic)
+        target = nn.Dense(pre.proj_dim, dtype=self.dtype,
+                          param_dtype=jnp.float32,
+                          name="target_proj")(quantized)
+
+        # Context branch: project, replace masked frames with a learned
+        # embedding, then contextualize with conformer blocks.
+        x = nn.Dense(cfg.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="input_proj")(features)
+        mask_emb = self.param("mask_embedding",
+                              nn.initializers.normal(0.02),
+                              (cfg.d_model,), jnp.float32).astype(self.dtype)
+        x = jnp.where(mask_time_indices[..., None], mask_emb, x)
+
+        attn_mask = frame_mask = None
+        if lengths is not None:
+            out_lengths = subsampled_length(lengths)
+            frame_mask = padding_mask(out_lengths, t)
+            attn_mask = attention_pad_mask(out_lengths, t)
+        pos_emb = relative_positional_encoding(t, cfg.d_model, self.dtype)
+
+        block_kwargs = dict(
+            d_model=cfg.d_model, n_heads=cfg.n_heads,
+            kernel_size=cfg.kernel_size, ffn_expansion=cfg.ffn_expansion,
+            dropout_rate=cfg.dropout_rate, conv_norm=cfg.conv_norm,
+            bn_axis_name=None, dtype=self.dtype,
+            deterministic=self.deterministic)
+        if cfg.use_scan_layers:
+            blocks = nn.scan(
+                _ScanCell,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"dropout": True, "params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=cfg.n_blocks,
+            )(block_kwargs=block_kwargs, name="blocks")
+            x, _ = blocks(x, pos_emb, attn_mask, frame_mask)
+        else:
+            for i in range(cfg.n_blocks):
+                x = ConformerBlock(**block_kwargs, name=f"block_{i}")(
+                    x, pos_emb, attn_mask, frame_mask)
+
+        context = nn.Dense(pre.proj_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="context_proj")(x)
+        return (context.astype(jnp.float32), target.astype(jnp.float32),
+                perplexity)
+
+
+def contrastive_loss(context: jnp.ndarray, target: jnp.ndarray,
+                     mask_time_indices: jnp.ndarray, rng: jax.Array,
+                     num_negatives: int = 100,
+                     temperature: float = 0.1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """InfoNCE over masked positions with in-utterance negatives.
+
+    context/target: (B, T, D); mask_time_indices: (B, T) bool.
+    -> (mean loss over masked positions, accuracy).
+    Static shapes: negatives are sampled for every position; only masked
+    positions contribute to the mean.
+    """
+    b, t, d = context.shape
+    k = num_negatives
+
+    # Sample negative indices != own position, then gather target vectors.
+    neg_rng = jax.random.split(rng, b)
+
+    def sample_neg(r):
+        raw = jax.random.randint(r, (t, k), 0, t - 1)
+        own = jnp.arange(t)[:, None]
+        return raw + (raw >= own)  # skip self
+
+    neg_idx = jax.vmap(sample_neg)(neg_rng)            # (B, T, K)
+    negatives = jax.vmap(lambda tgt, idx: tgt[idx])(target, neg_idx)  # (B,T,K,D)
+
+    candidates = jnp.concatenate([target[:, :, None, :], negatives], axis=2)
+    # Cosine similarity logits (B, T, 1+K).
+    ctx = context[:, :, None, :]
+    cos = jnp.sum(ctx * candidates, axis=-1) / (
+        jnp.linalg.norm(ctx, axis=-1) * jnp.linalg.norm(candidates, axis=-1)
+        + 1e-8)
+    logits = cos / temperature
+    # Mask out negatives identical to the positive (same quantized vector).
+    same = jnp.all(jnp.abs(candidates - target[:, :, None, :]) < 1e-6, axis=-1)
+    same = same.at[:, :, 0].set(False)
+    logits = jnp.where(same, -jnp.inf, logits)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    losses = -logp[..., 0]
+    m = mask_time_indices.astype(jnp.float32)
+    loss = jnp.sum(losses * m) / jnp.maximum(jnp.sum(m), 1.0)
+    acc = jnp.sum((jnp.argmax(logits, axis=-1) == 0) * m) / jnp.maximum(
+        jnp.sum(m), 1.0)
+    return loss, acc

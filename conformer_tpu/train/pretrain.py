@@ -1,0 +1,227 @@
+"""Pretraining steps (wav2vec2 contrastive / BYOL) + encoder weight transfer.
+
+Completes the reference's unfinished self-supervised story: its wav2vec2 model
+cannot run and has no loss or entry script (reference: model/wav2vec2.py;
+README.md:28,50 advertise pretrain.py/byol.py that do not exist). Both methods
+here train the same ConformerEncoder parameter structure the CTC model uses,
+so `transfer_encoder` drops pretrained weights straight into supervised
+training.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from conformer_tpu.audio.augment import spec_augment
+from conformer_tpu.audio.mel import MelFrontend
+from conformer_tpu.config import Config
+from conformer_tpu.models.byol import BYOLNet, byol_loss, ema_update
+from conformer_tpu.models.wav2vec2 import (Wav2Vec2Pretrain, contrastive_loss,
+                                           sample_mask_spans)
+from conformer_tpu.train.state import TrainState
+from conformer_tpu.utils.masking import padding_mask, subsampled_length
+
+
+# ---------------------------------------------------------------------------
+# wav2vec2
+# ---------------------------------------------------------------------------
+
+def make_wav2vec2_step(cfg: Config, tx: optax.GradientTransformation,
+                       frontend: Optional[MelFrontend] = None,
+                       donate: bool = True) -> Callable:
+    """-> jitted step(state, audio, audio_lengths, rng, temperature)
+    -> (state, metrics)."""
+    frontend = frontend or MelFrontend(cfg.audio)
+    pre = cfg.pretrain
+    model = Wav2Vec2Pretrain(cfg.model, pre, deterministic=False)
+
+    def step(state: TrainState, audio, audio_lengths, rng, temperature):
+        mels = frontend(audio)
+        mel_lengths = frontend.frame_lengths(audio_lengths)
+        out_lengths = subsampled_length(mel_lengths)
+        t_sub = subsampled_length(mels.shape[1])
+        rng = jax.random.fold_in(rng, state.step)
+        mask_rng, gumbel_rng, neg_rng, dropout_rng = jax.random.split(rng, 4)
+
+        valid = padding_mask(out_lengths, t_sub)
+        mask_idx = sample_mask_spans(mask_rng, mels.shape[0], t_sub,
+                                     pre.mask_prob, pre.mask_span, valid)
+
+        def loss_fn(params):
+            (context, target, perplexity), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                mels, mel_lengths, mask_idx, temperature,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng, "gumbel": gumbel_rng})
+            c_loss, acc = contrastive_loss(
+                context, target, mask_idx, neg_rng,
+                num_negatives=pre.num_negatives,
+                temperature=pre.contrastive_temperature)
+            gv = pre.num_groups * pre.num_vars
+            d_loss = (gv - perplexity) / gv
+            loss = c_loss + pre.diversity_weight * d_loss
+            return loss, (updates["batch_stats"], c_loss, d_loss, acc,
+                          perplexity)
+
+        (loss, (new_stats, c_loss, d_loss, acc, ppl)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, {"loss": loss, "contrastive": c_loss,
+                           "diversity": d_loss, "accuracy": acc,
+                           "perplexity": ppl}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def gumbel_temperature_at(cfg: Config, step: int) -> float:
+    pre = cfg.pretrain
+    return max(pre.min_temperature,
+               pre.gumbel_temperature * pre.temperature_decay ** step)
+
+
+# ---------------------------------------------------------------------------
+# BYOL
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class BYOLState:
+    step: jnp.ndarray
+    params: Any            # online tower (encoder + projector + predictor)
+    target_params: Any     # EMA tower (encoder + projector)
+    batch_stats: Any
+    target_batch_stats: Any
+    opt_state: Any
+
+
+def make_byol_step(cfg: Config, tx: optax.GradientTransformation,
+                   frontend: Optional[MelFrontend] = None,
+                   donate: bool = True) -> Callable:
+    frontend = frontend or MelFrontend(cfg.audio)
+    pre = cfg.pretrain
+    online = BYOLNet(cfg.model, pre, with_predictor=True, deterministic=False)
+    target = BYOLNet(cfg.model, pre, with_predictor=False, deterministic=True)
+
+    def step(state: BYOLState, audio, audio_lengths, rng):
+        mels = frontend(audio)
+        mel_lengths = frontend.frame_lengths(audio_lengths)
+        rng = jax.random.fold_in(rng, state.step)
+        r1, r2, d1, d2 = jax.random.split(rng, 4)
+        view1 = spec_augment(r1, mels, cfg.augment, mel_lengths)
+        view2 = spec_augment(r2, mels, cfg.augment, mel_lengths)
+
+        # Target embeddings of both views (stop-gradient, EMA weights).
+        (tgt1, out_lengths), _ = target.apply(
+            {"params": state.target_params,
+             "batch_stats": state.target_batch_stats}, view1, mel_lengths,
+            mutable=[])
+        (tgt2, _), _ = target.apply(
+            {"params": state.target_params,
+             "batch_stats": state.target_batch_stats}, view2, mel_lengths,
+            mutable=[])
+        tgt1 = jax.lax.stop_gradient(tgt1)
+        tgt2 = jax.lax.stop_gradient(tgt2)
+        frame_mask = padding_mask(out_lengths, tgt1.shape[1])
+
+        def loss_fn(params):
+            (p1, _), updates = online.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                view1, mel_lengths, mutable=["batch_stats"],
+                rngs={"dropout": d1})
+            (p2, _), updates2 = online.apply(
+                {"params": params, "batch_stats": updates["batch_stats"]},
+                view2, mel_lengths, mutable=["batch_stats"],
+                rngs={"dropout": d2})
+            loss = 0.5 * (byol_loss(p1, tgt2, frame_mask)
+                          + byol_loss(p2, tgt1, frame_mask))
+            return loss, updates2["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # EMA the shared substructure (encoder + projector).
+        new_target = ema_update(
+            state.target_params,
+            {k: new_params[k] for k in state.target_params},
+            pre.ema_decay)
+        new_state = BYOLState(
+            step=state.step + 1, params=new_params, target_params=new_target,
+            batch_stats=new_stats,
+            target_batch_stats=state.target_batch_stats,
+            opt_state=new_opt)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def init_byol_state(cfg: Config, rng: jax.Array,
+                    tx: optax.GradientTransformation,
+                    mel_frames: int = 256) -> BYOLState:
+    online = BYOLNet(cfg.model, cfg.pretrain, with_predictor=True,
+                     deterministic=True)
+    mels = jnp.zeros((1, mel_frames, cfg.model.n_mel_channels))
+    lengths = jnp.full((1,), mel_frames, jnp.int32)
+    variables = online.init({"params": rng}, mels, lengths)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    # Deep copies: the online and target trees must not alias device buffers
+    # (the donated train step would otherwise donate the same buffer twice).
+    target_params = jax.tree_util.tree_map(
+        jnp.array, {k: params[k] for k in params if k != "predictor"})
+    target_stats = jax.tree_util.tree_map(jnp.array, batch_stats)
+    return BYOLState(step=jnp.zeros((), jnp.int32), params=params,
+                     target_params=target_params, batch_stats=batch_stats,
+                     target_batch_stats=target_stats,
+                     opt_state=tx.init(params))
+
+
+def init_wav2vec2_state(cfg: Config, rng: jax.Array,
+                        tx: optax.GradientTransformation,
+                        mel_frames: int = 256) -> TrainState:
+    model = Wav2Vec2Pretrain(cfg.model, cfg.pretrain, deterministic=True)
+    mels = jnp.zeros((1, mel_frames, cfg.model.n_mel_channels))
+    lengths = jnp.full((1,), mel_frames, jnp.int32)
+    t_sub = subsampled_length(mel_frames)
+    mask = jnp.zeros((1, t_sub), bool)
+    variables = model.init({"params": rng}, mels, lengths, mask)
+    return TrainState.create(variables["params"],
+                             variables.get("batch_stats", {}), tx)
+
+
+# ---------------------------------------------------------------------------
+# Weight transfer into the supervised model
+# ---------------------------------------------------------------------------
+
+def transfer_encoder(pretrained_params: Dict, ctc_params: Dict,
+                     method: str = "wav2vec2") -> Dict:
+    """Copy pretrained encoder weights into a Conformer CTC param tree.
+
+    wav2vec2 tree: {subsample, input_proj, blocks|block_i, ...} at top level;
+    BYOL tree: {encoder: {...}} (whole ConformerEncoder). The CTC tree is
+    {encoder: {subsample, input_proj, blocks|block_i, ...}, decoder: ...}.
+    Only matching names with matching shapes transfer; returns a new tree.
+    """
+    src = pretrained_params.get("encoder", pretrained_params) \
+        if method == "byol" else pretrained_params
+    out = flax.core.unfreeze(jax.tree_util.tree_map(lambda x: x, ctc_params))
+    enc = out["encoder"]
+    copied = []
+    for key in list(enc.keys()):
+        if key in src:
+            src_leaves = jax.tree_util.tree_leaves(src[key])
+            dst_leaves = jax.tree_util.tree_leaves(enc[key])
+            if len(src_leaves) == len(dst_leaves) and all(
+                    a.shape == b.shape for a, b in zip(src_leaves, dst_leaves)):
+                enc[key] = src[key]
+                copied.append(key)
+    if not copied:
+        raise ValueError("no encoder weights transferred — structure mismatch")
+    return out
