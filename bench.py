@@ -36,6 +36,15 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     cfg = Config()  # production model, bf16 compute
+    overrides = {}
+    if os.environ.get("BENCH_REMAT"):
+        overrides["model.use_remat"] = os.environ["BENCH_REMAT"] == "1"
+    if os.environ.get("BENCH_SCAN"):
+        overrides["model.use_scan_layers"] = os.environ["BENCH_SCAN"] == "1"
+    if os.environ.get("BENCH_ATTN"):
+        overrides["model.attention_impl"] = os.environ["BENCH_ATTN"]
+    if overrides:
+        cfg = cfg.override(**overrides)
     num_samples = int(audio_s * cfg.audio.sample_rate)
 
     tx = make_optimizer(cfg.optim, steps_per_epoch=1000)

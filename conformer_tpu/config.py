@@ -206,6 +206,14 @@ class TrainConfig:
     seed: int = 0
     tokenizer_path: Optional[str] = None
     resume: bool = True
+    # Early stopping on the validation metric (0 disables). A working version
+    # of the reference's unused EarlyStopping (reference: manager.py:51-77).
+    early_stop_patience: int = 0
+    early_stop_metric: str = "loss"    # 'loss' or 'wer' (both minimized)
+    # Write a jax.profiler trace for steps [profile_start, profile_start+count)
+    # into <checkpoint_dir>/profile (0 count disables).
+    profile_start_step: int = 10
+    profile_num_steps: int = 0
 
 
 @dataclass

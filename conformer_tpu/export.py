@@ -1,0 +1,107 @@
+"""Model export: serialized StableHLO inference functions + standalone weights.
+
+Finishes what the reference's ONNX exporter never did (reference:
+building/build_onnx.py:53 stops before any export call). The TPU-native
+artifact is a ``jax.export`` StableHLO bundle — portable across JAX versions
+and runnable on any XLA backend (CPU/GPU/TPU) — containing the full
+audio -> logits pipeline (mel frontend + encoder + decoder), plus a weights
+file restorable without the training stack.
+
+Artifacts (directory):
+  model.stablehlo   serialized exported function (weights baked in)
+  config.json       full Config used
+  meta.json         shapes, vocab, framework version
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conformer_tpu import __version__
+from conformer_tpu.config import Config
+from conformer_tpu.train.steps import make_forward
+
+
+def export_model(cfg: Config, variables, out_dir: str,
+                 batch_size: int = 1,
+                 audio_seconds: Tuple[float, ...] = (8.0,)) -> List[str]:
+    """Export audio->(logits, lengths) functions, one per audio-length bucket.
+
+    Weights are closed over (baked into the artifact), so the artifact is
+    self-contained.
+    """
+    from jax import export as jax_export
+
+    os.makedirs(out_dir, exist_ok=True)
+    forward = make_forward(cfg)
+    sr = cfg.audio.sample_rate
+    files = []
+    for seconds in audio_seconds:
+        n = int(seconds * sr)
+
+        def fn(audio, lengths):
+            return forward(variables, audio, lengths)
+
+        exp = jax_export.export(jax.jit(fn))(
+            jax.ShapeDtypeStruct((batch_size, n), jnp.float32),
+            jax.ShapeDtypeStruct((batch_size,), jnp.int32))
+        name = f"model_b{batch_size}_{int(seconds)}s.stablehlo"
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        files.append(path)
+
+    cfg.to_json(os.path.join(out_dir, "config.json"))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({
+            "framework": "conformer_tpu", "version": __version__,
+            "batch_size": batch_size,
+            "audio_seconds": list(audio_seconds),
+            "sample_rate": sr,
+            "vocab_size": cfg.model.vocab_size,
+            "blank_id": 0,
+        }, f, indent=2)
+    return files
+
+
+class ExportedModel:
+    """Load + run an exported artifact without the training stack."""
+
+    def __init__(self, out_dir: str):
+        from jax import export as jax_export
+
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.cfg = Config.from_json(os.path.join(out_dir, "config.json"))
+        self._fns = {}
+        for name in os.listdir(out_dir):
+            if name.endswith(".stablehlo"):
+                with open(os.path.join(out_dir, name), "rb") as f:
+                    exp = jax_export.deserialize(bytearray(f.read()))
+                # key by padded sample count
+                n = exp.in_avals[0].shape[1]
+                self._fns[n] = exp
+        if not self._fns:
+            raise FileNotFoundError(f"no .stablehlo artifacts in {out_dir}")
+        self._sizes = sorted(self._fns)
+
+    def __call__(self, audio: np.ndarray, lengths: np.ndarray):
+        """audio (B, S) float32 -> (logits, out_lengths). Pads S up to the
+        smallest exported bucket that fits."""
+        s = audio.shape[1]
+        for size in self._sizes:
+            if s <= size:
+                break
+        else:
+            raise ValueError(f"audio longer than largest export bucket "
+                             f"({s} > {self._sizes[-1]})")
+        if s < size:
+            audio = np.pad(audio, ((0, 0), (0, size - s)))
+        return self._fns[size].call(audio.astype(np.float32),
+                                    lengths.astype(np.int32))

@@ -53,6 +53,39 @@ class MetricsLogger:
             self._wandb.finish()
 
 
+class EarlyStopping:
+    """Patience-based early stopping on a monitored metric.
+
+    A working version of the reference's dead code (reference:
+    manager.py:51-77 — defined, never instantiated): `update(value)` returns
+    True when training should stop; `mode='min'` for losses/WER.
+    """
+
+    def __init__(self, patience: int = 3, mode: str = "min",
+                 min_delta: float = 0.0):
+        if mode not in ("min", "max"):
+            raise ValueError("mode must be 'min' or 'max'")
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = min_delta
+        self.best: Optional[float] = None
+        self.bad_count = 0
+        self.should_stop = False
+
+    def update(self, value: float) -> bool:
+        improved = (self.best is None
+                    or (self.mode == "min" and value < self.best - self.min_delta)
+                    or (self.mode == "max" and value > self.best + self.min_delta))
+        if improved:
+            self.best = value
+            self.bad_count = 0
+        else:
+            self.bad_count += 1
+            if self.bad_count >= self.patience:
+                self.should_stop = True
+        return self.should_stop
+
+
 class Throughput:
     """Sliding throughput meter: audio seconds/s and steps/s."""
 

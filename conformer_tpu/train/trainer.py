@@ -95,8 +95,20 @@ class Trainer:
         cfg = self.cfg
         meter = Throughput()
         losses = []
+        prof_dir = None
+        if cfg.train.profile_num_steps:
+            import os
+            prof_dir = os.path.join(cfg.train.checkpoint_dir, "profile")
         for batch in loader:
             args = self._device_batch(batch)
+            if prof_dir is not None:
+                s = int(jax.device_get(self.state.step))
+                if s == cfg.train.profile_start_step:
+                    jax.profiler.start_trace(prof_dir)
+                elif s == cfg.train.profile_start_step + cfg.train.profile_num_steps:
+                    jax.profiler.stop_trace()
+                    prof_dir = None
+                    print(f"[trainer] wrote profiler trace")
             self.state, metrics = self.train_step(self.state, *args, rng)
             step = int(jax.device_get(self.state.step))
             loss = float(jax.device_get(metrics["loss"]))
@@ -157,6 +169,13 @@ class Trainer:
                 shard_index=jax.process_index(), shard_count=jax.process_count(),
                 training=False)
 
+        early = None
+        if cfg.train.early_stop_patience > 0:
+            from conformer_tpu.train.logging import EarlyStopping
+
+            early = EarlyStopping(patience=cfg.train.early_stop_patience,
+                                  mode="min")
+
         rng = jax.random.PRNGKey(cfg.train.seed + jax.process_index())
         for epoch in range(self.epoch, cfg.train.num_epochs):
             t0 = time.perf_counter()
@@ -166,11 +185,19 @@ class Trainer:
                   f"({time.perf_counter()-t0:.1f}s)")
             self.logger.log(step, {"epoch_loss": mean_loss, "epoch": epoch},
                             prefix="train/")
+            stop = False
             if val_loader is not None:
                 val = self.validate(val_loader.epoch(epoch))
                 print(f"[epoch {epoch}] val: {val}")
                 self.logger.log(step, val, prefix="val/")
+                if early is not None:
+                    metric = val.get(cfg.train.early_stop_metric, val["loss"])
+                    if early.update(float(metric)):
+                        print(f"[trainer] early stop at epoch {epoch} "
+                              f"(best {cfg.train.early_stop_metric}="
+                              f"{early.best:.4f})")
+                        stop = True
             self.ckpt.save(self.state, epoch=epoch + 1)
-            if cfg.train.num_steps and step >= cfg.train.num_steps:
+            if stop or (cfg.train.num_steps and step >= cfg.train.num_steps):
                 break
         self.ckpt.wait()

@@ -1,0 +1,73 @@
+"""Export tests: StableHLO round-trip equals the live model; early stopping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conformer_tpu.config import Config
+from conformer_tpu.train.logging import EarlyStopping
+
+
+def tiny_cfg():
+    return Config().override(**{
+        "model.vocab_size": 40, "model.n_blocks": 2, "model.d_model": 64,
+        "model.n_heads": 2, "model.kernel_size": 7, "model.lstm_hidden_dim": 64,
+        "model.dropout_rate": 0.0, "optim.compute_dtype": "float32"})
+
+
+class TestExport:
+    def test_roundtrip_matches_live_model(self, tmp_path):
+        from conformer_tpu.export import ExportedModel, export_model
+        from conformer_tpu.train.steps import init_variables, make_forward
+
+        cfg = tiny_cfg()
+        variables = init_variables(cfg, jax.random.PRNGKey(0))
+        out = str(tmp_path / "exported")
+        files = export_model(cfg, variables, out, batch_size=2,
+                             audio_seconds=(1.0, 2.0))
+        assert len(files) == 2
+
+        model = ExportedModel(out)
+        audio = np.random.default_rng(0).standard_normal(
+            (2, 12000)).astype(np.float32) * 0.05
+        lengths = np.array([12000, 8000], np.int32)
+        logits, out_lengths = model(audio, lengths)
+
+        forward = make_forward(cfg)
+        padded = np.pad(audio, ((0, 0), (0, 16000 - 12000)))
+        want_logits, want_lengths = forward(variables, jnp.asarray(padded),
+                                            jnp.asarray(lengths))
+        np.testing.assert_array_equal(np.asarray(out_lengths),
+                                      np.asarray(want_lengths))
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(want_logits),
+                                   atol=1e-4)
+
+    def test_too_long_audio_rejected(self, tmp_path):
+        from conformer_tpu.export import ExportedModel, export_model
+        from conformer_tpu.train.steps import init_variables
+
+        cfg = tiny_cfg()
+        variables = init_variables(cfg, jax.random.PRNGKey(0))
+        out = str(tmp_path / "exported")
+        export_model(cfg, variables, out, batch_size=1, audio_seconds=(1.0,))
+        model = ExportedModel(out)
+        with pytest.raises(ValueError, match="longer than largest"):
+            model(np.zeros((1, 32000), np.float32), np.array([32000]))
+
+
+class TestEarlyStopping:
+    def test_min_mode(self):
+        es = EarlyStopping(patience=2, mode="min")
+        assert not es.update(1.0)
+        assert not es.update(0.9)
+        assert not es.update(0.95)   # bad 1
+        assert es.update(0.92)        # bad 2 -> stop
+        assert es.best == 0.9
+
+    def test_improvement_resets(self):
+        es = EarlyStopping(patience=2, mode="min")
+        es.update(1.0)
+        es.update(1.1)
+        assert not es.update(0.5)
+        assert es.bad_count == 0
