@@ -78,6 +78,7 @@ class ModelConfig:
     use_remat: bool = True           # jax.checkpoint each block: trade FLOPs for HBM
     use_scan_layers: bool = True     # lax.scan over blocks: O(1) compile in depth
     conv_norm: str = "batch"         # 'batch' (reference semantics) or 'group'
+    conv_impl: str = "xla"           # depthwise conv backend: 'xla' or 'pallas'
     decoder_norm_masked: bool = True # mask-aware BatchNorm stats in the decoder
     attention_impl: str = "xla"      # 'xla' dense or 'pallas' fused kernel
 

@@ -32,6 +32,7 @@ class ConformerBlock(nn.Module):
     ffn_expansion: int = 4
     dropout_rate: float = 0.0
     conv_norm: str = "batch"
+    conv_impl: str = "xla"
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
@@ -47,7 +48,8 @@ class ConformerBlock(nn.Module):
         x = MHSAModule(self.d_model, self.n_heads, self.dropout_rate,
                        self.dtype, name="mhsa")(x, pos_emb, attn_mask, det) + x
         x = ConvolutionModule(self.d_model, self.kernel_size, self.dropout_rate,
-                              self.conv_norm, self.bn_axis_name, self.dtype,
+                              self.conv_norm, self.conv_impl,
+                              self.bn_axis_name, self.dtype,
                               name="conv")(x, frame_mask, det) + x
         x = 0.5 * FeedForwardModule(self.d_model, self.ffn_expansion,
                                     self.dropout_rate, self.dtype,
@@ -104,7 +106,8 @@ class ConformerEncoder(nn.Module):
         block_kwargs = dict(
             d_model=cfg.d_model, n_heads=cfg.n_heads, kernel_size=cfg.kernel_size,
             ffn_expansion=cfg.ffn_expansion, dropout_rate=cfg.dropout_rate,
-            conv_norm=cfg.conv_norm, bn_axis_name=self.bn_axis_name,
+            conv_norm=cfg.conv_norm, conv_impl=cfg.conv_impl,
+            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype, deterministic=self.deterministic,
         )
 

@@ -112,11 +112,43 @@ class MaskedBatchNorm(nn.Module):
         return ((x.astype(jnp.float32) - mean) * inv + bias).astype(self.dtype)
 
 
+class DepthwiseConv1d(nn.Module):
+    """Depthwise same-pad conv1d with selectable backend.
+
+    Parameter layout matches flax nn.Conv with feature_group_count=channels
+    (kernel (K, 1, C), bias (C,)), so checkpoints are interchangeable between
+    the XLA and Pallas implementations.
+    """
+
+    channels: int
+    kernel_size: int
+    impl: str = "xla"              # 'xla' | 'pallas'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kernel_size, 1, self.channels), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,),
+                          jnp.float32)
+        if self.impl == "pallas":
+            from conformer_tpu.ops.pallas.depthwise_conv import depthwise_conv1d
+
+            return depthwise_conv1d(x, kernel[:, 0, :].astype(self.dtype),
+                                    bias.astype(self.dtype), True)
+        out = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), window_strides=(1,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.channels)
+        return out + bias.astype(self.dtype)[None, None, :]
+
+
 class ConvolutionModule(nn.Module):
     channels: int
     kernel_size: int
     dropout_rate: float = 0.0
     conv_norm: str = "batch"        # 'batch' (reference) or 'group'
+    conv_impl: str = "xla"          # depthwise conv backend: 'xla' | 'pallas'
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -132,10 +164,8 @@ class ConvolutionModule(nn.Module):
             # Zero padded frames so the depthwise conv cannot leak pad garbage
             # into valid frames (reference convolves over pad content).
             x = jnp.where(mask[..., None], x, 0.0)
-        x = nn.Conv(self.channels, kernel_size=(self.kernel_size,),
-                    feature_group_count=self.channels, padding="SAME",
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="depthwise")(x)
+        x = DepthwiseConv1d(self.channels, self.kernel_size, self.conv_impl,
+                            self.dtype, name="depthwise")(x)
         if self.conv_norm == "batch":
             x = MaskedBatchNorm(self.channels, axis_name=self.bn_axis_name,
                                 dtype=self.dtype, name="norm")(

@@ -105,7 +105,7 @@ class Wav2Vec2Pretrain(nn.Module):
             d_model=cfg.d_model, n_heads=cfg.n_heads,
             kernel_size=cfg.kernel_size, ffn_expansion=cfg.ffn_expansion,
             dropout_rate=cfg.dropout_rate, conv_norm=cfg.conv_norm,
-            bn_axis_name=None, dtype=self.dtype,
+            conv_impl=cfg.conv_impl, bn_axis_name=None, dtype=self.dtype,
             deterministic=self.deterministic)
         if cfg.use_scan_layers:
             blocks = nn.scan(
