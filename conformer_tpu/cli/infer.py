@@ -28,6 +28,9 @@ def main(argv=None) -> None:
     p.add_argument("--lm", default=None)
     p.add_argument("--output", default=None, help="CSV output (manifest mode)")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--channel", type=int, default=None,
+                   help="channel of multi-channel recordings (e.g. 0=staff "
+                        "leg of stereo call audio)")
     args = p.parse_args(argv)
 
     if not args.audio and not args.manifest:
@@ -45,13 +48,22 @@ def main(argv=None) -> None:
                              decode=args.decode)
 
     paths = list(args.audio)
+    segments = None
     if args.manifest:
         from conformer_tpu.data.dataset import load_manifest
 
         table = load_manifest(args.manifest)
-        paths.extend(table["path"].to_pylist())
+        manifest_paths = table["path"].to_pylist()
+        cols = set(table.column_names)
+        if {"start", "end"} <= cols and not paths:
+            # Segment manifest (call-recording workflow, reference:
+            # dataset.py:14-45): one row per (path, start, end) span.
+            segments = list(zip(table["start"].to_pylist(),
+                                table["end"].to_pylist()))
+        paths.extend(manifest_paths)
 
-    texts = pipe.transcribe_files(paths, batch_size=args.batch_size)
+    texts = pipe.transcribe_files(paths, batch_size=args.batch_size,
+                                  channel=args.channel, segments=segments)
     for path, text in zip(paths, texts):
         print(f"{path}\t{text}")
     if args.output:

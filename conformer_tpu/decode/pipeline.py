@@ -109,15 +109,38 @@ class InferencePipeline:
                 for i in range(len(counts))]
 
     def transcribe_files(self, paths: Sequence[str],
-                         batch_size: int = 8) -> List[str]:
-        from conformer_tpu.audio.io import load_audio
+                         batch_size: int = 8,
+                         channel: Optional[int] = None,
+                         segments: Optional[Sequence[Tuple[float, float]]] = None
+                         ) -> List[str]:
+        """Transcribe audio files.
+
+        `channel` selects one channel of stereo recordings and `segments`
+        gives optional (start_s, end_s) spans per path — the reference's
+        call-recording workflow (reference: dataset.py:14-45, infer.py:18-52),
+        with the audio cache handled by ``_CachedLoader``.
+        """
+        from conformer_tpu.audio.io import load_audio, split_segment
+
+        sr = self.cfg.audio.sample_rate
+        cache: dict = {}
+
+        def load(idx: int) -> np.ndarray:
+            path = paths[idx]
+            if path not in cache:
+                cache.clear()  # one-file cache like the reference (dataset.py:38)
+                cache[path] = load_audio(path, sr, channel=channel)
+            sig = cache[path]
+            if segments is not None:
+                start, end = segments[idx]
+                sig = split_segment(sig, start, end, sr)
+            return sig
 
         results: List[str] = []
         for i in range(0, len(paths), batch_size):
-            chunk = paths[i: i + batch_size]
-            signals = [load_audio(p, self.cfg.audio.sample_rate) for p in chunk]
-            size = max(len(s) for s in signals)
-            size = max(size, self.cfg.audio.hop_length)
+            chunk = list(range(i, min(i + batch_size, len(paths))))
+            signals = [load(j) for j in chunk]
+            size = max(max(len(s) for s in signals), self.cfg.audio.hop_length)
             audio = np.zeros((len(chunk), size), np.float32)
             lengths = np.zeros((len(chunk),), np.int32)
             for j, s in enumerate(signals):
