@@ -24,7 +24,18 @@ import numpy as np
 
 
 def main() -> None:
+    # Persistent compilation cache: cold TPU compiles of the full train step
+    # take minutes through the remote-compile path; cached reruns are instant.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/conformer_tpu_jax_cache")
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from conformer_tpu.config import Config
     from conformer_tpu.data.dataset import synthetic_batch
@@ -43,6 +54,8 @@ def main() -> None:
         overrides["model.use_scan_layers"] = os.environ["BENCH_SCAN"] == "1"
     if os.environ.get("BENCH_ATTN"):
         overrides["model.attention_impl"] = os.environ["BENCH_ATTN"]
+    if os.environ.get("BENCH_CONV"):
+        overrides["model.conv_impl"] = os.environ["BENCH_CONV"]
     if overrides:
         cfg = cfg.override(**overrides)
     num_samples = int(audio_s * cfg.audio.sample_rate)

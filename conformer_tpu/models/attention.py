@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from conformer_tpu.ops.rel_shift import rel_shift
@@ -27,10 +28,12 @@ class RelativeMultiHeadAttention(nn.Module):
     n_heads: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"                  # 'xla' | 'pallas' (fused kernel)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
+                 lengths: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
         """x: (B, L, D); pos_emb: (2L-1, D); mask: (B, 1, 1, L) True at PAD."""
         b, l, _ = x.shape
@@ -48,21 +51,38 @@ class RelativeMultiHeadAttention(nn.Module):
                        jnp.float32).astype(self.dtype)
         vb = self.param("position_bias", nn.initializers.xavier_uniform(), (h, dh),
                         jnp.float32).astype(self.dtype)
+        scale = 1.0 / float(np.sqrt(dh))
 
-        # (B, H, L, L) content scores and (B, H, L, 2L-1) position scores.
-        content = jnp.einsum("blhd,bmhd->bhlm", q + u, k,
+        use_fused = (self.impl == "pallas"
+                     and (self.dropout_rate == 0.0 or deterministic))
+        if use_fused:
+            from conformer_tpu.ops.pallas.flash_attention import rel_attention
+
+            if lengths is None and mask is not None:
+                # (B,1,1,L) pad-mask -> lengths (valid prefix convention)
+                lengths = jnp.sum(~mask[:, 0, 0, :], axis=-1)
+            context = rel_attention(
+                jnp.transpose(q + u, (0, 2, 1, 3)),
+                jnp.transpose(q + vb, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)),
+                jnp.transpose(p, (1, 0, 2)), lengths, scale, "pallas")
+            context = jnp.transpose(context, (0, 2, 1, 3))
+        else:
+            # (B, H, L, L) content scores + shifted position scores.
+            content = jnp.einsum("blhd,bmhd->bhlm", q + u, k,
+                                 preferred_element_type=jnp.float32)
+            pos = jnp.einsum("blhd,mhd->bhlm", q + vb, p,
                              preferred_element_type=jnp.float32)
-        pos = jnp.einsum("blhd,mhd->bhlm", q + vb, p,
-                         preferred_element_type=jnp.float32)
-        scores = (content + rel_shift(pos)) * (1.0 / jnp.sqrt(dh).astype(jnp.float32))
+            scores = (content + rel_shift(pos)) * scale
 
-        if mask is not None:
-            scores = jnp.where(mask, jnp.finfo(jnp.float32).min, scores)
-        weights = nn.softmax(scores, axis=-1)
-        weights = nn.Dropout(self.dropout_rate, deterministic=deterministic)(weights)
-
-        context = jnp.einsum("bhlm,bmhd->blhd", weights.astype(self.dtype), v,
-                             preferred_element_type=jnp.float32)
+            if mask is not None:
+                scores = jnp.where(mask, jnp.finfo(jnp.float32).min, scores)
+            weights = nn.softmax(scores, axis=-1)
+            weights = nn.Dropout(self.dropout_rate,
+                                 deterministic=deterministic)(weights)
+            context = jnp.einsum("bhlm,bmhd->blhd", weights.astype(self.dtype),
+                                 v, preferred_element_type=jnp.float32)
         context = context.reshape(b, l, self.d_model).astype(self.dtype)
         return dense("out")(context)
 
@@ -74,6 +94,7 @@ class MHSAModule(nn.Module):
     n_heads: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
@@ -82,5 +103,6 @@ class MHSAModule(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = RelativeMultiHeadAttention(
             self.d_model, self.n_heads, self.dropout_rate, self.dtype,
-            name="attention")(x, pos_emb, mask, deterministic)
+            self.impl, name="attention")(
+                x, pos_emb, mask, deterministic=deterministic)
         return nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)

@@ -33,6 +33,7 @@ class ConformerBlock(nn.Module):
     dropout_rate: float = 0.0
     conv_norm: str = "batch"
     conv_impl: str = "xla"
+    attention_impl: str = "xla"
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
@@ -46,7 +47,8 @@ class ConformerBlock(nn.Module):
                                     self.dropout_rate, self.dtype,
                                     name="ffn1")(x, det) + x
         x = MHSAModule(self.d_model, self.n_heads, self.dropout_rate,
-                       self.dtype, name="mhsa")(x, pos_emb, attn_mask, det) + x
+                       self.dtype, self.attention_impl,
+                       name="mhsa")(x, pos_emb, attn_mask, det) + x
         x = ConvolutionModule(self.d_model, self.kernel_size, self.dropout_rate,
                               self.conv_norm, self.conv_impl,
                               self.bn_axis_name, self.dtype,
@@ -107,6 +109,7 @@ class ConformerEncoder(nn.Module):
             d_model=cfg.d_model, n_heads=cfg.n_heads, kernel_size=cfg.kernel_size,
             ffn_expansion=cfg.ffn_expansion, dropout_rate=cfg.dropout_rate,
             conv_norm=cfg.conv_norm, conv_impl=cfg.conv_impl,
+            attention_impl=cfg.attention_impl,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype, deterministic=self.deterministic,
         )
