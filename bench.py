@@ -42,7 +42,8 @@ def main() -> None:
     from conformer_tpu.train.state import TrainState, make_optimizer
     from conformer_tpu.train.steps import init_variables, make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    mode = os.environ.get("BENCH_MODE", "train")
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     audio_s = float(os.environ.get("BENCH_AUDIO_S", "8.0"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
@@ -63,6 +64,11 @@ def main() -> None:
     tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
     variables = init_variables(cfg, jax.random.PRNGKey(0),
                                mel_frames=num_samples // 160 + 1)
+
+    if mode == "infer":
+        _bench_infer(cfg, variables, batch_size, audio_s, num_samples, steps)
+        return
+
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
     state = jax.device_put(state)
@@ -111,6 +117,51 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+def _bench_infer(cfg, variables, batch_size, audio_s, num_samples, steps):
+    """Decode RTF: audio -> mel -> encoder -> decoder -> greedy tokens, one
+    fused program; RTF = wall-clock / audio seconds (lower is better;
+    throughput = batch * audio_s / wall)."""
+    import json as _json
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conformer_tpu.data.dataset import synthetic_batch
+    from conformer_tpu.ops.ctc import greedy_decode
+    from conformer_tpu.train.steps import make_forward
+
+    forward = make_forward(cfg)
+
+    @jax.jit
+    def infer(variables, audio, lengths):
+        logits, out_lengths = forward(variables, audio, lengths)
+        return greedy_decode(logits, out_lengths)
+
+    b = synthetic_batch(batch_size, num_samples, cfg.model.vocab_size, seed=0)
+    audio = jax.device_put(b.audio)
+    lengths = jax.device_put(
+        jnp.full((batch_size,), num_samples, jnp.int32))
+
+    for _ in range(2):
+        out = infer(variables, audio, lengths)
+    jax.block_until_ready(out)
+    t0 = _time.perf_counter()
+    for _ in range(steps):
+        out = infer(variables, audio, lengths)
+    jax.block_until_ready(out)
+    dt = _time.perf_counter() - t0
+
+    total_audio = batch_size * audio_s * steps
+    rtf = dt / total_audio
+    print(_json.dumps({
+        "metric": "greedy_decode_rtf_per_chip",
+        "value": round(rtf, 6),
+        "unit": "rtf (wall-s per audio-s, batched)",
+        "vs_baseline": 1.0,
     }))
 
 

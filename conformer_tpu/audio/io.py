@@ -28,7 +28,15 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
     Multi-channel data is returned as (channels, samples) to match the
     reference's stereo call-recording handling (reference: dataset.py:29-31).
+    Uses the native C++ decoder (native/audio_io.cpp) when available.
     """
+    from conformer_tpu.audio import native as _native
+
+    if _native.available():
+        try:
+            return _native.read_wav(path)
+        except ValueError:
+            pass  # fall through to scipy for exotic encodings
     if _wavfile is None:
         raise RuntimeError("scipy is required for WAV decoding")
     sr, data = _wavfile.read(path)
@@ -44,9 +52,14 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def resample(signal: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling (kaiser-windowed), float32."""
+    """Polyphase resampling (kaiser-windowed), float32. Native C++ polyphase
+    when available, scipy.resample_poly otherwise."""
     if orig_sr == target_sr:
         return signal.astype(np.float32)
+    from conformer_tpu.audio import native as _native
+
+    if _native.available():
+        return _native.resample(signal, orig_sr, target_sr)
     g = np.gcd(orig_sr, target_sr)
     return _resample_poly(signal, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
 
