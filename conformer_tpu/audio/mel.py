@@ -159,11 +159,36 @@ class MelFrontend:
 
     def __call__(self, signal: jnp.ndarray) -> jnp.ndarray:
         """(..., samples) -> (..., n_frames, n_mels) log-mel features."""
+        if self.cfg.stft_impl == "pallas":
+            return self._pallas_logmel(signal)
         power = self.power_spectrogram(signal)
         mel = jnp.einsum(
             "...tk,km->...tm", power, self._fb, preferred_element_type=jnp.float32
         )
         return jnp.log(jnp.clip(mel, min=self.cfg.log_clamp_min))
+
+    def _pallas_logmel(self, signal: jnp.ndarray) -> jnp.ndarray:
+        """Fused frame+window+DFT+mel+log kernel (TPU); XLA fallback elsewhere."""
+        import jax
+
+        squeeze = signal.ndim == 1
+        if squeeze:
+            signal = signal[None]
+        if jax.default_backend() not in ("tpu", "axon"):
+            power = self.power_spectrogram(signal)
+            mel = jnp.einsum("...tk,km->...tm", power, self._fb,
+                             preferred_element_type=jnp.float32)
+            out = jnp.log(jnp.clip(mel, min=self.cfg.log_clamp_min))
+        else:
+            from conformer_tpu.ops.pallas.mel_frontend import logmel_pallas
+
+            pad = self.cfg.n_fft // 2
+            padded = jnp.pad(signal, ((0, 0), (pad, pad)), mode="reflect")
+            n_frames = signal.shape[-1] // self.cfg.hop_length + 1
+            out = logmel_pallas(padded, self._dft, self._fb,
+                                self.cfg.hop_length, self.cfg.n_fft, n_frames,
+                                self.cfg.log_clamp_min)
+        return out[0] if squeeze else out
 
     def frame_lengths(self, sample_lengths: jnp.ndarray) -> jnp.ndarray:
         """Valid frame count per utterance (reference: processing/processor.py:392)."""

@@ -75,7 +75,13 @@ def rel_attention_xla(qu: jnp.ndarray, qv: jnp.ndarray, k: jnp.ndarray,
 def _attn_kernel(len_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, out_ref, *,
                  tq: int, scale: float, l_valid: int):
     """One (batch, head, q-tile) program. Shapes in VMEM:
-    qu/qv (1,1,TQ,dh), k/v (1,1,L,dh), p (1, 2L-1+pad, dh), out (1,1,TQ,dh)."""
+    qu/qv (1,1,TQ,dh), k/v (1,1,L,dh), p (1, 2L-1+pad, dh), out (1,1,TQ,dh).
+
+    The in-kernel strided-reslice shift (see module docstring) is exact but
+    Mosaic currently cannot relayout the unaligned (TQ, TQ+L-1) flatten, so
+    the compiled path uses `_attn_kernel_bias` below; this kernel remains the
+    interpret-mode/NumPy-semantics reference.
+    """
     qt = pl.program_id(2)
     l = k_ref.shape[2]
     qu = qu_ref[0, 0]                      # (TQ, dh)
@@ -99,11 +105,10 @@ def _attn_kernel(len_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, out_ref, *,
         qv, p_win, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # (TQ, C)
     flat = raw.reshape(tq * c)
-    pos = jax.lax.dynamic_slice(flat, (tq - 1,),
-                                (tq * (c - 1),)).reshape(tq, c - 1)[:, :l]
+    pos = flat[tq - 1: tq - 1 + tq * (c - 1)].reshape(tq, c - 1)[:, :l]
 
     scores = (content + pos) * scale
-    length = len_ref[0, 0]
+    length = len_ref[pl.program_id(0)]
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
     valid = col < jnp.minimum(length, l_valid)
     scores = jnp.where(valid, scores, NEG_INF)
@@ -121,6 +126,76 @@ def _attn_kernel(len_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, out_ref, *,
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
+def _bias_kernel(len_ref, qu_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                 tq: int, scale: float, l_valid: int):
+    """Compiled-path kernel: content matmul + precomputed position bias +
+    mask + softmax + value contraction, fused. bias (1,1,TQ,L) is the
+    XLA-shifted position score tile."""
+    l = k_ref.shape[2]
+    qu = qu_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    content = jax.lax.dot_general(
+        qu, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    scores = (content + bias_ref[0, 0]) * scale
+
+    length = len_ref[pl.program_id(0)]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
+    valid = col < jnp.minimum(length, l_valid)
+    scores = jnp.where(valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m) * valid.astype(jnp.float32)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    weights = e / jnp.maximum(s, 1e-9)
+    out = jax.lax.dot_general(
+        weights.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _pallas_rel_attention_bias(qu, qv, k, v, p, lengths, scale, tq=128,
+                               interpret=False):
+    """Compiled TPU path: position scores + shift in XLA, the rest fused."""
+    from conformer_tpu.ops.rel_shift import rel_shift
+
+    b, h, l_orig, dh = qu.shape
+    pos_bias = rel_shift(jnp.einsum(
+        "bhld,hmd->bhlm", qv, p, preferred_element_type=jnp.float32))
+    l = ((l_orig + tq - 1) // tq) * tq
+    if l != l_orig:
+        pad = [(0, 0), (0, 0), (0, l - l_orig), (0, 0)]
+        qu, k, v = (jnp.pad(x, pad) for x in (qu, k, v))
+        pos_bias = jnp.pad(pos_bias, [(0, 0), (0, 0), (0, l - l_orig),
+                                      (0, l - l_orig)])
+    if lengths is None:
+        lengths = jnp.full((b,), l_orig, jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    kern = functools.partial(_bias_kernel, tq=tq, scale=scale, l_valid=l_orig)
+    vm = {"memory_space": _VMEM} if _VMEM and not interpret else {}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, l // tq),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+            pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            pl.BlockSpec((1, 1, tq, l), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq, dh),
+                               lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, l, dh), v.dtype),
+        interpret=interpret,
+    )(lengths, qu, k, v, pos_bias)
+    return out[:, :, :l_orig, :]
+
+
 def _pallas_rel_attention(qu, qv, k, v, p, lengths, scale, tq=128,
                           interpret=False):
     b, h, l_orig, dh = qu.shape
@@ -133,28 +208,33 @@ def _pallas_rel_attention(qu, qv, k, v, p, lengths, scale, tq=128,
         p = jnp.pad(p, [(0, 0), (l - l_orig, l - l_orig), (0, 0)])
     if lengths is None:
         lengths = jnp.full((b,), l_orig, jnp.int32)
-    lengths = lengths.astype(jnp.int32).reshape(b, 1)  # 2D for SMEM
+    lengths = lengths.astype(jnp.int32)
 
     kern = functools.partial(_attn_kernel, tq=tq, scale=scale, l_valid=l_orig)
     vm = {"memory_space": _VMEM} if _VMEM and not interpret else {}
-    sm = ({"memory_space": _SMEM} if _SMEM and not interpret else {})
     grid = (b, h, l // tq)
-    out = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, hi, qi: (bi, 0), **sm),
-            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi: (bi, hi, qi, 0), **vm),
-            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi: (bi, hi, qi, 0), **vm),
-            pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi: (bi, hi, 0, 0), **vm),
-            pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi: (bi, hi, 0, 0), **vm),
-            pl.BlockSpec((1, 2 * l - 1, dh), lambda bi, hi, qi: (hi, 0, 0), **vm),
-        ],
-        out_specs=pl.BlockSpec((1, 1, tq, dh),
-                               lambda bi, hi, qi: (bi, hi, qi, 0), **vm),
-        out_shape=jax.ShapeDtypeStruct((b, h, l, dh), v.dtype),
-        interpret=interpret,
-    )(lengths, qu, qv, k, v, p)
+    if pltpu is not None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+                pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+                pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+                pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+                pl.BlockSpec((1, 2 * l - 1, dh), lambda bi, hi, qi, *_: (hi, 0, 0), **vm),
+            ],
+            out_specs=pl.BlockSpec((1, 1, tq, dh),
+                                   lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+        )
+        out = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, l, dh), v.dtype),
+            interpret=interpret,
+        )(lengths, qu, qv, k, v, p)
+    else:  # pragma: no cover — non-TPU build without pltpu
+        raise RuntimeError("pallas TPU grid spec unavailable")
     return out[:, :, :l_orig, :]
 
 
@@ -167,9 +247,11 @@ def rel_attention(qu, qv, k, v, p, lengths, scale: float,
 
 def _dispatch(qu, qv, k, v, p, lengths, scale, impl, interpret):
     if impl == "pallas":
-        if interpret or jax.default_backend() in ("tpu", "axon"):
+        if interpret:
             return _pallas_rel_attention(qu, qv, k, v, p, lengths, scale,
-                                         interpret=interpret)
+                                         interpret=True)
+        if jax.default_backend() in ("tpu", "axon"):
+            return _pallas_rel_attention_bias(qu, qv, k, v, p, lengths, scale)
     return rel_attention_xla(qu, qv, k, v, p, lengths, scale)
 
 

@@ -1,0 +1,101 @@
+"""Pallas TPU kernel: fused log-mel frontend (frame + window + DFT + mel + log).
+
+One kernel replaces the XLA chain frame-gather -> windowed-DFT matmul ->
+power -> mel matmul -> log (conformer_tpu.audio.mel): the framed (T, n_fft)
+matrix and the (T, n_bins) power spectrogram stay in VMEM and never reach HBM.
+
+Framing trick: with hop | n_fft relationships like 400 = 2*160 + 80, a
+contiguous audio tile reshaped to hop-sized rows yields every frame as a
+concatenation of whole rows plus a leading slice of the next row — all static
+slices, no gather:
+
+    R = tile.reshape(TF + 2, hop)
+    frames = concat([R[i : i+TF] for i in 0..k-1] + [R[k : k+TF, :rem]], axis=1)
+
+Requires win_length == n_fft and reflect padding done by the (cheap) XLA
+prologue; everything heavy is in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+
+def _kernel(audio_ref, dft_ref, fb_ref, out_ref, *, tf: int, hop: int,
+            n_fft: int, n_bins: int, clamp: float):
+    """audio row (1, S) in VMEM -> log-mels (1, TF, n_mels) for tile ti."""
+    ti = pl.program_id(1)
+    whole = n_fft // hop          # whole hop-rows per frame
+    rem = n_fft - whole * hop     # leading remainder of the next row
+    rows = tf + whole + (1 if rem else 0)
+    tile = audio_ref[0, pl.ds(ti * tf * hop, rows * hop)].reshape(rows, hop)
+    parts = [jax.lax.slice(tile, (i, 0), (i + tf, hop)) for i in range(whole)]
+    if rem:
+        parts.append(jax.lax.slice(tile, (whole, 0), (whole + tf, rem)))
+    frames = jnp.concatenate(parts, axis=1)              # (TF, n_fft)
+
+    proj = jnp.dot(frames, dft_ref[:],
+                   preferred_element_type=jnp.float32)   # (TF, 2*n_bins)
+    re = proj[:, :n_bins]
+    im = proj[:, n_bins:]
+    power = re * re + im * im
+    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.log(jnp.maximum(mel, clamp))
+
+
+def logmel_pallas(padded_audio: jnp.ndarray, dft: jnp.ndarray,
+                  fb: jnp.ndarray, hop: int, n_fft: int, n_frames: int,
+                  clamp: float = 1e-5, frames_per_tile: int = 256,
+                  interpret: bool = False) -> jnp.ndarray:
+    """padded_audio: (B, S_pad) already reflect-padded; -> (B, n_frames, n_mels).
+
+    S_pad must cover (n_tiles*TF - 1)*hop + n_fft; caller zero-pads the tail.
+    """
+    b, s_pad = padded_audio.shape
+    n_bins = n_fft // 2 + 1
+    n_mels = fb.shape[1]
+    tf = min(frames_per_tile, n_frames)
+    n_tiles = -(-n_frames // tf)
+    padded_frames = n_tiles * tf
+    whole = n_fft // hop
+    rem = n_fft - whole * hop
+    rows_extra = whole + (1 if rem else 0)
+    # Every tile reshapes a (tf + rows_extra) * hop span; pad the tail so the
+    # last tile's span is in range.
+    need = (padded_frames + rows_extra) * hop
+    if s_pad < need:
+        padded_audio = jnp.pad(padded_audio, ((0, 0), (0, need - s_pad)))
+        s_pad = need
+
+    kern = functools.partial(_kernel, tf=tf, hop=hop, n_fft=n_fft,
+                             n_bins=n_bins, clamp=clamp)
+    vm = {"memory_space": _VMEM} if _VMEM and not interpret else {}
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, padded_audio.shape[1]),
+                         lambda bi, ti: (bi, 0), **vm),
+            pl.BlockSpec((n_fft, 2 * n_bins), lambda bi, ti: (0, 0), **vm),
+            pl.BlockSpec((n_bins, n_mels), lambda bi, ti: (0, 0), **vm),
+        ],
+        out_specs=pl.BlockSpec((1, tf, n_mels), lambda bi, ti: (bi, ti, 0),
+                               **vm),
+        out_shape=jax.ShapeDtypeStruct((b, padded_frames, n_mels), jnp.float32),
+        interpret=interpret,
+    )(padded_audio, dft, fb)
+    return out[:, :n_frames]

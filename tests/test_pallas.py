@@ -129,3 +129,40 @@ class TestFlashRelAttention:
         for b, n in enumerate([int(x) for x in wl]):
             np.testing.assert_allclose(np.asarray(got)[b, :n],
                                        np.asarray(want)[b, :n], atol=2e-4)
+
+
+class TestMelKernel:
+    def test_parity_with_xla_frontend(self):
+        from conformer_tpu.audio.mel import MelFrontend
+        from conformer_tpu.config import AudioConfig
+        from conformer_tpu.ops.pallas.mel_frontend import logmel_pallas
+
+        cfg = AudioConfig()
+        fe = MelFrontend(cfg)
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+        want = fe(audio)
+        pad = cfg.n_fft // 2
+        padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+        got = logmel_pallas(padded, fe._dft, fe._fb, cfg.hop_length, cfg.n_fft,
+                            16000 // cfg.hop_length + 1, cfg.log_clamp_min,
+                            frames_per_tile=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_uneven_tile_split(self):
+        from conformer_tpu.audio.mel import MelFrontend
+        from conformer_tpu.config import AudioConfig
+        from conformer_tpu.ops.pallas.mel_frontend import logmel_pallas
+
+        cfg = AudioConfig()
+        fe = MelFrontend(cfg)
+        audio = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (1, 7321)).astype(np.float32))
+        want = fe(audio)
+        pad = cfg.n_fft // 2
+        padded = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+        n_frames = 7321 // cfg.hop_length + 1
+        got = logmel_pallas(padded, fe._dft, fe._fb, cfg.hop_length, cfg.n_fft,
+                            n_frames, cfg.log_clamp_min, frames_per_tile=17,
+                            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
