@@ -59,8 +59,10 @@ class InferencePipeline:
     """Restores a checkpoint and transcribes batches.
 
     decode='greedy' uses the on-device collapse; decode='beam' uses the
-    CTC beam search with optional n-gram LM shallow fusion
-    (conformer_tpu.decode.beam_search).
+    host CTC beam search with optional n-gram LM shallow fusion
+    (conformer_tpu.decode.beam_search); decode='beam_device' runs the
+    no-LM prefix beam search entirely on-device
+    (conformer_tpu.ops.beam_search_device).
     """
 
     def __init__(self, cfg: Config, tokenizer: GraphemeTokenizer,
@@ -93,12 +95,32 @@ class InferencePipeline:
             from conformer_tpu.decode.beam_search import BeamSearchDecoder
 
             self._beam = BeamSearchDecoder(tokenizer, cfg.decode)
+        self._device_beam = None
+        if decode == "beam_device":
+            import functools
+
+            from conformer_tpu.ops.beam_search_device import \
+                ctc_beam_search_device
+
+            self._device_beam = jax.jit(functools.partial(
+                ctc_beam_search_device,
+                beam_width=min(cfg.decode.beam_width, 32), top_k=8,
+                blank_id=tokenizer.pad_id, unk_id=tokenizer.unk_id,
+                max_len=cfg.data.max_tokens))
 
     # ------------------------------------------------------------------
     def transcribe_batch(self, batch: Batch) -> List[str]:
         args = jax.device_put((batch.audio, batch.audio_lengths,
                                batch.tokens, batch.token_lengths))
         out = self.eval_step(self.state, *args)
+        if self._device_beam is not None:
+            prefixes, plens, _ = self._device_beam(out["log_probs"],
+                                                   out["lengths"])
+            prefixes = np.asarray(jax.device_get(prefixes))
+            plens = np.asarray(jax.device_get(plens))
+            return [self.tok.spec_decode(self.tok.collapsed_ids_to_text(
+                        prefixes[i, 0], int(plens[i, 0])))
+                    for i in range(prefixes.shape[0])]
         if self._beam is not None:
             log_probs = np.asarray(jax.device_get(out["log_probs"]))
             lengths = np.asarray(jax.device_get(out["lengths"]))
@@ -174,7 +196,15 @@ class InferencePipeline:
                                    batch.tokens, batch.token_lengths))
             out = self.eval_step(self.state, *args)
             losses.append(float(jax.device_get(out["loss"])))
-            if self._beam is not None:
+            if self._device_beam is not None:
+                prefixes, plens, _ = self._device_beam(out["log_probs"],
+                                                       out["lengths"])
+                prefixes = np.asarray(jax.device_get(prefixes))
+                plens = np.asarray(jax.device_get(plens))
+                texts = [self.tok.spec_decode(self.tok.collapsed_ids_to_text(
+                             prefixes[i, 0], int(plens[i, 0])))
+                         for i in range(prefixes.shape[0])]
+            elif self._beam is not None:
                 log_probs = np.asarray(jax.device_get(out["log_probs"]))
                 lengths = np.asarray(jax.device_get(out["lengths"]))
                 texts = self._beam.decode_batch(log_probs, lengths)
