@@ -79,6 +79,10 @@ class ModelConfig:
     use_scan_layers: bool = True     # lax.scan over blocks: O(1) compile in depth
     conv_norm: str = "batch"         # 'batch' (reference semantics) or 'group'
     conv_impl: str = "xla"           # depthwise conv backend: 'xla' or 'pallas'
+    # Zero padded frames before the depthwise conv. False reproduces the
+    # reference exactly (it convolves pad garbage into boundary frames,
+    # reference: model/utils/convolution.py:15 with no masking).
+    conv_mask_pad: bool = True
     decoder_norm_masked: bool = True # mask-aware BatchNorm stats in the decoder
     attention_impl: str = "xla"      # 'xla' dense or 'pallas' fused kernel
 
@@ -215,6 +219,9 @@ class TrainConfig:
     # into <checkpoint_dir>/profile (0 count disables).
     profile_start_step: int = 10
     profile_num_steps: int = 0
+    # PRNG implementation for dropout/augment keys. 'rbg' (TPU hardware RNG)
+    # is ~25% faster end-to-end than 'threefry2x32' at production scale.
+    prng_impl: str = "rbg"
 
 
 @dataclass

@@ -33,6 +33,7 @@ class ConformerBlock(nn.Module):
     dropout_rate: float = 0.0
     conv_norm: str = "batch"
     conv_impl: str = "xla"
+    conv_mask_pad: bool = True
     attention_impl: str = "xla"
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -51,6 +52,7 @@ class ConformerBlock(nn.Module):
                        name="mhsa")(x, pos_emb, attn_mask, det) + x
         x = ConvolutionModule(self.d_model, self.kernel_size, self.dropout_rate,
                               self.conv_norm, self.conv_impl,
+                              self.conv_mask_pad,
                               self.bn_axis_name, self.dtype,
                               name="conv")(x, frame_mask, det) + x
         x = 0.5 * FeedForwardModule(self.d_model, self.ffn_expansion,
@@ -109,6 +111,7 @@ class ConformerEncoder(nn.Module):
             d_model=cfg.d_model, n_heads=cfg.n_heads, kernel_size=cfg.kernel_size,
             ffn_expansion=cfg.ffn_expansion, dropout_rate=cfg.dropout_rate,
             conv_norm=cfg.conv_norm, conv_impl=cfg.conv_impl,
+            conv_mask_pad=cfg.conv_mask_pad,
             attention_impl=cfg.attention_impl,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype, deterministic=self.deterministic,

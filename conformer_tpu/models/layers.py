@@ -149,6 +149,7 @@ class ConvolutionModule(nn.Module):
     dropout_rate: float = 0.0
     conv_norm: str = "batch"        # 'batch' (reference) or 'group'
     conv_impl: str = "xla"          # depthwise conv backend: 'xla' | 'pallas'
+    mask_pad: bool = True           # zero padded frames before the conv
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -160,6 +161,8 @@ class ConvolutionModule(nn.Module):
         x = nn.Dense(2 * self.channels, dtype=self.dtype, param_dtype=jnp.float32,
                      name="pointwise1")(x)
         x = glu(x, axis=-1)
+        if not self.mask_pad:
+            mask = None  # reference semantics: convolve over pad content
         if mask is not None:
             # Zero padded frames so the depthwise conv cannot leak pad garbage
             # into valid frames (reference convolves over pad content).

@@ -34,6 +34,11 @@ class Trainer:
                  mesh: Optional[Mesh] = None,
                  logger: Optional[MetricsLogger] = None):
         cfg = cfg.override(**{"model.vocab_size": tokenizer.vocab_size})
+        if cfg.train.prng_impl:
+            try:
+                jax.config.update("jax_default_prng_impl", cfg.train.prng_impl)
+            except Exception:
+                pass
         self.cfg = cfg
         self.tok = tokenizer
         self.mesh = mesh
