@@ -27,6 +27,7 @@ from conformer_tpu.models.layers import MaskedBatchNorm, swish
 class LSTMLayer(nn.Module):
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
+    unroll: int = 8    # scan unrolling: amortizes per-step dispatch overhead
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,7 +50,8 @@ class LSTMLayer(nn.Module):
 
         init = (jnp.zeros((b, self.hidden_dim), self.dtype),
                 jnp.zeros((b, self.hidden_dim), self.dtype))
-        _, hs = jax.lax.scan(step, init, jnp.swapaxes(gates_x, 0, 1))
+        _, hs = jax.lax.scan(step, init, jnp.swapaxes(gates_x, 0, 1),
+                             unroll=min(self.unroll, max(l, 1)))
         return jnp.swapaxes(hs, 0, 1)
 
 

@@ -38,10 +38,17 @@ def main():
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/conformer_tpu_jax_cache")
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("BENCH_PRNG", "rbg"))
     import jax.numpy as jnp
 
     from conformer_tpu.audio.augment import spec_augment
@@ -55,6 +62,8 @@ def main():
     from conformer_tpu.train.steps import init_variables, make_train_step
 
     cfg = Config()
+    cfg = cfg.override(**{
+        "model.use_remat": os.environ.get("BENCH_REMAT", "0") == "1"})
     sr = cfg.audio.sample_rate
     num_samples = int(args.audio_s * sr)
     b = args.batch
