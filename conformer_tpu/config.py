@@ -85,6 +85,9 @@ class ModelConfig:
     conv_mask_pad: bool = True
     decoder_norm_masked: bool = True # mask-aware BatchNorm stats in the decoder
     attention_impl: str = "xla"      # 'xla' dense or 'pallas' fused kernel
+    # Attention score tensor IO dtype. bfloat16 halves the dominant HBM
+    # traffic at (B,H,L,L); softmax still reduces in float32.
+    attention_score_dtype: str = "float32"
 
     @staticmethod
     def small(vocab_size: int = 370) -> "ModelConfig":

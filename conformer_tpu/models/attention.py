@@ -29,6 +29,7 @@ class RelativeMultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"                  # 'xla' | 'pallas' (fused kernel)
+    score_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
@@ -70,11 +71,12 @@ class RelativeMultiHeadAttention(nn.Module):
             context = jnp.transpose(context, (0, 2, 1, 3))
         else:
             # (B, H, L, L) content scores + shifted position scores.
+            sdt = self.score_dtype
             content = jnp.einsum("blhd,bmhd->bhlm", q + u, k,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=sdt)
             pos = jnp.einsum("blhd,mhd->bhlm", q + vb, p,
-                             preferred_element_type=jnp.float32)
-            scores = (content + rel_shift(pos)) * scale
+                             preferred_element_type=sdt)
+            scores = ((content + rel_shift(pos)) * scale).astype(jnp.float32)
 
             if mask is not None:
                 scores = jnp.where(mask, jnp.finfo(jnp.float32).min, scores)
@@ -95,6 +97,7 @@ class MHSAModule(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
+    score_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
@@ -103,6 +106,6 @@ class MHSAModule(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = RelativeMultiHeadAttention(
             self.d_model, self.n_heads, self.dropout_rate, self.dtype,
-            self.impl, name="attention")(
+            self.impl, self.score_dtype, name="attention")(
                 x, pos_emb, mask, deterministic=deterministic)
         return nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)

@@ -35,6 +35,7 @@ class ConformerBlock(nn.Module):
     conv_impl: str = "xla"
     conv_mask_pad: bool = True
     attention_impl: str = "xla"
+    attention_score_dtype: str = "float32"
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
@@ -47,8 +48,11 @@ class ConformerBlock(nn.Module):
         x = 0.5 * FeedForwardModule(self.d_model, self.ffn_expansion,
                                     self.dropout_rate, self.dtype,
                                     name="ffn1")(x, det) + x
+        import jax.numpy as _jnp
+        sdt = (_jnp.bfloat16 if self.attention_score_dtype == "bfloat16"
+               else _jnp.float32)
         x = MHSAModule(self.d_model, self.n_heads, self.dropout_rate,
-                       self.dtype, self.attention_impl,
+                       self.dtype, self.attention_impl, sdt,
                        name="mhsa")(x, pos_emb, attn_mask, det) + x
         x = ConvolutionModule(self.d_model, self.kernel_size, self.dropout_rate,
                               self.conv_norm, self.conv_impl,
@@ -113,6 +117,7 @@ class ConformerEncoder(nn.Module):
             conv_norm=cfg.conv_norm, conv_impl=cfg.conv_impl,
             conv_mask_pad=cfg.conv_mask_pad,
             attention_impl=cfg.attention_impl,
+            attention_score_dtype=cfg.attention_score_dtype,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype, deterministic=self.deterministic,
         )

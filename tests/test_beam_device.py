@@ -143,3 +143,56 @@ class TestAgainstHostBeam:
             np.asarray(prefixes)[0, 0], int(plens[0, 0]))
         dev_text = tok.spec_decode(dev_text)
         assert dev_text == host_text == "XIN CHÀO BẠN"
+
+
+def host_prefix_beam(lp, width=16, blank=0):
+    """Independent textbook CTC prefix beam search (dict-based) for fuzzing."""
+    import math
+
+    def lse(a, b):
+        if a == -math.inf:
+            return b
+        if b == -math.inf:
+            return a
+        m = max(a, b)
+        return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+    beams = {(): (0.0, -math.inf)}  # prefix -> (p_b, p_nb)
+    for frame in lp:
+        new = {}
+
+        def add(prefix, pb, pnb):
+            opb, opnb = new.get(prefix, (-math.inf, -math.inf))
+            new[prefix] = (lse(opb, pb), lse(opnb, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            total = lse(pb, pnb)
+            add(prefix, total + frame[blank], -math.inf)
+            for c in range(len(frame)):
+                if c == blank:
+                    continue
+                if prefix and prefix[-1] == c:
+                    add(prefix, -math.inf, pnb + frame[c])
+                    add(prefix + (c,), -math.inf, pb + frame[c])
+                else:
+                    add(prefix + (c,), -math.inf, total + frame[c])
+        beams = dict(sorted(new.items(),
+                            key=lambda kv: -lse(*kv[1]))[:width])
+    return sorted(((k, lse(*v)) for k, v in beams.items()),
+                  key=lambda kv: -kv[1])
+
+
+class TestFuzzAgainstHostReference:
+    def test_random_logits_agreement(self):
+        rng = np.random.default_rng(7)
+        for trial in range(4):
+            t, v = 12, 6
+            lp = rand_logits = rng.standard_normal((t, v)) * 1.5
+            lp = lp - np.log(np.exp(lp).sum(1, keepdims=True))
+            want = host_prefix_beam(lp, width=16)
+            prefixes, plens, scores = ctc_beam_search_device(
+                jnp.asarray(lp[None]), beam_width=16, top_k=v - 1)
+            got = tuple(int(x) for x in
+                        np.asarray(prefixes)[0, 0, :int(plens[0, 0])])
+            assert got == want[0][0], f"trial {trial}"
+            assert abs(float(scores[0, 0]) - want[0][1]) < 5e-3, f"trial {trial}"
