@@ -153,7 +153,8 @@ class GraphemeTokenizer:
             graphemes.reverse()
         return graphemes
 
-    def word2graphemes(self, word: str, n_grams: int = 3) -> List[str]:
+    def word2graphemes(self, word: str, n_grams: int = 3,
+                       reverse: bool = False) -> List[str]:
         """Segment one word, with QU/GI prefix disambiguation
         (processor.py:166-185)."""
         first_item: Optional[str] = None
@@ -170,7 +171,7 @@ class GraphemeTokenizer:
                     word = word[len(item):]
                 break
         word = self.spec_replace(word)
-        graphemes = self.slide_graphemes(word, n_grams=n_grams)
+        graphemes = self.slide_graphemes(word, n_grams=n_grams, reverse=reverse)
         if first_item is not None:
             graphemes = [first_item] + graphemes
         return graphemes
