@@ -31,6 +31,10 @@ def main(argv=None) -> None:
     p.add_argument("--channel", type=int, default=None,
                    help="channel of multi-channel recordings (e.g. 0=staff "
                         "leg of stereo call audio)")
+    p.add_argument("--long", action="store_true",
+                   help="chunked transcription for long recordings "
+                        "(overlapping windows, word-boundary stitching)")
+    p.add_argument("--chunk-seconds", type=float, default=24.0)
     args = p.parse_args(argv)
 
     if not args.audio and not args.manifest:
@@ -62,8 +66,12 @@ def main(argv=None) -> None:
                                 table["end"].to_pylist()))
         paths.extend(manifest_paths)
 
-    texts = pipe.transcribe_files(paths, batch_size=args.batch_size,
-                                  channel=args.channel, segments=segments)
+    if args.long:
+        texts = [pipe.transcribe_long(p_, chunk_s=args.chunk_seconds,
+                                      channel=args.channel) for p_ in paths]
+    else:
+        texts = pipe.transcribe_files(paths, batch_size=args.batch_size,
+                                      channel=args.channel, segments=segments)
     for path, text in zip(paths, texts):
         print(f"{path}\t{text}")
     if args.output:

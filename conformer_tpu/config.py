@@ -118,6 +118,10 @@ class OptimConfig:
     lr_decay_every_steps: int = 0    # 0 = decay per epoch (reference semantics)
     warmup_steps: int = 0
     grad_clip_norm: float = 0.0      # 0 disables
+    # Gradient accumulation: split each batch into N micro-batches and
+    # average gradients before one optimizer step (large effective batches
+    # on small slices). 1 disables. New capability (no reference counterpart).
+    accum_steps: int = 1
     # 'bfloat16' compute with fp32 params/loss is the TPU-native analogue of the
     # reference's fp16 AMP + fp32 CTC island (reference: train.py:232-243).
     compute_dtype: str = "bfloat16"

@@ -174,6 +174,54 @@ class InferencePipeline:
                 Batch(audio, lengths, tokens, tlens)))
         return results
 
+    def transcribe_long(self, path: str, chunk_s: float = 24.0,
+                        overlap_s: float = 2.0,
+                        channel: Optional[int] = None) -> str:
+        """Transcribe arbitrarily long audio by overlapping chunks.
+
+        Chunks of `chunk_s` seconds advance by `chunk_s - overlap_s`; each
+        chunk's transcript is trimmed at word boundaries inside the overlap
+        halves so the stitched text has no duplicated or truncated words.
+        New capability (the reference bounds utterances only by GPU memory,
+        SURVEY §5 long-context).
+        """
+        from conformer_tpu.audio.io import load_audio
+
+        sr = self.cfg.audio.sample_rate
+        signal = load_audio(path, sr, channel=channel)
+        chunk = int(chunk_s * sr)
+        if len(signal) <= chunk:
+            return self.transcribe_files([path], channel=channel)[0]
+        hop = chunk - int(overlap_s * sr)
+        starts = list(range(0, max(len(signal) - int(overlap_s * sr), 1), hop))
+
+        pieces: List[str] = []
+        for ci in range(0, len(starts), 8):
+            batch_starts = starts[ci: ci + 8]
+            audio = np.zeros((len(batch_starts), chunk), np.float32)
+            lengths = np.zeros((len(batch_starts),), np.int32)
+            for j, s0 in enumerate(batch_starts):
+                seg = signal[s0: s0 + chunk]
+                audio[j, : len(seg)] = seg
+                lengths[j] = len(seg)
+            texts = self.transcribe_batch(
+                Batch(audio, lengths, np.zeros((len(batch_starts), 1), np.int32),
+                      np.zeros((len(batch_starts),), np.int32)))
+            pieces.extend(texts)
+
+        # Stitch: drop the leading word-fragment of every chunk after the
+        # first and the trailing fragment of every chunk before the last
+        # (they fall inside the overlap and are covered by the neighbor).
+        stitched: List[str] = []
+        for i, text in enumerate(pieces):
+            words = text.split()
+            if i > 0 and words:
+                words = words[1:]
+            if i < len(pieces) - 1 and words:
+                words = words[:-1]
+            stitched.extend(words)
+        return " ".join(stitched)
+
     # ------------------------------------------------------------------
     def evaluate(self, manifest: str, batch_size: Optional[int] = None
                  ) -> Tuple[dict, List[Tuple[str, str]]]:

@@ -36,25 +36,24 @@ except Exception:  # pragma: no cover
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def _kernel(x_ref, w_ref, b_ref, out_ref, *, kernel_size: int, pad: int):
+def _kernel(x_ref, w_ref, b_ref, out_ref, scratch_ref, *, kernel_size: int,
+            pad: int):
+    """Halo-scratch formulation: x is copied once into a zero-padded
+    (L+K-1, C) scratch; each tap is then a static slice multiply-accumulate
+    (no per-tap pad temporaries — those blow the scoped VMEM stack)."""
     l = x_ref.shape[1]
-    x = x_ref[0]                       # (L, C)
     w = w_ref[:]                       # (K, C)
     b = b_ref[:]                       # (C,)
-    acc = jnp.zeros_like(x)
-    # Same-pad: y[i] = sum_k x[i + k - pad] * w[k]; out-of-range taps are zero.
+    scratch_ref[pl.ds(0, pad), :] = jnp.zeros_like(scratch_ref[pl.ds(0, pad), :])
+    scratch_ref[pl.ds(pad, l), :] = x_ref[0]
+    tail = kernel_size - 1 - pad
+    if tail:
+        scratch_ref[pl.ds(pad + l, tail), :] = jnp.zeros_like(
+            scratch_ref[pl.ds(pad + l, tail), :])
+    acc = b[None, :] * jnp.ones((l, 1), b.dtype)
     for k in range(kernel_size):
-        shift = k - pad
-        if shift < 0:
-            seg = x[: l + shift, :]
-            seg = jnp.pad(seg, ((-shift, 0), (0, 0)))
-        elif shift > 0:
-            seg = x[shift:, :]
-            seg = jnp.pad(seg, ((0, shift), (0, 0)))
-        else:
-            seg = x
-        acc = acc + seg * w[k, :][None, :]
-    out_ref[0] = acc + b[None, :]
+        acc = acc + scratch_ref[pl.ds(k, l), :] * w[k, :][None, :]
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _pallas_depthwise(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
@@ -63,17 +62,21 @@ def _pallas_depthwise(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     k = w.shape[0]
     pad = (k - 1) // 2
     kern = functools.partial(_kernel, kernel_size=k, pad=pad)
-    block = pl.BlockSpec((1, l, c), lambda i: (i, 0, 0),
-                         **({"memory_space": _VMEM} if _VMEM and not interpret
-                            else {}))
+    vm = {"memory_space": _VMEM} if _VMEM and not interpret else {}
+    block = pl.BlockSpec((1, l, c), lambda i: (i, 0, 0), **vm)
     full = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple(0 for _ in shape),
-        **({"memory_space": _VMEM} if _VMEM and not interpret else {}))
+        shape, lambda i: tuple(0 for _ in shape), **vm)
+    if pltpu is not None and not interpret:
+        scratch = [pltpu.VMEM((l + k - 1, c), x.dtype)]
+    else:
+        from jax.experimental.pallas import tpu as _pltpu_i  # interpret path
+        scratch = [_pltpu_i.VMEM((l + k - 1, c), x.dtype)]
     return pl.pallas_call(
         kern,
         grid=(batch,),
         in_specs=[block, full((k, c)), full((c,))],
         out_specs=block,
+        scratch_shapes=scratch,
         out_shape=jax.ShapeDtypeStruct((batch, l, c), x.dtype),
         interpret=interpret,
     )(x, w, b)

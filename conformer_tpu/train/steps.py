@@ -56,22 +56,53 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     frontend = frontend or MelFrontend(cfg.audio)
     model, _ = build_models(cfg)
 
+    accum = max(cfg.optim.accum_steps, 1)
+
     def step(state: TrainState, audio, audio_lengths, tokens, token_lengths, rng):
         mels = frontend(audio)
         mel_lengths = frontend.frame_lengths(audio_lengths)
         aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         mels = spec_augment(aug_rng, mels, cfg.augment, mel_lengths)
 
-        def loss_fn(params):
+        def loss_fn(params, batch_stats, mb):
             (logits, out_lengths), updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                mels, mel_lengths, mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng})
-            loss = ctc_loss(logits, out_lengths, tokens, token_lengths)
+                {"params": params, "batch_stats": batch_stats},
+                mb["mels"], mb["mel_lengths"], mutable=["batch_stats"],
+                rngs={"dropout": mb["rng"]})
+            loss = ctc_loss(logits, out_lengths, mb["tokens"],
+                            mb["token_lengths"])
             return loss, updates["batch_stats"]
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        if accum == 1:
+            mb = {"mels": mels, "mel_lengths": mel_lengths, "tokens": tokens,
+                  "token_lengths": token_lengths, "rng": dropout_rng}
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats, mb)
+        else:
+            # Micro-batch accumulation: scan over batch splits, averaging
+            # gradients; batch stats thread through sequentially.
+            def split(x):
+                b = x.shape[0]
+                return x.reshape(accum, b // accum, *x.shape[1:])
+
+            micro = {"mels": split(mels), "mel_lengths": split(mel_lengths),
+                     "tokens": split(tokens),
+                     "token_lengths": split(token_lengths),
+                     "rng": jax.random.split(dropout_rng, accum)}
+
+            def acc_step(carry, mb):
+                grads_acc, loss_acc, batch_stats = carry
+                (loss, new_bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, batch_stats, mb)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss, new_bs), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss_sum, new_stats), _ = jax.lax.scan(
+                acc_step, (zero_grads, jnp.zeros(()), state.batch_stats), micro)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            loss = loss_sum / accum
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
