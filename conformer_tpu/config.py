@@ -122,6 +122,7 @@ class OptimConfig:
     # average gradients before one optimizer step (large effective batches
     # on small slices). 1 disables. New capability (no reference counterpart).
     accum_steps: int = 1
+    ctc_impl: str = "optax"          # CTC loss backend: 'optax' or 'pallas'
     # 'bfloat16' compute with fp32 params/loss is the TPU-native analogue of the
     # reference's fp16 AMP + fp32 CTC island (reference: train.py:232-243).
     compute_dtype: str = "bfloat16"

@@ -70,7 +70,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                 mb["mels"], mb["mel_lengths"], mutable=["batch_stats"],
                 rngs={"dropout": mb["rng"]})
             loss = ctc_loss(logits, out_lengths, mb["tokens"],
-                            mb["token_lengths"])
+                            mb["token_lengths"], impl=cfg.optim.ctc_impl)
             return loss, updates["batch_stats"]
 
         if accum == 1:
