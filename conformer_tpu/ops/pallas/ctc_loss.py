@@ -1,24 +1,23 @@
 """Pallas TPU kernel: CTC loss forward-backward (alpha/beta recursions).
 
-The last of the north-star kernels: the CTC dynamic program runs per batch
-element as an in-kernel ``fori_loop`` over frames with the (1, S) alpha row in
-VMEM — only static lane-shifts, element-wise logsumexp, and masked selects
-(every op Mosaic lowers today; no reshapes, no gathers).
+The CTC dynamic program runs batch-tiled: each program advances a (BT, S)
+alpha block for BT sequences simultaneously through an in-kernel ``fori_loop``
+over frames — static lane-shifts, element-wise logsumexp, and masked selects
+only (every op Mosaic lowers today; no reshapes, no gathers).
 
 Decomposition:
 - XLA prologue: extended-state label log-probs ``label_lp[b,t,s] =
   log_probs[b,t,ext[b,s]]`` with ext = [blank, l1, blank, l2, ...] (a gather,
   cheap in XLA), plus the skip-allowed mask.
-- Pallas forward: alpha recursion, per-frame rows stored to an (T, S) history,
-  log-likelihood read out at the per-batch final states via masked max.
+- Pallas forward: alpha recursion, per-frame blocks stored to a history,
+  per-row log-likelihood read out at the final states via masked reductions.
 - Pallas backward: beta recursion fused with the posterior computation,
   emitting d loss / d label_lp directly.
 - XLA epilogue: posterior rows scatter back to vocab columns with one
   ``einsum`` against the one-hot extended labels.
 
-Semantics match ``optax.ctc_loss`` (per-sequence negative log-likelihood,
-blank=0 convention handled by the caller's extended labels) and are verified
-against it in tests, values and gradients.
+Semantics match ``optax.ctc_loss`` (per-sequence negative log-likelihood) and
+are verified against it in tests, values and gradients.
 """
 
 from __future__ import annotations
@@ -38,6 +37,7 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 NEG = -1e30
+_BT = 8           # sequences advanced per program
 
 
 def _lse3(a, b, c):
@@ -49,103 +49,99 @@ def _lse3(a, b, c):
 
 
 def _shift_right(x, k):
-    """(1, S) -> values shifted right by k lanes, NEG-filled."""
-    pad = jnp.full((1, k), NEG, x.dtype)
+    """(BT, S) -> lanes shifted right by k, NEG-filled."""
+    pad = jnp.full((x.shape[0], k), NEG, x.dtype)
     return jnp.concatenate([pad, x[:, :-k]], axis=1)
 
 
 def _shift_left(x, k):
-    pad = jnp.full((1, k), NEG, x.dtype)
+    pad = jnp.full((x.shape[0], k), NEG, x.dtype)
     return jnp.concatenate([x[:, k:], pad], axis=1)
 
 
+def _row_lse_at_finals(values, lane, s_final_col):
+    """Per-row logsumexp over the two final states. values (BT, S)."""
+    want = (lane == s_final_col) | (lane == s_final_col - 1)
+    vals = jnp.where(want, values, NEG)
+    m = jnp.max(vals, axis=1, keepdims=True)
+    safe = jnp.where(m <= NEG / 2, 0.0, m)
+    s = jnp.sum(jnp.where(want, jnp.exp(vals - safe), 0.0), axis=1,
+                keepdims=True)
+    out = safe + jnp.log(jnp.maximum(s, 1e-38))
+    return jnp.where(m <= NEG / 2, NEG, out)        # (BT, 1)
+
+
 def _fwd_kernel(tlen_ref, final_ref, label_lp_ref, skip_ref, loss_ref,
-                alpha_hist_ref, *, t_max: int, s_pad: int):
-    """One batch element. label_lp (1, T, S); skip (1, S) {0,1};
-    tlen/final scalars via prefetch; outputs loss (1, 1) and alpha history."""
-    b = pl.program_id(0)
-    t_len = tlen_ref[b]
-    s_final = final_ref[b]          # index of last blank state (2*N_b)
-    skip = skip_ref[0, 0].reshape(1, s_pad)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+                alpha_hist_ref, *, t_max: int, s_pad: int, bt: int):
+    """One batch tile. label_lp (BT, T, S); skip (BT, 1, S); outputs
+    loss (BT, 128) and alpha history (BT, T, S)."""
+    pid = pl.program_id(0)
+    # SMEM permits scalar reads only: assemble the per-row vectors explicitly.
+    t_len = jnp.stack([tlen_ref[pid * bt + i]
+                       for i in range(bt)]).reshape(bt, 1)
+    s_final = jnp.stack([final_ref[pid * bt + i]
+                         for i in range(bt)]).reshape(bt, 1)
+    skip = skip_ref[:, 0, :]                            # (BT, S)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, s_pad), 1)
 
     init = jnp.where(lane <= 1, 0.0, NEG).astype(jnp.float32)
-    alpha0 = init + label_lp_ref[0, 0].reshape(1, s_pad)
-    alpha_hist_ref[0, 0] = alpha0[0]
+    alpha0 = init + label_lp_ref[:, 0, :]
+    alpha_hist_ref[:, 0, :] = alpha0
 
     def body(t, alpha):
-        lp = label_lp_ref[0, t].reshape(1, s_pad)
+        lp = label_lp_ref[:, t, :]
         s1 = _shift_right(alpha, 1)
         s2 = jnp.where(skip > 0, _shift_right(alpha, 2), NEG)
         new = _lse3(alpha, s1, s2) + lp
         new = jnp.where(t < t_len, new, alpha)
-        alpha_hist_ref[0, t] = new[0]
+        alpha_hist_ref[:, t, :] = new
         return new
 
     alpha = jax.lax.fori_loop(1, t_max, body, alpha0)
-    # logZ = lse(alpha[s_final], alpha[s_final - 1]) via masked max-trick.
-    want = (lane == s_final) | (lane == s_final - 1)
-    vals = jnp.where(want, alpha, NEG)
-    m = jnp.max(vals)
-    safe = jnp.where(m <= NEG / 2, 0.0, m)
-    logz = safe + jnp.log(jnp.sum(jnp.exp(jnp.where(want, vals - safe, NEG))))
-    logz = jnp.where(m <= NEG / 2, NEG, logz)
-    loss_ref[0, 0] = jnp.full((128,), -logz, jnp.float32)
+    logz = _row_lse_at_finals(alpha, lane, s_final)     # (BT, 1)
+    loss_ref[:, :] = jnp.broadcast_to(-logz, (bt, 128))
 
 
 def _bwd_kernel(tlen_ref, final_ref, label_lp_ref, skip_ref, alpha_hist_ref,
-                grad_ref, *, t_max: int, s_pad: int):
-    """Beta recursion + posterior: grad[t, s] = -gamma_t[s] (d(-logZ)/dlp)."""
-    b = pl.program_id(0)
-    t_len = tlen_ref[b]
-    s_final = final_ref[b]
-    skip = skip_ref[0, 0].reshape(1, s_pad)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
-    skip_next2 = _shift_left(jnp.where(skip > 0, 0.0, NEG), 2)  # skip[s+2] mask
+                grad_ref, *, t_max: int, s_pad: int, bt: int):
+    """Beta recursion + posterior: grad[t, s] = -gamma_t[s]."""
+    pid = pl.program_id(0)
+    t_len = jnp.stack([tlen_ref[pid * bt + i]
+                       for i in range(bt)]).reshape(bt, 1)
+    s_final = jnp.stack([final_ref[pid * bt + i]
+                         for i in range(bt)]).reshape(bt, 1)
+    skip = skip_ref[:, 0, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, s_pad), 1)
+    skip_next2 = _shift_left(jnp.where(skip > 0, 0.0, NEG), 2)
 
-    # beta at the last VALID frame: 0 at the two final states.
-    beta_last = jnp.where((lane == s_final) | (lane == s_final - 1), 0.0, NEG)
+    final_mask = (lane == s_final) | (lane == s_final - 1)
+    beta_last = jnp.where(final_mask, 0.0, NEG)
 
-    # logZ from alpha history at t_len - 1.
-    alpha_last = alpha_hist_ref[0, pl.ds(t_len - 1, 1)].reshape(1, s_pad)
-    vals = jnp.where((lane == s_final) | (lane == s_final - 1), alpha_last, NEG)
-    m = jnp.max(vals)
-    safe = jnp.where(m <= NEG / 2, 0.0, m)
-    logz = safe + jnp.log(jnp.sum(jnp.exp(jnp.where(
-        (lane == s_final) | (lane == s_final - 1), vals - safe, NEG))))
-    logz = jnp.where(m <= NEG / 2, NEG, logz)
+    # logZ per row from alpha at t_len-1: accumulate over t with a select
+    # (avoids per-row dynamic indexing).
+    def logz_body(t, acc):
+        alpha_t = alpha_hist_ref[:, t, :]
+        row_logz = _row_lse_at_finals(alpha_t, lane, s_final)
+        return jnp.where(t == t_len - 1, row_logz, acc)
 
-    def emit(t, beta):
-        alpha_t = alpha_hist_ref[0, pl.ds(t, 1)].reshape(1, s_pad)
-        gamma = jnp.exp(jnp.clip(alpha_t + beta - logz, NEG, 0.0))
-        gamma = jnp.where((t < t_len) & (logz > NEG / 2), gamma, 0.0)
-        grad_ref[0, t] = (-gamma)[0]
-        return gamma
+    logz = jax.lax.fori_loop(0, t_max, logz_body, jnp.full((bt, 1), NEG))
 
-    # t = t_len-1 .. 0 descending; frames >= t_len get zero grad.
     def body(i, beta):
         t = t_max - 1 - i
-        inside = t < t_len
-        # For the last valid frame use beta_last; else recurse from beta.
+        inside = t < t_len                               # (BT, 1)
         is_last = t == t_len - 1
-        lp_next = label_lp_ref[0, pl.ds(jnp.minimum(t + 1, t_max - 1), 1)
-                               ].reshape(1, s_pad)
+        lp_next = label_lp_ref[:, jnp.minimum(t + 1, t_max - 1), :]
         contrib = beta + lp_next
-        b0 = contrib
-        b1 = _shift_left(contrib, 1)
-        b2 = jnp.where(skip_next2 > NEG / 2, _shift_left(contrib, 2), NEG)
-        beta_new = _lse3(b0, b1, b2)
+        beta_new = _lse3(contrib, _shift_left(contrib, 1),
+                         jnp.where(skip_next2 > NEG / 2,
+                                   _shift_left(contrib, 2), NEG))
         beta_t = jnp.where(is_last, beta_last, beta_new)
         beta_t = jnp.where(inside, beta_t, beta)
 
-        @pl.when(inside)
-        def _():
-            emit(t, beta_t)
-
-        @pl.when(jnp.logical_not(inside))
-        def _():
-            grad_ref[0, t] = jnp.zeros((s_pad,), jnp.float32)
-
+        alpha_t = alpha_hist_ref[:, t, :]
+        gamma = jnp.exp(jnp.clip(alpha_t + beta_t - logz, NEG, 0.0))
+        gamma = jnp.where(inside & (logz > NEG / 2), gamma, 0.0)
+        grad_ref[:, t, :] = -gamma
         return beta_t
 
     jax.lax.fori_loop(0, t_max, body, beta_last)
@@ -165,7 +161,6 @@ def _prep(log_probs, labels, label_lengths, blank_id):
     label_idx = jnp.clip((pos - 1) // 2, 0, n - 1)
     ext = jnp.where(is_label, jnp.take_along_axis(
         jnp.broadcast_to(labels, (b, n)), label_idx, axis=1), blank_id)
-    # valid states: s <= 2*label_len (rest NEG'd via label_lp)
     valid = pos <= 2 * label_lengths[:, None]
     label_lp = jnp.take_along_axis(log_probs, ext[:, None, :].repeat(t, 1),
                                    axis=2)
@@ -176,6 +171,14 @@ def _prep(log_probs, labels, label_lengths, blank_id):
     skip = (is_label & (pos >= 3) & ~same_as_prev).astype(jnp.int32)
     final_state = (2 * label_lengths).astype(jnp.int32)
     return label_lp, skip, final_state, s_pad
+
+
+def _pad_batch(x, bt):
+    b = x.shape[0]
+    b_pad = ((b + bt - 1) // bt) * bt
+    if b_pad == b:
+        return x
+    return jnp.pad(x, [(0, b_pad - b)] + [(0, 0)] * (x.ndim - 1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -196,62 +199,67 @@ def _forward(log_probs, logit_lengths, labels, label_lengths, blank_id,
     b, t, v = log_probs.shape
     label_lp, skip, final_state, s_pad = _prep(log_probs, labels,
                                                label_lengths, blank_id)
-    tlen = logit_lengths.astype(jnp.int32)
-    kern = functools.partial(_fwd_kernel, t_max=t, s_pad=s_pad)
+    bt = min(_BT, max(b, 1))
+    label_lp_p = _pad_batch(label_lp, bt)
+    skip_p = _pad_batch(skip, bt)[:, None, :]
+    tlen = _pad_batch(logit_lengths.astype(jnp.int32), bt)
+    final_p = _pad_batch(final_state, bt)
+    b_pad = label_lp_p.shape[0]
+
+    kern = functools.partial(_fwd_kernel, t_max=t, s_pad=s_pad, bt=bt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # tlen, final_state
-        grid=(b,),
+        grid=(b_pad // bt,),
         in_specs=[
-            pl.BlockSpec((1, t, s_pad), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((bt, t, s_pad), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((bt, 1, s_pad), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, t, s_pad), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((bt, 128), lambda i, *_: (i, 0)),
+            pl.BlockSpec((bt, t, s_pad), lambda i, *_: (i, 0, 0)),
         ],
     )
     loss, alpha_hist = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((b, t, s_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((b_pad, t, s_pad), jnp.float32)],
         interpret=interpret,
-    )(tlen, final_state, label_lp, skip[:, None, :])
-    return loss[:, 0, 0], (alpha_hist, label_lp, skip, final_state, s_pad)
+    )(tlen, final_p, label_lp_p, skip_p)
+    return loss[:b, 0], (alpha_hist, label_lp_p, skip_p, final_p, tlen, s_pad)
 
 
 def _vjp_fwd(log_probs, logit_lengths, labels, label_lengths, blank_id,
              interpret):
-    loss, (alpha_hist, label_lp, skip, final_state, s_pad) = _forward(
-        log_probs, logit_lengths, labels, label_lengths, blank_id, interpret)
-    res = (alpha_hist, label_lp, skip, final_state, logit_lengths, labels,
-           label_lengths, log_probs.shape)
+    loss, res_inner = _forward(log_probs, logit_lengths, labels,
+                               label_lengths, blank_id, interpret)
+    res = res_inner + (labels, label_lengths, log_probs.shape)
     return loss, res
 
 
 def _vjp_bwd(blank_id, interpret, res, g):
-    (alpha_hist, label_lp, skip, final_state, logit_lengths, labels,
+    (alpha_hist, label_lp_p, skip_p, final_p, tlen, s_pad, labels,
      label_lengths, lp_shape) = res
     b, t, v = lp_shape
-    s_pad = label_lp.shape[-1]
-    tlen = logit_lengths.astype(jnp.int32)
-    kern = functools.partial(_bwd_kernel, t_max=t, s_pad=s_pad)
+    b_pad = label_lp_p.shape[0]
+    bt = min(_BT, max(b, 1))
+    kern = functools.partial(_bwd_kernel, t_max=t, s_pad=s_pad, bt=bt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b_pad // bt,),
         in_specs=[
-            pl.BlockSpec((1, t, s_pad), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, s_pad), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, t, s_pad), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((bt, t, s_pad), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((bt, 1, s_pad), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((bt, t, s_pad), lambda i, *_: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, t, s_pad), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((bt, t, s_pad), lambda i, *_: (i, 0, 0)),
     )
     dlabel_lp = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, t, s_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, t, s_pad), jnp.float32),
         interpret=interpret,
-    )(tlen, final_state, label_lp, skip[:, None, :], alpha_hist)
+    )(tlen, final_p, label_lp_p, skip_p, alpha_hist)[:b]
 
     # Scatter back to vocab columns: dlog_probs[b,t,v] = sum_s dlp[b,t,s]
     # one_hot(ext[b,s])[v], weighted by upstream g per sequence.
