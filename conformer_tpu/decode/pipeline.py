@@ -139,8 +139,8 @@ class InferencePipeline:
 
         `channel` selects one channel of stereo recordings and `segments`
         gives optional (start_s, end_s) spans per path — the reference's
-        call-recording workflow (reference: dataset.py:14-45, infer.py:18-52),
-        with the audio cache handled by ``_CachedLoader``.
+        call-recording workflow (reference: dataset.py:14-45, infer.py:18-52)
+        including its one-file audio cache (dataset.py:38).
         """
         from conformer_tpu.audio.io import load_audio, split_segment
 
