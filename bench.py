@@ -109,16 +109,24 @@ def main() -> None:
     audio_seconds = batch_size * audio_s * steps
     value = audio_seconds / dt
 
-    last_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_LAST.json")
+    root = os.path.dirname(os.path.abspath(__file__))
+    baseline_path = os.path.join(root, "BENCH_BASELINE.json")
+    last_path = os.path.join(root, "BENCH_LAST.json")
+    # vs_baseline compares against the FIRST measurement ever recorded for
+    # this metric (the unoptimized round-1 starting point) — the reference
+    # publishes no numbers to compare against (SURVEY §6).
     vs_baseline = 1.0
     try:
-        with open(last_path) as f:
-            prev = json.load(f).get("value", 0.0)
-        if prev > 0:
-            vs_baseline = value / prev
+        with open(baseline_path) as f:
+            base = json.load(f).get("value", 0.0)
+        if base > 0:
+            vs_baseline = value / base
     except (OSError, ValueError):
-        pass
+        try:
+            with open(baseline_path, "w") as f:
+                json.dump({"value": value, "time": time.time()}, f)
+        except OSError:
+            pass
     try:
         with open(last_path, "w") as f:
             json.dump({"value": value, "time": time.time()}, f)
