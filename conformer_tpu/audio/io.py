@@ -23,6 +23,20 @@ _INT_SCALE = {np.dtype(np.int16): 32768.0, np.dtype(np.int32): 2147483648.0,
               np.dtype(np.uint8): 128.0}
 
 
+def _pcm_to_float(data: np.ndarray) -> np.ndarray:
+    """Scale integer PCM (int16/int32/uint8) to float32 in [-1, 1]; float
+    data passes through. 2-D data becomes (channels, samples)."""
+    if data.dtype in _INT_SCALE:
+        signal = data.astype(np.float32) / _INT_SCALE[data.dtype]
+        if data.dtype == np.dtype(np.uint8):
+            signal = signal - 1.0
+    else:
+        signal = data.astype(np.float32)
+    if signal.ndim == 2:
+        signal = signal.T  # (channels, samples)
+    return signal
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Load a WAV file -> (float32 mono-or-multichannel signal in [-1, 1], sr).
 
@@ -40,15 +54,18 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     if _wavfile is None:
         raise RuntimeError("scipy is required for WAV decoding")
     sr, data = _wavfile.read(path)
-    if data.dtype in _INT_SCALE:
-        signal = data.astype(np.float32) / _INT_SCALE[data.dtype]
-        if data.dtype == np.dtype(np.uint8):
-            signal = signal - 1.0
-    else:
-        signal = data.astype(np.float32)
-    if signal.ndim == 2:
-        signal = signal.T  # (channels, samples)
-    return signal, int(sr)
+    return _pcm_to_float(data), int(sr)
+
+
+def decode_wav_bytes(raw: bytes) -> Tuple[np.ndarray, int]:
+    """Decode an in-memory WAV payload with read_wav's scaling rules
+    -> (float32 signal [-1, 1], (channels, samples) if multi-channel, sr)."""
+    import io as _io
+
+    if _wavfile is None:
+        raise RuntimeError("scipy is required for WAV decoding")
+    sr, data = _wavfile.read(_io.BytesIO(raw))
+    return _pcm_to_float(data), int(sr)
 
 
 def resample(signal: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

@@ -56,6 +56,17 @@ def mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
     return freq
 
 
+def hz_to_mel_htk(freq: np.ndarray) -> np.ndarray:
+    """HTK-scale Hz->mel: 2595 log10(1 + f/700)."""
+    freq = np.asarray(freq, dtype=np.float64)
+    return 2595.0 * np.log10(1.0 + freq / 700.0)
+
+
+def mel_to_hz_htk(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+
+
 def mel_filterbank(
     n_freqs: int,
     n_mels: int,
@@ -63,16 +74,24 @@ def mel_filterbank(
     fmin: float,
     fmax: float,
     norm: Optional[str] = "slaney",
+    mel_scale: str = "slaney",
 ) -> np.ndarray:
-    """(n_freqs, n_mels) triangular slaney-scale filterbank.
+    """(n_freqs, n_mels) triangular mel filterbank.
 
     Triangles are computed in Hz over the linear FFT bin frequencies with
-    slaney-spaced center points, with optional slaney area normalization —
+    mel-spaced center points ('slaney' — the reference parameterization,
+    processor.py:53-63 — or 'htk'), with optional slaney area normalization —
     the same construction torchaudio's `melscale_fbanks` performs.
     """
+    if mel_scale == "htk":
+        hz_to_mel, mel_to_hz = hz_to_mel_htk, mel_to_hz_htk
+    elif mel_scale == "slaney":
+        hz_to_mel, mel_to_hz = hz_to_mel_slaney, mel_to_hz_slaney
+    else:
+        raise ValueError(f"unknown mel_scale: {mel_scale!r}")
     all_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
-    mel_pts = np.linspace(hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2)
-    f_pts = mel_to_hz_slaney(mel_pts)
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    f_pts = mel_to_hz(mel_pts)
 
     f_diff = np.diff(f_pts)                                  # (n_mels + 1,)
     slopes = f_pts[None, :] - all_freqs[:, None]             # (n_freqs, n_mels + 2)
@@ -140,7 +159,8 @@ class MelFrontend:
         self._window = jnp.asarray(window)
         self._dft = jnp.asarray(_dft_matrix(cfg.n_fft, window))
         self._fb = jnp.asarray(
-            mel_filterbank(self.n_bins, cfg.n_mels, cfg.sample_rate, cfg.fmin, cfg.fmax, cfg.mel_norm)
+            mel_filterbank(self.n_bins, cfg.n_mels, cfg.sample_rate, cfg.fmin,
+                           cfg.fmax, cfg.mel_norm, cfg.mel_scale)
         )
 
     def power_spectrogram(self, signal: jnp.ndarray) -> jnp.ndarray:

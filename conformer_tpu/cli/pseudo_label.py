@@ -69,13 +69,9 @@ def main(argv=None) -> None:
         out = pipe.eval_step(pipe.state, *arrays)
         log_probs = np.asarray(jax.device_get(out["log_probs"]))
         out_lengths = np.asarray(jax.device_get(out["lengths"]))
-        if args.decode == "beam" and pipe._beam is not None:
-            texts = pipe._beam.decode_batch(log_probs, out_lengths)
-        else:
-            tokens = np.asarray(jax.device_get(out["tokens"]))
-            counts = np.asarray(jax.device_get(out["counts"]))
-            texts = [tokenizer.collapsed_ids_to_text(tokens[j], counts[j])
-                     for j in range(len(chunk))]
+        # Dispatches greedy / beam / beam_device exactly like InferencePipeline
+        # (the raw log_probs are still fetched above for the confidence score).
+        texts = pipe.texts_from_out(out)
         for j, (pth, text) in enumerate(zip(chunk, texts)):
             n = max(int(out_lengths[j]), 1)
             conf = float(log_probs[j, :n].max(axis=-1).mean())

@@ -12,7 +12,6 @@ nearest export-style bucket so the forward stays compile-cached.
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -56,18 +55,14 @@ def make_handler(pipe, tokenizer, cfg, buckets_s):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
-                from scipy.io import wavfile
+                from conformer_tpu.audio.io import decode_wav_bytes, resample
 
-                file_sr, data = wavfile.read(io.BytesIO(raw))
-                if data.dtype == np.int16:
-                    signal = data.astype(np.float32) / 32768.0
-                else:
-                    signal = data.astype(np.float32)
-                if signal.ndim == 2:
-                    signal = signal.mean(axis=1)
-                from conformer_tpu.audio.io import resample
-
-                signal = resample(signal, int(file_sr), sr)
+                # Shared decoder handles int16/int32/uint8/float payloads
+                # with the correct scaling (audio/io.py:_pcm_to_float).
+                signal, file_sr = decode_wav_bytes(raw)
+                if signal.ndim == 2:  # (channels, samples) -> mono
+                    signal = signal.mean(axis=0)
+                signal = resample(signal, file_sr, sr)
                 t0 = time.perf_counter()
                 size = next((b for b in bucket_samples if len(signal) <= b),
                             bucket_samples[-1])

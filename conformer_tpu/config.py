@@ -30,6 +30,8 @@ class AudioConfig:
     fmin: float = 0.0
     fmax: float = 8000.0
     mel_norm: str = "slaney"
+    # Mel scale of the filterbank center points: 'slaney' (reference,
+    # torchaudio default in processor.py:53-63) or 'htk'.
     mel_scale: str = "slaney"
     log_clamp_min: float = 1e-5
     # 'rfft' uses jnp.fft.rfft; 'matmul' uses an explicit DFT-as-matmul that maps
@@ -133,6 +135,8 @@ class DataConfig:
     train_manifest: Optional[str] = None
     val_manifest: Optional[str] = None
     batch_size: int = 16
+    # Audio-loading worker threads inside BucketedLoader (host-side file IO
+    # + resampling overlap with device steps). <=1 means synchronous loading.
     num_workers: int = 2
     num_examples: Optional[int] = None
     # Static-shape length bucketing (TPU necessity; reference pads per-batch to
@@ -140,8 +144,16 @@ class DataConfig:
     bucket_boundaries_s: Tuple[float, ...] = (2.0, 4.0, 8.0, 12.0, 16.0, 24.0)
     max_audio_s: float = 24.0
     max_tokens: int = 256
+    # Training only: the last partial batch per bucket is dropped when True.
+    # Evaluation loaders ALWAYS keep remainders (padded with dummy rows that
+    # are excluded from metrics and loss) so no utterance is silently skipped.
     drop_remainder: bool = True
-    shuffle_buffer: int = 2048
+    # Training-time handling of audio longer than the largest bucket:
+    # 'skip' drops the utterance (clipping audio while keeping the full
+    # transcript would manufacture impossible CTC alignments whose loss
+    # zero_infinity then silently zeroes); 'clip' truncates the audio anyway.
+    # Evaluation always clips audio and keeps the full reference transcript.
+    long_audio: str = "skip"
     seed: int = 0
 
 
@@ -215,7 +227,8 @@ class TrainConfig:
     checkpoint_every_steps: int = 1000
     keep_checkpoints: int = 3
     log_every_steps: int = 50
-    val_every_steps: int = 0         # 0 = per epoch
+    # Mid-epoch validation every N steps (0 = validate per epoch only).
+    val_every_steps: int = 0
     seed: int = 0
     tokenizer_path: Optional[str] = None
     resume: bool = True

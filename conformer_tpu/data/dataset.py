@@ -23,8 +23,9 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -105,6 +106,11 @@ class BucketedLoader:
         self.cfg = cfg
         self.training = training
         self.batch_size = batch_size or cfg.batch_size
+        # Evaluation must see every utterance: remainder batches are padded
+        # with dummy rows (excluded from loss/metrics), never dropped — a
+        # small validation set spread over many buckets would otherwise
+        # yield zero batches and NaN metrics.
+        self.drop_remainder = cfg.drop_remainder and training
         self.indices = np.arange(shard_index, len(dataset), shard_count)
         sr = dataset.sample_rate
         self.boundaries = [int(b * sr) for b in cfg.bucket_boundaries_s]
@@ -133,31 +139,78 @@ class BucketedLoader:
         return Batch(audio, audio_lengths, tokens.astype(np.int32),
                      token_lengths.astype(np.int32), texts)
 
+    def _load_items(self, order: Iterable[int]) -> Iterator[Tuple[np.ndarray, str]]:
+        """Load rows in manifest order; unreadable files are skipped (they
+        must not kill the epoch). With cfg.num_workers > 1, file IO +
+        resampling run on a thread pool a sliding window ahead of the
+        consumer so host loading overlaps device compute."""
+        workers = max(self.cfg.num_workers, 0)
+        if workers <= 1:
+            for idx in order:
+                try:
+                    yield self.ds[int(idx)]
+                except Exception:
+                    continue
+            return
+        skip = object()
+
+        def load(idx):
+            try:
+                return self.ds[int(idx)]
+            except Exception:
+                return skip
+
+        from collections import deque
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            window: deque = deque()
+            it = iter(order)
+            for idx in it:
+                window.append(ex.submit(load, idx))
+                if len(window) >= workers * 4:
+                    break
+            for idx in it:
+                item = window.popleft().result()
+                window.append(ex.submit(load, idx))
+                if item is not skip:
+                    yield item
+            while window:
+                item = window.popleft().result()
+                if item is not skip:
+                    yield item
+
     def _iter_epoch(self, epoch: int) -> Iterator[Batch]:
         order = self.indices.copy()
         if self.training:
             rng = np.random.default_rng(self.cfg.seed + epoch)
             rng.shuffle(order)
+        skip_long = self.training and self.cfg.long_audio == "skip"
         pending: dict[int, list] = {}
-        for idx in order:
-            try:
-                item = self.ds[int(idx)]
-            except Exception:
-                continue  # unreadable file: skip, don't kill the epoch
+        for item in self._load_items(order):
+            if skip_long and len(item[0]) > self.max_samples:
+                # Clipping audio while keeping the full transcript would
+                # manufacture impossible CTC alignments (loss -> inf ->
+                # zeroed); drop the utterance from training instead.
+                continue
             bucket = self._bucket_for(len(item[0]))
             pending.setdefault(bucket, []).append(item)
             if len(pending[bucket]) == self.batch_size:
                 yield self._make_batch(pending.pop(bucket), bucket)
-        if not self.cfg.drop_remainder:
+        if not self.drop_remainder:
             for bucket, items in pending.items():
                 if items:
                     # Pad the batch dimension too — shapes must stay static.
+                    # Dummy rows have empty transcripts (token_length 0) and
+                    # are excluded from CTC loss and eval metrics.
                     while len(items) < self.batch_size:
                         items.append((np.zeros(1, np.float32), ""))
                     yield self._make_batch(items, bucket)
 
     def epoch(self, epoch: int = 0, prefetch: int = 4) -> Iterator[Batch]:
-        """Iterate one epoch with background prefetching."""
+        """Iterate one epoch with background prefetching.
+
+        Producer-thread exceptions are relayed to the consumer (a failing
+        loader must raise, not silently truncate the epoch)."""
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = object()
 
@@ -165,8 +218,9 @@ class BucketedLoader:
             try:
                 for batch in self._iter_epoch(epoch):
                     q.put(batch)
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — relayed, not swallowed
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -174,6 +228,8 @@ class BucketedLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

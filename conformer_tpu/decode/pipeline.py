@@ -102,17 +102,19 @@ class InferencePipeline:
             from conformer_tpu.ops.beam_search_device import \
                 ctc_beam_search_device
 
+            # Honors cfg.decode.beam_width exactly (the reference op point is
+            # 190, processing/lm.py:12); widths are static shapes, memory is
+            # O(B * width * max_tokens) device ints — tiny next to the model.
             self._device_beam = jax.jit(functools.partial(
                 ctc_beam_search_device,
-                beam_width=min(cfg.decode.beam_width, 32), top_k=8,
+                beam_width=cfg.decode.beam_width, top_k=8,
                 blank_id=tokenizer.pad_id, unk_id=tokenizer.unk_id,
                 max_len=cfg.data.max_tokens))
 
     # ------------------------------------------------------------------
-    def transcribe_batch(self, batch: Batch) -> List[str]:
-        args = jax.device_put((batch.audio, batch.audio_lengths,
-                               batch.tokens, batch.token_lengths))
-        out = self.eval_step(self.state, *args)
+    def texts_from_out(self, out: dict) -> List[str]:
+        """Eval-step output -> transcripts, dispatching on the decode mode
+        chosen at construction ('greedy' | 'beam' | 'beam_device')."""
         if self._device_beam is not None:
             prefixes, plens, _ = self._device_beam(out["log_probs"],
                                                    out["lengths"])
@@ -129,6 +131,12 @@ class InferencePipeline:
         counts = np.asarray(jax.device_get(out["counts"]))
         return [self.tok.collapsed_ids_to_text(tokens[i], counts[i])
                 for i in range(len(counts))]
+
+    def transcribe_batch(self, batch: Batch) -> List[str]:
+        args = jax.device_put((batch.audio, batch.audio_lengths,
+                               batch.tokens, batch.token_lengths))
+        out = self.eval_step(self.state, *args)
+        return self.texts_from_out(out)
 
     def transcribe_files(self, paths: Sequence[str],
                          batch_size: int = 8,
@@ -244,23 +252,7 @@ class InferencePipeline:
                                    batch.tokens, batch.token_lengths))
             out = self.eval_step(self.state, *args)
             losses.append(float(jax.device_get(out["loss"])))
-            if self._device_beam is not None:
-                prefixes, plens, _ = self._device_beam(out["log_probs"],
-                                                       out["lengths"])
-                prefixes = np.asarray(jax.device_get(prefixes))
-                plens = np.asarray(jax.device_get(plens))
-                texts = [self.tok.spec_decode(self.tok.collapsed_ids_to_text(
-                             prefixes[i, 0], int(plens[i, 0])))
-                         for i in range(prefixes.shape[0])]
-            elif self._beam is not None:
-                log_probs = np.asarray(jax.device_get(out["log_probs"]))
-                lengths = np.asarray(jax.device_get(out["lengths"]))
-                texts = self._beam.decode_batch(log_probs, lengths)
-            else:
-                tokens = np.asarray(jax.device_get(out["tokens"]))
-                counts = np.asarray(jax.device_get(out["counts"]))
-                texts = [self.tok.collapsed_ids_to_text(tokens[i], counts[i])
-                         for i in range(len(counts))]
+            texts = self.texts_from_out(out)
             for i, ref_text in enumerate(batch.texts or []):
                 if not ref_text:
                     continue

@@ -35,8 +35,11 @@ class Conformer(nn.Module):
         enc, out_lengths = ConformerEncoder(
             self.cfg, bn_axis_name=self.bn_axis_name, dtype=dtype,
             deterministic=self.deterministic, name="encoder")(mels, lengths)
+        # decoder_norm_masked=False reproduces the reference's pad-inclusive
+        # decoder BatchNorm statistics (reference: model/modules/decoder.py:23-25
+        # normalizes over the zero frames pad_packed_sequence emits).
         frame_mask = None
-        if out_lengths is not None:
+        if out_lengths is not None and self.cfg.decoder_norm_masked:
             frame_mask = padding_mask(out_lengths, enc.shape[1])
         logits = LSTMDecoder(
             self.cfg.vocab_size, self.cfg.lstm_hidden_dim, self.cfg.n_lstm_layers,

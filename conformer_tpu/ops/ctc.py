@@ -28,13 +28,18 @@ from conformer_tpu.utils.masking import padding_mask
 def ctc_loss(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
              labels: jnp.ndarray, label_lengths: jnp.ndarray,
              blank_id: int = 0, zero_infinity: bool = True,
-             impl: str = "optax") -> jnp.ndarray:
+             impl: str = "optax",
+             row_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Mean CTC loss.
 
     logits: (B, T, V) unnormalized; logit_lengths: (B,); labels: (B, N) int;
     label_lengths: (B,). Uses float32 throughout. impl='pallas' runs the
     alpha/beta dynamic program as a Pallas kernel
     (conformer_tpu.ops.pallas.ctc_loss) with identical numerics.
+
+    row_mask: optional (B,) bool — rows where False (e.g. the dummy rows that
+    pad a remainder batch up to the static batch size) are excluded from the
+    batch mean instead of diluting it.
     """
     logits = logits.astype(jnp.float32)
     if impl == "pallas":
@@ -57,6 +62,9 @@ def ctc_loss(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
         per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
     # torch reduction='mean': divide by target length, then batch-average.
     per_seq = per_seq / jnp.maximum(label_lengths.astype(jnp.float32), 1.0)
+    if row_mask is not None:
+        w = row_mask.astype(jnp.float32)
+        return jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
     return jnp.mean(per_seq)
 
 

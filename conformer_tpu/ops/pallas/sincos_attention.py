@@ -1,0 +1,433 @@
+"""Pallas TPU kernel: fully-fused relative-position attention, shift-free.
+
+The Transformer-XL position score needs ``pos[i, j] = qv_i . p(i - j)`` where
+``p(r)`` is the projected sinusoidal embedding of relative position ``r``
+(reference: model/utils/attention.py:49-56 materializes a (B, H, L, 2L-1)
+tensor and realigns it with a pad/reshape "rel-shift", attention.py:94-101).
+The shift cannot currently be lowered inside a Mosaic kernel (round-1
+finding, see ops/pallas/flash_attention.py), so this kernel removes the shift
+entirely via the angle-addition identity:
+
+With e_r[2k] = sin(r w_k), e_r[2k+1] = cos(r w_k) (models/position.py:20-36)
+and per-head projection a_i = W_h qv_i (W_h = pos-kernel head slice):
+
+    pos[i, j] = a_i . e_{i-j}
+              = alpha_i . cos(j w) + beta_i . sin(j w)       (D/2 terms each)
+    alpha_i[k] =  a_i[2k] sin(i w_k) + a_i[2k+1] cos(i w_k)
+    beta_i[k]  = -a_i[2k] cos(i w_k) + a_i[2k+1] sin(i w_k)
+
+i.e. two plain MXU matmuls against constant (L, D/2) sin/cos tables — no
+gather, no shift, no (B, H, L, L) tensor in HBM. The kernel fuses content
+scores, position scores, length masking, fp32 softmax, attention-probability
+dropout (in-kernel hardware PRNG), and the value contraction; the backward
+kernel recomputes the probabilities (flash-style) and emits dqu/dqv/dk/dv and
+the position-projection gradient, so training takes the fused path too.
+
+The position-projection *bias* is omitted: it adds the same constant to every
+score in a row (all columns share it after the shift), so softmax — and
+therefore the output and every gradient — is exactly invariant to it.
+
+Cost: position scores cost 2*L^2*D FLOPs/head instead of 2*L^2*(2*d_head)
+(~4x), in exchange for zero score-tensor HBM traffic in fwd AND bwd. On MXU
+FLOPs are cheap; HBM bytes are not.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover — non-TPU build
+    pltpu = None
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+# ---------------------------------------------------------------------------
+# Host-side preparation: tables + projection layout.
+# ---------------------------------------------------------------------------
+
+def sincos_tables(length: int, d_model: int, dtype=jnp.float32
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sin, cos) tables of shape (length, d_model//2): sin(i*w_k), cos(i*w_k)
+    with the reference inverse frequencies (models/position.py:23-24)."""
+    inv_freq = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                      * -(np.log(10000.0) / d_model))
+    ang = np.arange(length, dtype=np.float64)[:, None] * inv_freq[None, :]
+    return (jnp.asarray(np.sin(ang), dtype), jnp.asarray(np.cos(ang), dtype))
+
+
+def prep_pos_kernel(pos_kernel: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """(D, D) pos-projection kernel -> (H, dh, D) per-head operand with the
+    embedding axis permuted to [sin coeffs (D/2) | cos coeffs (D/2)].
+
+    wh[h, x, :] is row x of W_h^T where W_h = kernel[:, h*dh:(h+1)*dh], so an
+    in-kernel ``qv_tile @ wh[h]`` yields a_i = W_h^T . qv_i already split into
+    sin/cos halves. Differentiable (gather + transpose), so the pos-kernel
+    gradient flows through this prep automatically.
+    """
+    d = pos_kernel.shape[0]
+    dh = d // n_heads
+    wh = pos_kernel.reshape(d, n_heads, dh).transpose(1, 2, 0)  # (H, dh, D)
+    perm = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    return wh[:, :, perm]
+
+
+# ---------------------------------------------------------------------------
+# Plain-XLA reference (CPU fallback, parity ground truth, same math).
+# ---------------------------------------------------------------------------
+
+def sincos_attention_xla(qu, qv, k, v, wh, lengths, scale: float,
+                         dropout_rate: float = 0.0, seed=None):
+    """Same factorized math as the kernel, in plain jnp (autodiff-able).
+
+    qu/qv/k/v: (B, H, L, dh); wh: (H, dh, D) from prep_pos_kernel;
+    lengths: (B,) or None. Output (B, H, L, dh) in v.dtype.
+    """
+    b, h, l, dh = qu.shape
+    d = wh.shape[-1]
+    d2 = d // 2
+    sin_t, cos_t = sincos_tables(l, d, jnp.float32)
+
+    a = jnp.einsum("bhld,hdk->bhlk", qv.astype(jnp.float32),
+                   wh.astype(jnp.float32))                     # (B,H,L,D)
+    a_s, a_c = a[..., :d2], a[..., d2:]
+    sin_q = sin_t[None, None]
+    cos_q = cos_t[None, None]
+    alpha = a_s * sin_q + a_c * cos_q
+    beta = -a_s * cos_q + a_c * sin_q
+    pos = (jnp.einsum("bhlk,mk->bhlm", alpha, cos_t)
+           + jnp.einsum("bhlk,mk->bhlm", beta, sin_t))
+    content = jnp.einsum("bhld,bhmd->bhlm", qu.astype(jnp.float32),
+                         k.astype(jnp.float32))
+    scores = (content + pos) * scale
+    if lengths is not None:
+        col = jnp.arange(l)[None, :] >= lengths[:, None]       # (B, L) pad
+        scores = jnp.where(col[:, None, None, :], NEG_INF, scores)
+    weights = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0:
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        keep = jax.random.bernoulli(key, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhlm,bhmd->bhld", weights.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Kernels.
+# ---------------------------------------------------------------------------
+
+def _scores(qu, qv, k, wh_ref, sq_ref, cq_ref, sk_ref, ck_ref, scale, d2):
+    """(TQ, L) masked-free scaled scores for one (b, h, q-tile) program."""
+    content = jax.lax.dot_general(
+        qu, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (TQ, L)
+    a = jax.lax.dot_general(
+        qv, wh_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (TQ, D)
+    a_s, a_c = a[:, :d2], a[:, d2:]
+    sq = sq_ref[...].astype(jnp.float32)                       # (TQ, D/2)
+    cq = cq_ref[...].astype(jnp.float32)
+    alpha = (a_s * sq + a_c * cq).astype(sk_ref.dtype)
+    beta = (-a_s * cq + a_c * sq).astype(sk_ref.dtype)
+    pos = jax.lax.dot_general(
+        alpha, ck_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pos = pos + jax.lax.dot_general(
+        beta, sk_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (content + pos) * scale, a_s, a_c
+
+
+def _dropout_keep(seed, bi, hi, qi, shape, rate):
+    """Deterministic per-program keep mask from the TPU hardware PRNG —
+    regenerated identically by the backward kernel."""
+    pltpu.prng_seed(seed, bi, hi, qi)
+    bits = pltpu.prng_random_bits(shape)  # int32 random bits
+    thresh = np.int32(np.uint32(rate * 4294967296.0) - 2147483648)
+    return bits >= thresh  # P(keep) = 1 - rate under wraparound order
+
+
+def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
+                sq_ref, cq_ref, sk_ref, ck_ref, out_ref, *,
+                scale: float, d2: int, l_valid: int, rate: float):
+    bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    tq = qu_ref.shape[2]
+    l = k_ref.shape[2]
+    scores, _, _ = _scores(qu_ref[0, 0], qv_ref[0, 0], k_ref[0, 0], wh_ref,
+                           sq_ref, cq_ref, sk_ref, ck_ref, scale, d2)
+    length = jnp.minimum(len_ref[bi], l_valid)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
+    valid = col < length
+    scores = jnp.where(valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m) * valid.astype(jnp.float32)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(s, 1e-9)
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref[0], bi, hi, qi, (tq, l), rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    out = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
+                sq_ref, cq_ref, sk_ref, ck_ref, do_ref,
+                dqu_ref, dqv_ref, dk_ref, dv_ref, dwh_ref, *,
+                scale: float, d2: int, l_valid: int, rate: float):
+    """Recompute the probability tile (flash-style: no saved score tensors),
+    then emit all five gradients. dk/dv/dwh accumulate across the q-tile grid
+    dimension (innermost, so revisits are consecutive)."""
+    bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    tq = qu_ref.shape[2]
+    l = k_ref.shape[2]
+    qu = qu_ref[0, 0]
+    qv = qv_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    scores, a_s, a_c = _scores(qu, qv, k, wh_ref, sq_ref, cq_ref,
+                               sk_ref, ck_ref, scale, d2)
+    length = jnp.minimum(len_ref[bi], l_valid)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
+    valid = col < length
+    scores = jnp.where(valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m) * valid.astype(jnp.float32)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(s, 1e-9)                               # (TQ, L)
+
+    dov = jax.lax.dot_general(                                 # dO . v_j
+        do, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (TQ, L)
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref[0], bi, hi, qi, (tq, l), rate)
+        inv = 1.0 / (1.0 - rate)
+        p_drop = jnp.where(keep, p * inv, 0.0)
+        dp = jnp.where(keep, dov * inv, 0.0)
+    else:
+        p_drop = p
+        dp = dov
+    # softmax backward: ds = p * (dp - sum_j p*dp); delta = dO.O = sum p*dp.
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale                              # (TQ, L) fp32
+
+    dv_c = jax.lax.dot_general(                                # (L, dh)
+        p_drop.astype(do_ref.dtype), do_ref[0, 0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds_c = ds.astype(k.dtype)
+    dqu = jax.lax.dot_general(                                 # (TQ, dh)
+        ds_c, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_c = jax.lax.dot_general(                                # (L, dh)
+        ds_c, qu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dalpha = jax.lax.dot_general(                              # (TQ, D/2)
+        ds_c, ck_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbeta = jax.lax.dot_general(
+        ds_c, sk_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sq = sq_ref[...].astype(jnp.float32)
+    cq = cq_ref[...].astype(jnp.float32)
+    da_s = dalpha * sq - dbeta * cq
+    da_c = dalpha * cq + dbeta * sq
+    wh = wh_ref[0]                                             # (dh, D)
+    da_s_c = da_s.astype(wh.dtype)
+    da_c_c = da_c.astype(wh.dtype)
+    dqv = jax.lax.dot_general(                                 # (TQ, dh)
+        da_s_c, wh[:, :d2], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dqv = dqv + jax.lax.dot_general(
+        da_c_c, wh[:, d2:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwh_s = jax.lax.dot_general(                               # (dh, D/2)
+        qv, da_s_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwh_c = jax.lax.dot_general(
+        qv, da_c_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dqu_ref[0, 0] = dqu.astype(dqu_ref.dtype)
+    dqv_ref[0, 0] = dqv.astype(dqv_ref.dtype)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0, 0] = dk_c.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_c.astype(dv_ref.dtype)
+        dwh_ref[0, 0, :, :d2] = dwh_s.astype(dwh_ref.dtype)
+        dwh_ref[0, 0, :, d2:] = dwh_c.astype(dwh_ref.dtype)
+
+    @pl.when(qi > 0)
+    def _acc():
+        dk_ref[0, 0] += dk_c.astype(dk_ref.dtype)
+        dv_ref[0, 0] += dv_c.astype(dv_ref.dtype)
+        dwh_ref[0, 0, :, :d2] += dwh_s.astype(dwh_ref.dtype)
+        dwh_ref[0, 0, :, d2:] += dwh_c.astype(dwh_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing.
+# ---------------------------------------------------------------------------
+
+def _pad_args(qu, qv, k, v, lengths, tq):
+    b, h, l_orig, dh = qu.shape
+    l = ((l_orig + tq - 1) // tq) * tq
+    if l != l_orig:
+        pad = [(0, 0), (0, 0), (0, l - l_orig), (0, 0)]
+        qu, qv, k, v = (jnp.pad(x, pad) for x in (qu, qv, k, v))
+    if lengths is None:
+        lengths = jnp.full((b,), l_orig, jnp.int32)
+    return qu, qv, k, v, lengths.astype(jnp.int32), l
+
+
+def _common_specs(b, h, l, tq, dh, d):
+    d2 = d // 2
+    vm = dict(memory_space=pltpu.VMEM) if pltpu is not None else {}
+    in_specs = [
+        pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+        pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+        pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+        pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+        pl.BlockSpec((1, dh, d), lambda bi, hi, qi, *_: (hi, 0, 0), **vm),
+        pl.BlockSpec((tq, d2), lambda bi, hi, qi, *_: (qi, 0), **vm),
+        pl.BlockSpec((tq, d2), lambda bi, hi, qi, *_: (qi, 0), **vm),
+        pl.BlockSpec((l, d2), lambda bi, hi, qi, *_: (0, 0), **vm),
+        pl.BlockSpec((l, d2), lambda bi, hi, qi, *_: (0, 0), **vm),
+    ]
+    return in_specs, vm
+
+
+def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
+    b, h, l_orig, dh = qu.shape
+    d = wh.shape[-1]
+    qu, qv, k, v, lengths, l = _pad_args(qu, qv, k, v, lengths, tq)
+    table_dtype = qu.dtype
+    sin_t, cos_t = sincos_tables(l, d, table_dtype)
+    seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
+
+    in_specs, vm = _common_specs(b, h, l, tq, dh, d)
+    kern = functools.partial(_fwd_kernel, scale=scale, d2=d // 2,
+                             l_valid=l_orig, rate=rate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, l // tq),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, tq, dh),
+                               lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, l, dh), v.dtype),
+        interpret=interpret,
+    )(lengths, seed_arr, qu, qv, k, v, wh, sin_t, cos_t, sin_t, cos_t)
+    return out[:, :, :l_orig, :]
+
+
+def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g):
+    b, h, l_orig, dh = qu.shape
+    d = wh.shape[-1]
+    qu, qv, k, v, lengths, l = _pad_args(qu, qv, k, v, lengths, tq)
+    g = jnp.pad(g, [(0, 0), (0, 0), (0, l - l_orig), (0, 0)]) \
+        if g.shape[2] != l else g
+    table_dtype = qu.dtype
+    sin_t, cos_t = sincos_tables(l, d, table_dtype)
+    seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
+
+    in_specs, vm = _common_specs(b, h, l, tq, dh, d)
+    in_specs.append(pl.BlockSpec((1, 1, tq, dh),
+                                 lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm))
+    kern = functools.partial(_bwd_kernel, scale=scale, d2=d // 2,
+                             l_valid=l_orig, rate=rate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, l // tq),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+            pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            pl.BlockSpec((1, 1, dh, d), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+        ],
+    )
+    f32 = jnp.float32
+    dqu, dqv, dk, dv, dwh = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, l, dh), f32),
+            jax.ShapeDtypeStruct((b, h, l, dh), f32),
+            jax.ShapeDtypeStruct((b, h, l, dh), f32),
+            jax.ShapeDtypeStruct((b, h, l, dh), f32),
+            jax.ShapeDtypeStruct((b, h, dh, d), f32),
+        ],
+        interpret=interpret,
+    )(lengths, seed_arr, qu, qv, k, v, wh, sin_t, cos_t, sin_t, cos_t, g)
+    crop = lambda x: x[:, :, :l_orig, :].astype(qu.dtype)
+    return (crop(dqu), crop(dqv), crop(dk), crop(dv),
+            jnp.sum(dwh, axis=0).astype(wh.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Public entry point with custom VJP.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _fused(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
+    return _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
+                     interpret)
+
+
+def _fused_fwd(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
+    out = _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
+                    interpret)
+    # seed is traced (changes every train step without recompiling); the
+    # identical dropout mask is regenerated in the backward from it.
+    return out, (qu, qv, k, v, wh, lengths, seed)
+
+
+def _fused_bwd(scale, rate, tq, interpret, res, g):
+    qu, qv, k, v, wh, lengths, seed = res
+    dqu, dqv, dk, dv, dwh = _bwd_call(qu, qv, k, v, wh, lengths, seed, scale,
+                                      rate, tq, interpret, g)
+    return dqu, dqv, dk, dv, dwh, None, None
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
+                         dropout_rate: float = 0.0,
+                         seed: Optional[int] = None,
+                         tq: int = 128, interpret: bool = False):
+    """Fused shift-free relative attention.
+
+    qu = q + content_bias, qv = q + position_bias: (B, H, L, dh);
+    k, v: (B, H, L, dh); wh: (H, dh, D) from prep_pos_kernel;
+    lengths: (B,) valid key counts or None; seed: static int for the dropout
+    PRNG (ignored when dropout_rate == 0).
+
+    On TPU (or with interpret=True) runs the Pallas kernels with a fused
+    backward; elsewhere falls back to the identical-math XLA reference.
+    """
+    if interpret or jax.default_backend() in ("tpu", "axon"):
+        return _fused(qu, qv, k, v, wh, lengths, seed, scale, dropout_rate,
+                      tq, interpret)
+    return sincos_attention_xla(qu, qv, k, v, wh, lengths, scale,
+                                dropout_rate, seed)

@@ -69,8 +69,11 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                 {"params": params, "batch_stats": batch_stats},
                 mb["mels"], mb["mel_lengths"], mutable=["batch_stats"],
                 rngs={"dropout": mb["rng"]})
+            # Dummy remainder-padding rows carry empty transcripts
+            # (token_length 0); exclude them from the loss mean.
             loss = ctc_loss(logits, out_lengths, mb["tokens"],
-                            mb["token_lengths"], impl=cfg.optim.ctc_impl)
+                            mb["token_lengths"], impl=cfg.optim.ctc_impl,
+                            row_mask=mb["token_lengths"] > 0)
             return loss, updates["batch_stats"]
 
         if accum == 1:
@@ -131,7 +134,8 @@ def make_eval_step(cfg: Config, frontend: Optional[MelFrontend] = None,
         (logits, out_lengths), _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             mels, mel_lengths, mutable=[])
-        loss = ctc_loss(logits, out_lengths, tokens, token_lengths)
+        loss = ctc_loss(logits, out_lengths, tokens, token_lengths,
+                        row_mask=token_lengths > 0)
         packed, counts = greedy_decode(logits, out_lengths, unk_id=unk_id)
         return {"loss": loss, "tokens": packed, "counts": counts,
                 "log_probs": jax.nn.log_softmax(logits, axis=-1),

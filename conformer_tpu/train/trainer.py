@@ -96,10 +96,20 @@ class Trainer:
         return make_global_batch(self.mesh, arrays)
 
     def train_epoch(self, loader: Iterable[Batch], epoch: int,
-                    rng: jax.Array) -> float:
+                    rng: jax.Array, val_fn=None) -> float:
+        """One epoch. The hot loop never blocks on device values: the step
+        counter is tracked host-side and metrics stay device arrays except at
+        log points, so async dispatch overlaps host work (data loading,
+        checkpoint IO) with TPU compute.
+
+        val_fn(step): optional mid-epoch validation hook, called every
+        cfg.train.val_every_steps steps.
+        """
         cfg = self.cfg
         meter = Throughput()
-        losses = []
+        device_losses = []
+        step = int(jax.device_get(self.state.step))  # one sync per epoch
+        sr = cfg.audio.sample_rate
         prof_dir = None
         if cfg.train.profile_num_steps:
             import os
@@ -107,22 +117,21 @@ class Trainer:
         for batch in loader:
             args = self._device_batch(batch)
             if prof_dir is not None:
-                s = int(jax.device_get(self.state.step))
-                if s == cfg.train.profile_start_step:
+                if step == cfg.train.profile_start_step:
                     jax.profiler.start_trace(prof_dir)
-                elif s == cfg.train.profile_start_step + cfg.train.profile_num_steps:
+                elif step == cfg.train.profile_start_step + cfg.train.profile_num_steps:
                     jax.profiler.stop_trace()
                     prof_dir = None
                     print(f"[trainer] wrote profiler trace")
             self.state, metrics = self.train_step(self.state, *args, rng)
-            step = int(jax.device_get(self.state.step))
-            loss = float(jax.device_get(metrics["loss"]))
-            if not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"non-finite loss at step {step}")  # reference: train.py:236
-            losses.append(loss)
-            meter.update(float(jax.device_get(metrics["audio_seconds"])))
+            step += 1
+            device_losses.append(metrics["loss"])
+            meter.update(float(batch.audio_lengths.sum()) / sr)
             if cfg.train.log_every_steps and step % cfg.train.log_every_steps == 0:
+                loss = float(jax.device_get(metrics["loss"]))
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}")  # reference: train.py:236
                 snap = meter.snapshot()
                 self.logger.log(step, {"ctc_loss": loss,
                                        "grad_norm": float(jax.device_get(metrics["grad_norm"])),
@@ -132,9 +141,17 @@ class Trainer:
             if (cfg.train.checkpoint_every_steps
                     and step % cfg.train.checkpoint_every_steps == 0):
                 self.ckpt.save(self.state, epoch=epoch)
+            if (val_fn is not None and cfg.train.val_every_steps
+                    and step % cfg.train.val_every_steps == 0):
+                val_fn(step)
             if cfg.train.num_steps and step >= cfg.train.num_steps:
                 break
-        return float(np.mean(losses)) if losses else float("nan")
+        losses = np.asarray(jax.device_get(device_losses), np.float64)
+        if losses.size and not np.isfinite(losses).all():
+            bad = int(np.flatnonzero(~np.isfinite(losses))[0])
+            raise FloatingPointError(
+                f"non-finite loss at step {step - len(losses) + bad + 1}")
+        return float(losses.mean()) if losses.size else float("nan")
 
     def validate(self, loader: Iterable[Batch]) -> dict:
         """CTC loss + greedy WER over a validation set
@@ -181,10 +198,18 @@ class Trainer:
             early = EarlyStopping(patience=cfg.train.early_stop_patience,
                                   mode="min")
 
+        val_fn = None
+        if val_loader is not None and cfg.train.val_every_steps:
+            def val_fn(step, _loader=val_loader):
+                val = self.validate(_loader.epoch(0))
+                print(f"[step {step}] val: {val}")
+                self.logger.log(step, val, prefix="val/")
+
         rng = jax.random.PRNGKey(cfg.train.seed + jax.process_index())
         for epoch in range(self.epoch, cfg.train.num_epochs):
             t0 = time.perf_counter()
-            mean_loss = self.train_epoch(train_loader.epoch(epoch), epoch, rng)
+            mean_loss = self.train_epoch(train_loader.epoch(epoch), epoch, rng,
+                                         val_fn=val_fn)
             step = int(jax.device_get(self.state.step))
             print(f"[epoch {epoch}] mean_loss={mean_loss:.4f} "
                   f"({time.perf_counter()-t0:.1f}s)")

@@ -51,6 +51,8 @@ def tiny_cfg(tmp, manifest):
         "data.drop_remainder": False,
         "train.num_epochs": 2, "train.checkpoint_dir": str(tmp),
         "train.checkpoint_every_steps": 0, "train.log_every_steps": 0,
+        "train.val_every_steps": 2,  # exercise mid-epoch validation
+
     })
 
 
