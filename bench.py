@@ -81,6 +81,9 @@ def main() -> None:
     if mode == "infer":
         _bench_infer(cfg, variables, batch_size, audio_s, num_samples, steps)
         return
+    if mode == "beam":
+        _bench_beam(cfg, variables, batch_size, audio_s, num_samples)
+        return
 
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
@@ -182,6 +185,76 @@ def _bench_infer(cfg, variables, batch_size, audio_s, num_samples, steps):
         "metric": "greedy_decode_rtf_per_chip",
         "value": round(rtf, 6),
         "unit": "rtf (wall-s per audio-s, batched)",
+        "vs_baseline": 1.0,
+    }))
+
+
+def _bench_beam(cfg, variables, batch_size, audio_s, num_samples):
+    """Beam+LM decode RTF at the reference operating point: beam 190,
+    alpha 2.1, beta 9.2, prune -20, 5-gram LM, hotwords
+    (reference: processing/lm.py:10-15). Forward on TPU, prefix beam search
+    with shallow fusion on the host (native C++, threaded)."""
+    import json as _json
+    import os as _os
+    import tempfile
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conformer_tpu.config import DecodeConfig
+    from conformer_tpu.data.dataset import synthetic_batch
+    from conformer_tpu.decode.beam_search import BeamSearchDecoder
+    from conformer_tpu.lm.ngram import build_arpa
+    from conformer_tpu.text.tokenizer import load_tokenizer
+    from conformer_tpu.train.steps import make_forward
+
+    tok = load_tokenizer("vi")
+    root = tempfile.mkdtemp(prefix="bench_beam_")
+    corpus = _os.path.join(root, "corpus.txt")
+    rng = np.random.default_rng(0)
+    words = ["XIN", "CHÀO", "BẠN", "CẢM", "ƠN", "TẠM", "BIỆT", "LỖI",
+             "KHÔNG", "CÓ", "GÌ", "ĐÂU", "NHÉ", "ANH", "EM", "TÔI"]
+    with open(corpus, "w", encoding="utf8") as f:
+        for _ in range(2000):
+            f.write(" ".join(rng.choice(words, rng.integers(3, 9))) + "\n")
+    arpa = _os.path.join(root, "lm.arpa")
+    build_arpa(corpus, arpa, 5)
+    dcfg = DecodeConfig(beam_width=190, alpha=2.1, beta=9.2,
+                        beam_prune_logp=-20.0, lm_path=arpa,
+                        hotwords=("XIN CHÀO",), hotword_weight=9.0)
+    decoder = BeamSearchDecoder(tok, dcfg)
+    native = decoder._native is not None
+
+    forward = make_forward(cfg)
+
+    @jax.jit
+    def log_probs_fn(variables, audio, lengths):
+        logits, out_lengths = forward(variables, audio, lengths)
+        return jax.nn.log_softmax(logits, axis=-1), out_lengths
+
+    b = synthetic_batch(batch_size, num_samples, cfg.model.vocab_size, seed=0)
+    audio = jax.device_put(b.audio)
+    lengths = jax.device_put(jnp.full((batch_size,), num_samples, jnp.int32))
+    lp, out_len = log_probs_fn(variables, audio, lengths)  # compile
+    jax.block_until_ready(lp)
+
+    t0 = _time.perf_counter()
+    lp, out_len = log_probs_fn(variables, audio, lengths)
+    lp_h = np.asarray(jax.device_get(lp))
+    len_h = np.asarray(jax.device_get(out_len))
+    t_fwd = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    texts = decoder.decode_batch(lp_h, len_h)
+    t_dec = _time.perf_counter() - t0
+
+    total_audio = batch_size * audio_s
+    print(_json.dumps({
+        "metric": "beam_lm_decode_rtf_per_chip",
+        "value": round((t_fwd + t_dec) / total_audio, 6),
+        "unit": ("rtf (fwd+beam190+5gramLM, batched, "
+                 f"decode_only_rtf={t_dec / total_audio:.5f}, "
+                 f"native={native})"),
         "vs_baseline": 1.0,
     }))
 

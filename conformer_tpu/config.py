@@ -86,7 +86,10 @@ class ModelConfig:
     # reference: model/utils/convolution.py:15 with no masking).
     conv_mask_pad: bool = True
     decoder_norm_masked: bool = True # mask-aware BatchNorm stats in the decoder
-    attention_impl: str = "xla"      # 'xla' dense or 'pallas' fused kernel
+    # 'xla' dense scores | 'pallas' fused shift-free sin/cos kernel (fused
+    # fwd+bwd, in-kernel dropout; scores never touch HBM) | 'pallas_bias'
+    # round-1 bias-fused kernel (inference-only, neutral; kept for benches).
+    attention_impl: str = "xla"
     # Attention score tensor IO dtype. bfloat16 halves the dominant HBM
     # traffic at (B,H,L,L); softmax still reduces in float32.
     attention_score_dtype: str = "float32"

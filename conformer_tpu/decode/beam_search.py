@@ -22,7 +22,11 @@ Host-side decoder; the encoder forward + log-softmax stay on device.
 
 from __future__ import annotations
 
+import ctypes
 import math
+import os
+import subprocess
+import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -33,6 +37,53 @@ from conformer_tpu.text.tokenizer import GraphemeTokenizer
 
 LOG10_TO_LN = math.log(10.0)
 NEG_INF = -float("inf")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_BS_LOCK = threading.Lock()
+_BS_LIB = None
+
+
+def _load_native():
+    """Build (once) + load libbeam_search.so (beam loop + ARPA scorer)."""
+    global _BS_LIB
+    with _BS_LOCK:
+        if _BS_LIB is not None:
+            return _BS_LIB or None
+        srcs = [os.path.join(_NATIVE_DIR, "beam_search.cpp"),
+                os.path.join(_NATIVE_DIR, "ngram_lm.cpp")]
+        so = os.path.join(_NATIVE_DIR, "libbeam_search.so")
+        if not all(os.path.exists(s) for s in srcs):
+            _BS_LIB = False
+            return None
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < max(os.path.getmtime(s) for s in srcs)):
+            cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", *srcs,
+                   "-o", so, "-lpthread"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, text=True)
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                _BS_LIB = False
+                return None
+        lib = ctypes.CDLL(so)
+        c_charpp = ctypes.POINTER(ctypes.c_char_p)
+        lib.bs_create.restype = ctypes.c_void_p
+        lib.bs_create.argtypes = [
+            ctypes.c_char_p, c_charpp, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, c_charpp,
+            ctypes.c_int, ctypes.c_double]
+        lib.bs_free.argtypes = [ctypes.c_void_p]
+        lib.bs_decode.restype = ctypes.c_int
+        lib.bs_decode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.bs_decode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        _BS_LIB = lib
+        return lib
 
 
 def _logsumexp2(a: float, b: float) -> float:
@@ -66,8 +117,12 @@ class _Beam:
 
 
 class BeamSearchDecoder:
+    """Dispatches to the native C++ inner loop (native/beam_search.cpp) when
+    buildable; the Python implementation below is the behavioral spec, the
+    fallback, and the fuzz-test ground truth (tests/test_lm_beam.py)."""
+
     def __init__(self, tokenizer: GraphemeTokenizer, cfg: DecodeConfig,
-                 lm=None):
+                 lm=None, native: bool = True):
         self.tok = tokenizer
         self.cfg = cfg
         self.lm = lm
@@ -81,6 +136,56 @@ class BeamSearchDecoder:
             words = h.split()
             for i in range(1, len(words) + 1):
                 self._hot_prefixes.add(" ".join(words[:i]))
+
+        self._native = None
+        # The native decoder loads the ARPA itself; an injected custom `lm`
+        # object (tests) cannot cross the C boundary, so stay in Python then.
+        if native and (lm is None):
+            lib = _load_native()
+            if lib is not None:
+                vocab = (ctypes.c_char_p * len(tokenizer.vocab))(
+                    *[t.encode("utf8") for t in tokenizer.vocab])
+                hot = [h.encode("utf8") for h in sorted(self.hotwords)]
+                hot_arr = (ctypes.c_char_p * max(len(hot), 1))(*(hot or [b""]))
+                handle = lib.bs_create(
+                    (cfg.lm_path or "").encode(), vocab, len(tokenizer.vocab),
+                    tokenizer.pad_id, tokenizer.unk_id, tokenizer.delim_id,
+                    float(cfg.alpha), float(cfg.beta), int(cfg.beam_width),
+                    float(cfg.beam_prune_logp), float(cfg.token_min_logp),
+                    hot_arr, len(hot), float(cfg.hotword_weight))
+                if handle:
+                    self._native = (lib, ctypes.c_void_p(handle))
+
+    def __del__(self):
+        if getattr(self, "_native", None):
+            lib, h = self._native
+            try:
+                lib.bs_free(h)
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------------
+    def _decode_native(self, log_probs: np.ndarray,
+                       lengths: Optional[np.ndarray], n_threads: int
+                       ) -> List[str]:
+        lib, h = self._native
+        lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+        b, t, v = lp.shape
+        cap = max(8 * t + 64, 256)
+        out = ctypes.create_string_buffer(b * cap)
+        if lengths is not None:
+            ln = np.ascontiguousarray(lengths, dtype=np.int32)
+            ln_ptr = ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        else:
+            ln_ptr = None
+        lib.bs_decode_batch(
+            h, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ln_ptr,
+            b, t, v, out, cap, n_threads)
+        texts = []
+        for i in range(b):
+            raw = out.raw[i * cap:(i + 1) * cap].split(b"\0", 1)[0]
+            texts.append(self.tok.spec_decode(raw.decode("utf8")))
+        return texts
 
     # ------------------------------------------------------------------
     def _word_bonus(self, beam: _Beam, word: str) -> Tuple[float, Tuple[int, ...]]:
@@ -110,6 +215,15 @@ class BeamSearchDecoder:
     def decode(self, log_probs: np.ndarray,
                length: Optional[int] = None) -> str:
         """log_probs: (T, V) natural-log softmax outputs -> text."""
+        if self._native is not None:
+            n = int(length) if length is not None else log_probs.shape[0]
+            return self._decode_native(log_probs[None],
+                                       np.asarray([n], np.int32), 1)[0]
+        return self.decode_py(log_probs, length)
+
+    def decode_py(self, log_probs: np.ndarray,
+                  length: Optional[int] = None) -> str:
+        """Pure-Python reference implementation (the behavioral spec)."""
         cfg = self.cfg
         tok = self.tok
         t_max = int(length) if length is not None else log_probs.shape[0]
@@ -211,10 +325,19 @@ class BeamSearchDecoder:
         return self.tok.spec_decode(best_text)
 
     def decode_batch(self, log_probs: np.ndarray,
-                     lengths: Optional[np.ndarray] = None) -> List[str]:
-        """(B, T, V) -> list of texts (reference: processing/lm.py:62-75)."""
+                     lengths: Optional[np.ndarray] = None,
+                     n_threads: Optional[int] = None) -> List[str]:
+        """(B, T, V) -> list of texts (reference: processing/lm.py:62-75).
+
+        The native path decodes the batch on a host thread pool (the LM
+        scorer is read-only); the reference decodes sequentially per
+        utterance (lm.py:69-71)."""
+        if self._native is not None:
+            return self._decode_native(
+                log_probs, lengths,
+                n_threads or min(os.cpu_count() or 1, log_probs.shape[0]))
         out = []
         for i in range(log_probs.shape[0]):
             n = int(lengths[i]) if lengths is not None else None
-            out.append(self.decode(log_probs[i], n))
+            out.append(self.decode_py(log_probs[i], n))
         return out

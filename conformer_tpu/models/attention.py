@@ -23,12 +23,34 @@ from flax import linen as nn
 from conformer_tpu.ops.rel_shift import rel_shift
 
 
+class _PosParams(nn.Module):
+    """Pos-projection parameters with nn.Dense's exact names/shapes/inits, so
+    checkpoints are interchangeable between attention impls. The kernel is
+    consumed directly by the fused sin/cos kernel; the bias is created for
+    structural parity but unused — softmax is exactly invariant to it (it
+    shifts every score in a row equally), so its gradient is identically 0,
+    matching the reference path's mathematics."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.d_model, self.d_model), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.d_model,), jnp.float32)
+        return kernel, bias
+
+
 class RelativeMultiHeadAttention(nn.Module):
     d_model: int
     n_heads: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    impl: str = "xla"                  # 'xla' | 'pallas' (fused kernel)
+    # 'xla' dense path | 'pallas' fused shift-free sin/cos kernel (fwd+bwd,
+    # dropout in-kernel) | 'pallas_bias' round-1 bias-fused kernel (neutral,
+    # kept for benchmarking).
+    impl: str = "xla"
     score_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -45,8 +67,6 @@ class RelativeMultiHeadAttention(nn.Module):
         q = dense("query")(x).reshape(b, l, h, dh)
         k = dense("key")(x).reshape(b, l, h, dh)
         v = dense("value")(x).reshape(b, l, h, dh)
-        # Position projection has no batch dim: (2L-1, D) -> (2L-1, H, dh)
-        p = dense("pos")(pos_emb).reshape(-1, h, dh)
 
         u = self.param("content_bias", nn.initializers.xavier_uniform(), (h, dh),
                        jnp.float32).astype(self.dtype)
@@ -54,14 +74,38 @@ class RelativeMultiHeadAttention(nn.Module):
                         jnp.float32).astype(self.dtype)
         scale = 1.0 / float(np.sqrt(dh))
 
-        use_fused = (self.impl == "pallas"
-                     and (self.dropout_rate == 0.0 or deterministic))
-        if use_fused:
+        if lengths is None and mask is not None:
+            # (B,1,1,L) pad-mask -> lengths (valid prefix convention)
+            lengths = jnp.sum(~mask[:, 0, 0, :], axis=-1)
+
+        if self.impl == "pallas":
+            # Fully-fused shift-free kernel: scores never touch HBM, fused
+            # backward, in-kernel dropout — used for training and inference.
+            from conformer_tpu.ops.pallas.sincos_attention import (
+                prep_pos_kernel, rel_attention_sincos)
+
+            import jax
+
+            pos_kernel, _pos_bias = _PosParams(self.d_model, name="pos")()
+            wh = prep_pos_kernel(pos_kernel.astype(self.dtype), h)
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            context = rel_attention_sincos(
+                jnp.transpose(q + u, (0, 2, 1, 3)),
+                jnp.transpose(q + vb, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)),
+                wh, lengths, scale, rate, seed)
+            context = jnp.transpose(context, (0, 2, 1, 3))
+        elif (self.impl == "pallas_bias"
+              and (self.dropout_rate == 0.0 or deterministic)):
             from conformer_tpu.ops.pallas.flash_attention import rel_attention
 
-            if lengths is None and mask is not None:
-                # (B,1,1,L) pad-mask -> lengths (valid prefix convention)
-                lengths = jnp.sum(~mask[:, 0, 0, :], axis=-1)
+            p = dense("pos")(pos_emb).reshape(-1, h, dh)
             context = rel_attention(
                 jnp.transpose(q + u, (0, 2, 1, 3)),
                 jnp.transpose(q + vb, (0, 2, 1, 3)),
@@ -70,6 +114,8 @@ class RelativeMultiHeadAttention(nn.Module):
                 jnp.transpose(p, (1, 0, 2)), lengths, scale, "pallas")
             context = jnp.transpose(context, (0, 2, 1, 3))
         else:
+            # Position projection has no batch dim: (2L-1, D) -> (2L-1, H, dh)
+            p = dense("pos")(pos_emb).reshape(-1, h, dh)
             # (B, H, L, L) content scores + shifted position scores.
             sdt = self.score_dtype
             content = jnp.einsum("blhd,bmhd->bhlm", q + u, k,

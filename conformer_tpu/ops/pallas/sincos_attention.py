@@ -148,12 +148,26 @@ def _scores(qu, qv, k, wh_ref, sq_ref, cq_ref, sk_ref, ck_ref, scale, d2):
 
 
 def _dropout_keep(seed, bi, hi, qi, shape, rate):
-    """Deterministic per-program keep mask from the TPU hardware PRNG —
-    regenerated identically by the backward kernel."""
-    pltpu.prng_seed(seed, bi, hi, qi)
-    bits = pltpu.prng_random_bits(shape)  # int32 random bits
-    thresh = np.int32(np.uint32(rate * 4294967296.0) - 2147483648)
-    return bits >= thresh  # P(keep) = 1 - rate under wraparound order
+    """Deterministic keep mask from a stateless integer hash of
+    (seed, program ids, element coordinates) — murmur3-style finalizer on the
+    VPU. The backward kernel regenerates the identical mask from the same
+    inputs, so no (B, H, L, L) mask ever exists in HBM; being stateless it
+    also runs in interpret mode (the TPU PRNG primitive does not)."""
+    u = lambda c: np.uint32(c)
+    h = (seed.astype(jnp.uint32) * u(0x9E3779B9)
+         + bi.astype(jnp.uint32) * u(0x85EBCA6B)
+         + hi.astype(jnp.uint32) * u(0xC2B2AE35)
+         + qi.astype(jnp.uint32) * u(0x27D4EB2F))
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = h + col + row * u(0x01000193)
+    x = x ^ (x >> u(16))
+    x = x * u(0x85EBCA6B)
+    x = x ^ (x >> u(13))
+    x = x * u(0xC2B2AE35)
+    x = x ^ (x >> u(16))
+    thresh = u(int(rate * 4294967296.0) & 0xFFFFFFFF)
+    return x >= thresh  # P(keep) = 1 - rate
 
 
 def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,

@@ -140,3 +140,50 @@ class TestBeamSearch:
         dec = BeamSearchDecoder(vi, DecodeConfig(beam_width=4))
         lp = frames_for(vi, "toàn quốc")
         assert dec.decode(lp) == "TOÀN QUỐC"
+
+
+class TestNativeBeamParity:
+    """The C++ decoder (native/beam_search.cpp) must reproduce the Python
+    spec transcript-for-transcript, across op points (LM fusion, hotwords,
+    the reference beam-190 settings) on randomized inputs."""
+
+    def _random_lp(self, tok, rng, t=40):
+        v = tok.vocab_size
+        # semi-structured: a random token path with noise, so beams are
+        # plausible but contended (pure uniform noise is all ties).
+        lp = rng.normal(-6.0, 1.5, size=(t, v)).astype(np.float32)
+        path = rng.integers(0, v, size=t)
+        lp[np.arange(t), path] += rng.uniform(2.0, 6.0, size=t)
+        lp[rng.uniform(size=t) < 0.3, tok.pad_id] += 5.0
+        return (lp - np.log(np.exp(lp).sum(1, keepdims=True))).astype(np.float32)
+
+    @pytest.mark.parametrize("cfg_kwargs", [
+        dict(beam_width=16),
+        dict(beam_width=24, alpha=2.1, beta=9.2, beam_prune_logp=-20.0,
+             token_min_logp=-5.0, use_lm=True),
+        dict(beam_width=190, alpha=2.1, beta=9.2, beam_prune_logp=-20.0,
+             use_lm=True, hotwords=("XIN CHÀO", "BẠN"), hotword_weight=9.0),
+    ])
+    def test_fuzz_matches_python(self, vi, arpa, cfg_kwargs):
+        kw = dict(cfg_kwargs)
+        if kw.pop("use_lm", False):
+            kw["lm_path"] = arpa
+        cfg = DecodeConfig(**kw)
+        dec_native = BeamSearchDecoder(vi, cfg)
+        dec_py = BeamSearchDecoder(vi, cfg, native=False)
+        assert dec_native._native is not None, "native decoder failed to build"
+        assert dec_py._native is None
+
+        rng = np.random.default_rng(0)
+        batch = np.stack([self._random_lp(vi, rng) for _ in range(6)])
+        lengths = rng.integers(20, 41, size=6).astype(np.int32)
+        got = dec_native.decode_batch(batch, lengths)
+        want = dec_py.decode_batch(batch, lengths)
+        assert got == want
+
+    def test_clean_path_and_length(self, vi, arpa):
+        cfg = DecodeConfig(beam_width=32, alpha=2.1, beta=9.2, lm_path=arpa)
+        dec = BeamSearchDecoder(vi, cfg)
+        assert dec._native is not None
+        lp = frames_for(vi, "xin chào bạn")
+        assert dec.decode(lp) == "XIN CHÀO BẠN"
