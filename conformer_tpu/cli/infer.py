@@ -35,6 +35,11 @@ def main(argv=None) -> None:
                    help="chunked transcription for long recordings "
                         "(overlapping windows, word-boundary stitching)")
     p.add_argument("--chunk-seconds", type=float, default=24.0)
+    p.add_argument("--streaming", action="store_true",
+                   help="stateful streaming decode (left-context-carry "
+                        "encoder chunks, incremental emission)")
+    p.add_argument("--stream-chunk-seconds", type=float, default=2.0)
+    p.add_argument("--stream-context-seconds", type=float, default=6.0)
     args = p.parse_args(argv)
 
     if not args.audio and not args.manifest:
@@ -66,7 +71,23 @@ def main(argv=None) -> None:
                                 table["end"].to_pylist()))
         paths.extend(manifest_paths)
 
-    if args.long:
+    if args.streaming:
+        from conformer_tpu.audio.io import load_audio
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        sr = cfg.audio.sample_rate
+        texts = []
+        for p_ in paths:
+            st = StreamingTranscriber(
+                pipe.cfg, tokenizer,
+                {"params": pipe.state.params,
+                 "batch_stats": pipe.state.batch_stats},
+                chunk_s=args.stream_chunk_seconds,
+                left_context_s=args.stream_context_seconds)
+            st.feed(load_audio(p_, sr, channel=args.channel))
+            st.finish()
+            texts.append(st.text)
+    elif args.long:
         texts = [pipe.transcribe_long(p_, chunk_s=args.chunk_seconds,
                                       channel=args.channel) for p_ in paths]
     else:

@@ -1,18 +1,23 @@
-"""HTTP transcription server (stdlib-only).
+"""HTTP transcription server (stdlib-only) with request micro-batching.
 
 The reference ships an empty api.py (reference: api.py — 0 bytes). This is a
-real one: POST a WAV to /transcribe, get JSON back. Batched micro-batching is
-deliberate future work; requests are served one at a time, each padded to the
-nearest export-style bucket so the forward stays compile-cached.
+real one: POST a WAV to /transcribe, get JSON back. Concurrent requests are
+assembled into batches by a background worker — the first request opens a
+short batching window; requests that arrive within it (same audio bucket)
+ride the same jitted forward, so shapes stay compile-cached and throughput
+scales with concurrency instead of serializing.
 
     python -m conformer_tpu.cli.serve --checkpoint-dir ckpt --port 8000
     curl -s --data-binary @utt.wav localhost:8000/transcribe
+    curl -s localhost:8000/stats       # {"requests": N, "batches": M, ...}
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import queue
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -22,13 +27,107 @@ from conformer_tpu.cli.common import (add_common_args, load_config,
                                       load_tokenizer_from_args)
 
 
-def make_handler(pipe, tokenizer, cfg, buckets_s):
-    import jax
+class MicroBatcher:
+    """Assembles concurrent transcription requests into fixed-shape batches.
 
-    from conformer_tpu.data.dataset import Batch
+    Shapes stay static per bucket: the audio axis is padded to the request's
+    bucket, the batch axis always to ``max_batch`` (dummy rows), so each
+    bucket has exactly one compiled program regardless of how many requests
+    ride a batch.
+    """
 
+    def __init__(self, pipe, bucket_samples, max_batch: int = 8,
+                 window_ms: float = 15.0):
+        from conformer_tpu.data.dataset import Batch
+
+        self._Batch = Batch
+        self.pipe = pipe
+        self.buckets = sorted(bucket_samples)
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "max_batch_seen": 0}
+        self._lock = threading.Lock()
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def bucket_for(self, n: int) -> int:
+        return next((b for b in self.buckets if n <= b), self.buckets[-1])
+
+    def warmup(self) -> None:
+        """Compile every bucket shape up front (one dummy batch each)."""
+        for b in self.buckets:
+            audio = np.zeros((self.max_batch, b), np.float32)
+            lengths = np.full((self.max_batch,), b, np.int32)
+            self.pipe.transcribe_batch(self._Batch(
+                audio, lengths, np.zeros((self.max_batch, 1), np.int32),
+                np.zeros((self.max_batch,), np.int32)))
+
+    def submit(self, signal: np.ndarray, timeout: float = 120.0) -> str:
+        """Blocks until the signal's transcript is ready."""
+        ev = threading.Event()
+        slot: dict = {}
+        with self._lock:
+            self.stats["requests"] += 1
+        self.q.put((signal, ev, slot))
+        if not ev.wait(timeout):
+            raise TimeoutError("transcription timed out")
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["text"]
+
+    # ------------------------------------------------------------------
+    def _run(self) -> None:
+        while True:
+            items = [self.q.get()]
+            bucket = self.bucket_for(len(items[0][0]))
+            deadline = time.monotonic() + self.window_s
+            requeue = []
+            while len(items) < self.max_batch:
+                budget = deadline - time.monotonic()
+                if budget <= 0:
+                    break
+                try:
+                    item = self.q.get(timeout=budget)
+                except queue.Empty:
+                    break
+                if self.bucket_for(len(item[0])) == bucket:
+                    items.append(item)
+                else:
+                    requeue.append(item)  # different shape: next batch
+            for item in requeue:
+                self.q.put(item)
+            self._process(items, bucket)
+
+    def _process(self, items, bucket: int) -> None:
+        try:
+            audio = np.zeros((self.max_batch, bucket), np.float32)
+            lengths = np.zeros((self.max_batch,), np.int32)
+            for i, (sig, _, _) in enumerate(items):
+                n = min(len(sig), bucket)
+                audio[i, :n] = sig[:n]
+                lengths[i] = n
+            lengths[len(items):] = 1  # dummy rows
+            texts = self.pipe.transcribe_batch(self._Batch(
+                audio, lengths, np.zeros((self.max_batch, 1), np.int32),
+                np.zeros((self.max_batch,), np.int32)))
+            with self._lock:
+                self.stats["batches"] += 1
+                if len(items) > 1:
+                    self.stats["batched_requests"] += len(items)
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], len(items))
+            for i, (_, ev, slot) in enumerate(items):
+                slot["text"] = texts[i]
+                ev.set()
+        except Exception as e:  # noqa: BLE001 — worker must not die
+            for _, ev, slot in items:
+                slot["error"] = f"{type(e).__name__}: {e}"
+                ev.set()
+
+
+def make_handler(batcher, cfg):
     sr = cfg.audio.sample_rate
-    bucket_samples = sorted(int(b * sr) for b in buckets_s)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -45,6 +144,9 @@ def make_handler(pipe, tokenizer, cfg, buckets_s):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/stats":
+                with batcher._lock:
+                    self._reply(200, dict(batcher.stats))
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -64,21 +166,14 @@ def make_handler(pipe, tokenizer, cfg, buckets_s):
                     signal = signal.mean(axis=0)
                 signal = resample(signal, file_sr, sr)
                 t0 = time.perf_counter()
-                size = next((b for b in bucket_samples if len(signal) <= b),
-                            bucket_samples[-1])
-                signal = signal[:size]
-                audio = np.zeros((1, size), np.float32)
-                audio[0, : len(signal)] = signal
-                batch = Batch(audio, np.array([len(signal)], np.int32),
-                              np.zeros((1, 1), np.int32),
-                              np.zeros((1,), np.int32))
-                text = pipe.transcribe_batch(batch)[0]
+                text = batcher.submit(signal)
                 elapsed = time.perf_counter() - t0
+                audio_s = len(signal) / sr
                 self._reply(200, {
                     "text": text,
-                    "audio_seconds": round(len(signal) / sr, 3),
+                    "audio_seconds": round(audio_s, 3),
                     "decode_seconds": round(elapsed, 4),
-                    "rtf": round(elapsed / max(len(signal) / sr, 1e-6), 4),
+                    "rtf": round(elapsed / max(audio_s, 1e-6), 4),
                 })
             except Exception as e:  # noqa: BLE001 — server must not die
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -93,11 +188,18 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--decode", choices=["greedy", "beam"], default="greedy")
+    p.add_argument("--decode", choices=["greedy", "beam", "beam_device"],
+                   default="greedy")
     p.add_argument("--lm", default=None)
     p.add_argument("--buckets", type=float, nargs="+",
                    default=[2.0, 4.0, 8.0, 16.0, 30.0],
                    help="audio-second buckets requests are padded to")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="micro-batch size (batch axis is padded to this)")
+    p.add_argument("--window-ms", type=float, default=15.0,
+                   help="batching window opened by the first request")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile all bucket shapes before serving")
     args = p.parse_args(argv)
 
     cfg = load_config(args)
@@ -109,10 +211,18 @@ def main(argv=None) -> None:
 
     pipe = InferencePipeline(cfg, tokenizer, checkpoint_dir=args.checkpoint_dir,
                              decode=args.decode)
-    handler = make_handler(pipe, tokenizer, cfg, args.buckets)
+    sr = cfg.audio.sample_rate
+    batcher = MicroBatcher(pipe, [int(b * sr) for b in args.buckets],
+                           max_batch=args.max_batch, window_ms=args.window_ms)
+    if args.warmup:
+        t0 = time.perf_counter()
+        batcher.warmup()
+        print(f"warmed {len(args.buckets)} bucket shapes "
+              f"in {time.perf_counter() - t0:.1f}s")
+    handler = make_handler(batcher, cfg)
     server = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"serving on http://{args.host}:{args.port} "
-          f"(POST /transcribe, GET /healthz)")
+          f"(POST /transcribe, GET /healthz /stats)")
     server.serve_forever()
 
 

@@ -127,7 +127,6 @@ class OptimConfig:
     # average gradients before one optimizer step (large effective batches
     # on small slices). 1 disables. New capability (no reference counterpart).
     accum_steps: int = 1
-    ctc_impl: str = "optax"          # CTC loss backend: 'optax' or 'pallas'
     # 'bfloat16' compute with fp32 params/loss is the TPU-native analogue of the
     # reference's fp16 AMP + fp32 CTC island (reference: train.py:232-243).
     compute_dtype: str = "bfloat16"
@@ -166,6 +165,10 @@ class DecodeConfig:
     (reference: processing/lm.py:10-15)."""
 
     lm_path: Optional[str] = None
+    # Token-level ARPA for ON-DEVICE beam-search LM fusion (decode mode
+    # 'beam_device'; build with `cli.create_lm --token-level`). The fusion
+    # weight is `alpha`; `beta` applies per emitted word delimiter.
+    device_lm_path: Optional[str] = None
     alpha: float = 2.1
     beta: float = 9.2
     beam_width: int = 190

@@ -102,6 +102,29 @@ class InferencePipeline:
             from conformer_tpu.ops.beam_search_device import \
                 ctc_beam_search_device
 
+            # Optional on-device LM fusion from a token-level ARPA
+            # (HBM-resident hashed tables, lm/device_table.py).
+            lm_kwargs = {}
+            if cfg.decode.device_lm_path:
+                import numpy as _np
+
+                from conformer_tpu.lm.device_table import DeviceNgramTable
+
+                table = DeviceNgramTable.from_arpa(cfg.decode.device_lm_path)
+                tok2lm = _np.array(
+                    [table.vocab.get(tok_str, -1)
+                     for tok_str in tokenizer.vocab], _np.int32)
+                lm_kwargs = dict(
+                    lm_tables=table.device_arrays(),
+                    tok2lm=jax.numpy.asarray(tok2lm),
+                    lm_alpha=float(cfg.decode.alpha),
+                    lm_beta=float(cfg.decode.beta),
+                    delim_id=tokenizer.delim_id,
+                    lm_bos_id=int(table.bos_id),
+                    lm_unk_logp=float(table.unk_logp),
+                    lm_order=int(table.order),
+                    lm_n_probes=int(table.n_probes))
+
             # Honors cfg.decode.beam_width exactly (the reference op point is
             # 190, processing/lm.py:12); widths are static shapes, memory is
             # O(B * width * max_tokens) device ints — tiny next to the model.
@@ -109,7 +132,7 @@ class InferencePipeline:
                 ctc_beam_search_device,
                 beam_width=cfg.decode.beam_width, top_k=8,
                 blank_id=tokenizer.pad_id, unk_id=tokenizer.unk_id,
-                max_len=cfg.data.max_tokens))
+                max_len=cfg.data.max_tokens, **lm_kwargs))
 
     # ------------------------------------------------------------------
     def texts_from_out(self, out: dict) -> List[str]:

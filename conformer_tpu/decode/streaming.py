@@ -1,0 +1,159 @@
+"""Streaming transcription: stateful chunked encoder with left-context carry
+and frame-synchronous greedy emission.
+
+New capability — the reference has nothing comparable (its inference is
+whole-utterance, bounded only by GPU memory; SURVEY §5 long-context), and the
+offline `transcribe_long` overlap-stitch is a text-level heuristic. Here the
+carry is in *features*: each chunk is encoded together with the trailing
+``left_context_s`` seconds of already-seen audio, the context half of the
+output is dropped, and the CTC collapse state (last emitted token) carries
+across chunk boundaries — so emission is incremental and exact with respect
+to this chunk's framewise argmax.
+
+Exactness: an utterance no longer than one chunk takes the identical compute
+path as offline greedy decode (same mel, same mask, same collapse), so the
+transcript is identical (tests/test_streaming.py). Longer audio sees a
+finite left context instead of global attention — the standard streaming
+approximation.
+
+Shapes are static: one compiled program per (context + chunk) window; the
+chunk advance is a multiple of the total subsampling stride so emitted
+frames align exactly across chunks.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from conformer_tpu.config import Config
+from conformer_tpu.text.tokenizer import GraphemeTokenizer
+
+
+class StreamingTranscriber:
+    """Feed audio incrementally; read back text as it becomes final.
+
+        st = StreamingTranscriber(cfg, tokenizer, variables)
+        for block in microphone():        # arbitrary block sizes
+            print(st.feed(block), end="")
+        print(st.finish())
+
+    chunk_s: audio emitted per encoder call; left_context_s: how much
+    already-seen audio each chunk attends to.
+    """
+
+    def __init__(self, cfg: Config, tokenizer: GraphemeTokenizer, variables,
+                 chunk_s: float = 2.0, left_context_s: float = 6.0):
+        import jax
+        import jax.numpy as jnp
+
+        from conformer_tpu.audio.mel import MelFrontend
+        from conformer_tpu.train.steps import build_models
+
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.sr = cfg.audio.sample_rate
+        hop = cfg.audio.hop_length
+        stride = 4 * hop  # total subsample stride in samples (2 conv s2)
+        self.chunk = int(chunk_s * self.sr) // stride * stride
+        self.ctx = int(left_context_s * self.sr) // stride * stride
+        if self.chunk <= 0:
+            raise ValueError("chunk_s too small for the subsampling stride")
+
+        frontend = MelFrontend(cfg.audio)
+        _, model = build_models(cfg)
+
+        def forward(variables, audio, length):
+            mels = frontend(audio)
+            mel_lengths = frontend.frame_lengths(length)
+            (logits, out_lengths), _ = model.apply(variables, mels,
+                                                   mel_lengths, mutable=[])
+            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return ids, out_lengths
+
+        self._forward = jax.jit(forward)
+        self._variables = variables
+        self._jnp = jnp
+
+        self._buffer = np.zeros((0,), np.float32)   # unprocessed audio
+        self._context = np.zeros((0,), np.float32)  # already-emitted audio
+        self._prev_id = -1                          # CTC collapse carry
+        self._pieces: List[str] = []
+
+    # ------------------------------------------------------------------
+    def _sub_frames(self, n_samples: int) -> int:
+        """Samples -> subsampled encoder frames (exact length formulas:
+        reference processor.py:392 and convolution.py:55)."""
+        mel = n_samples // self.cfg.audio.hop_length + 1
+        return ((mel - 1) // 2 - 1) // 2
+
+    def _run_window(self, audio: np.ndarray, emit_from_sample: int) -> str:
+        """Encode `audio`, emit collapsed text for frames at/after the
+        subsampled position of `emit_from_sample`."""
+        window = self.ctx + self.chunk
+        padded = np.zeros((1, max(len(audio), window)), np.float32)
+        padded[0, : len(audio)] = audio
+        ids, out_len = self._forward(
+            self._variables, padded,
+            np.asarray([len(audio)], np.int32))
+        ids = np.asarray(ids)[0]
+        n = int(np.asarray(out_len)[0])
+        start = self._sub_frames(emit_from_sample) if emit_from_sample else 0
+        return self._emit(ids[:n], start)
+
+    def _emit(self, ids: np.ndarray, start: int) -> str:
+        """Collapse frames [start:], carrying the last-emitted-token state
+        across chunk boundaries — blank/unk leave the state unchanged exactly
+        like the offline collapse (reference: processor.py:307-319)."""
+        out: List[int] = []
+        prev = self._prev_id
+        for c in ids[start:]:
+            c = int(c)
+            if c == self.tok.pad_id or c == self.tok.unk_id:
+                continue
+            if c != prev:
+                out.append(c)
+            prev = c
+        self._prev_id = prev
+        return "".join(self.tok.vocab[c] for c in out)
+
+    # ------------------------------------------------------------------
+    def feed(self, audio: np.ndarray) -> str:
+        """Add samples; returns newly-finalized text (may be empty)."""
+        self._buffer = np.concatenate([self._buffer,
+                                       np.asarray(audio, np.float32)])
+        emitted = ""
+        while len(self._buffer) >= self.chunk:
+            chunk, self._buffer = (self._buffer[: self.chunk],
+                                   self._buffer[self.chunk:])
+            ctx = self._context[-self.ctx:] if self.ctx else \
+                np.zeros((0,), np.float32)
+            window = np.concatenate([ctx, chunk])
+            piece = self._run_window(window, emit_from_sample=len(ctx))
+            self._context = np.concatenate([self._context, chunk])[-self.ctx:]
+            if piece:
+                self._pieces.append(piece)
+                emitted += piece
+        return emitted
+
+    def finish(self) -> str:
+        """Flush the remainder; returns the final newly-emitted text."""
+        emitted = ""
+        if len(self._buffer) > 0:
+            ctx = self._context[-self.ctx:] if self.ctx else \
+                np.zeros((0,), np.float32)
+            window = np.concatenate([ctx, self._buffer])
+            piece = self._run_window(window, emit_from_sample=len(ctx))
+            self._buffer = np.zeros((0,), np.float32)
+            if piece:
+                self._pieces.append(piece)
+                emitted = piece
+        return emitted
+
+    @property
+    def text(self) -> str:
+        """Full transcript so far (delim -> space, spec-decoded — same
+        assembly as GraphemeTokenizer.collapsed_ids_to_text)."""
+        raw = "".join(self._pieces).replace(self.tok.delim_token, " ")
+        return self.tok.spec_decode(raw).strip()

@@ -1,0 +1,199 @@
+"""Device-resident n-gram LM: hashed probe tables queried inside jit.
+
+Shallow LM fusion inside the on-device beam search needs log P(token | ctx)
+lookups per (beam x candidate x frame) — far too many for host callbacks.
+This module compiles an ARPA n-gram model (token-level — build one over
+grapheme sequences with ``conformer_tpu.lm.ngram.build_arpa``) into
+open-addressing hash tables stored as plain device arrays, plus a pure-jnp
+backoff scorer that is exact with respect to the ARPA (verified against the
+Python scorer in tests/test_device_lm.py).
+
+Layout: one slot pool per n-gram order. Each entry is (key: uint32 fingerprint
+of the id sequence, logp: f32, backoff: f32). Lookup = H probes of
+linear open addressing — fully vectorized gathers, no data-dependent control
+flow, so the beam search can score (B, W, K) candidates in one fused op.
+
+No reference counterpart: the reference's LM work is sequential host Python
+over pyctcdecode (reference: processing/lm.py:62-75); SURVEY §2.10 names
+device-side beam/LM state as a north-star capability.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+# FNV-1a based sequence fingerprint (uint32 wraparound).
+_FNV_PRIME = np.uint32(16777619)
+_FNV_BASIS = np.uint32(2166136261)
+_EMPTY = np.uint32(0)          # reserved key for empty slots
+_PROBES = 8
+
+
+def _fingerprint_np(ids: Sequence[int]) -> np.uint32:
+    h = _FNV_BASIS
+    for t in ids:
+        h = np.uint32((int(h) ^ (int(t) & 0xFFFF)) & 0xFFFFFFFF)
+        h = np.uint32((int(h) * int(_FNV_PRIME)) & 0xFFFFFFFF)
+    if h == _EMPTY:
+        h = np.uint32(1)
+    return h
+
+
+@dataclass
+class DeviceNgramTable:
+    """Per-order hash tables as host numpy (device_put once, reuse)."""
+
+    order: int
+    n_slots: int                       # per order, power of two
+    keys: np.ndarray                   # (order, n_slots) uint32
+    logps: np.ndarray                  # (order, n_slots) f32 (log10)
+    backoffs: np.ndarray               # (order, n_slots) f32 (log10)
+    unk_logp: float
+    vocab: dict                        # word/token string -> LM id
+    bos_id: int
+    n_probes: int                      # max insertion displacement + 1
+
+    @classmethod
+    def from_arpa(cls, arpa_path: str, slots_per_entry: float = 2.0
+                  ) -> "DeviceNgramTable":
+        from conformer_tpu.lm.ngram import PyNgramLM
+
+        lm = PyNgramLM(arpa_path)
+        order = lm.order
+        total = max(sum(len(t) for t in lm.tables), 1)
+        n_slots = 1 << int(np.ceil(np.log2(max(total * slots_per_entry, 64))))
+        keys = np.zeros((order, n_slots), np.uint32)
+        logps = np.zeros((order, n_slots), np.float32)
+        backoffs = np.zeros((order, n_slots), np.float32)
+        mask = n_slots - 1
+        max_disp = 0
+        for m, table in enumerate(lm.tables):
+            for ids, (logp, backoff) in table.items():
+                fp = _fingerprint_np(ids)
+                slot = int(fp) & mask
+                for disp in range(n_slots):
+                    if keys[m, slot] == _EMPTY:
+                        keys[m, slot] = fp
+                        logps[m, slot] = logp
+                        backoffs[m, slot] = backoff
+                        max_disp = max(max_disp, disp)
+                        break
+                    if keys[m, slot] == fp:
+                        break  # fingerprint collision: first writer wins
+                    slot = (slot + 1) & mask
+        unk = lm.vocab.get("<unk>")
+        unk_logp = (lm.tables[0][(unk,)][0]
+                    if unk is not None and (unk,) in lm.tables[0] else -99.0)
+        return cls(order=order, n_slots=n_slots, keys=keys, logps=logps,
+                   backoffs=backoffs, unk_logp=float(unk_logp),
+                   vocab=dict(lm.vocab), bos_id=lm.vocab.get("<s>", -1),
+                   n_probes=max(max_disp + 1, _PROBES))
+
+    def device_arrays(self):
+        import jax.numpy as jnp
+
+        return (jnp.asarray(self.keys), jnp.asarray(self.logps),
+                jnp.asarray(self.backoffs))
+
+
+# ---------------------------------------------------------------------------
+# jnp scorer.
+# ---------------------------------------------------------------------------
+
+def _fingerprint_jnp(ids, valid):
+    """Vectorized FNV-1a over the trailing `valid` mask of ids.
+
+    ids: (..., M) int32 (junk where ~valid); valid: (..., M) bool. The hash
+    must equal _fingerprint_np of the valid subsequence, so invalid leading
+    positions must not perturb the state: we fold positions left-to-right and
+    carry the previous state where invalid.
+    """
+    import jax.numpy as jnp
+
+    h = jnp.full(ids.shape[:-1], np.uint32(_FNV_BASIS))
+    for m in range(ids.shape[-1]):
+        t = ids[..., m].astype(jnp.uint32) & np.uint32(0xFFFF)
+        nh = (h ^ t) * _FNV_PRIME
+        h = jnp.where(valid[..., m], nh, h)
+    return jnp.where(h == _EMPTY, np.uint32(1), h)
+
+
+def _probe(keys, values, fp, n_probes: int = _PROBES):
+    """Open-addressing lookup. keys/values: (n_slots,); fp: (...,) uint32.
+    -> (found (...,) bool, value (...,)). n_probes must cover the maximum
+    insertion displacement (DeviceNgramTable.n_probes)."""
+    import jax.numpy as jnp
+
+    mask = np.uint32(keys.shape[0] - 1)
+    found = jnp.zeros(fp.shape, bool)
+    out = jnp.zeros(fp.shape, values.dtype)
+    slot = fp & mask
+    for _ in range(n_probes):
+        k = keys[slot]
+        hit = (k == fp) & ~found
+        out = jnp.where(hit, values[slot], out)
+        found = found | hit
+        slot = (slot + np.uint32(1)) & mask
+    return found, out
+
+
+def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
+                 n_probes: int = _PROBES):
+    """Exact ARPA backoff score, vectorized.
+
+    tables: (keys (order, S), logps (order, S), backoffs (order, S));
+    ctx: (..., order-1) int32 — the LAST (order-1) ids, RIGHT-aligned
+    (ctx[..., -1] is the most recent), left-padded with junk; ctx_len:
+    (...,) int32 — how many trailing entries are valid; tok: (...,) int32
+    LM ids (< 0 treated as OOV -> unk penalty).
+
+    Returns log10 P(tok | ctx) following the standard backoff recursion
+    (reference semantics: native/ngram_lm.cpp Scorer::score).
+    """
+    import jax.numpy as jnp
+
+    keys, logps, backoffs = tables
+    order = keys.shape[0]
+    m_ctx = order - 1
+    # Positions: ctx[..., j] valid iff j >= m_ctx - ctx_len.
+    pos = np.arange(m_ctx)
+
+    # For each use-length u (number of context ids used, longest first),
+    # compute: found_u, logp_u for (ctx[-u:], tok); bo_found_u, bo_u for
+    # the context entry ctx[-u:] (order u).
+    found_list, logp_list, bo_list = [], [], []
+    for u in range(m_ctx, -1, -1):
+        # sequence = ctx[-u:] + [tok]; valid only if ctx_len >= u.
+        ids = jnp.concatenate(
+            [ctx[..., m_ctx - u:], tok[..., None].astype(jnp.int32)], -1)
+        valid = jnp.ones(ids.shape, bool)
+        fp = _fingerprint_jnp(ids, valid)
+        f, lp = _probe(keys[u], logps[u], fp, n_probes)
+        usable = ctx_len >= u
+        found_list.append(f & usable)
+        logp_list.append(lp)
+        if u >= 1:
+            ctx_ids = ctx[..., m_ctx - u:]
+            bo_fp = _fingerprint_jnp(ctx_ids, jnp.ones(ctx_ids.shape, bool))
+            bf, bo = _probe(keys[u - 1], backoffs[u - 1], bo_fp, n_probes)
+            bo_list.append(jnp.where(bf & usable, bo, 0.0))
+
+    # Sequential backoff emulation: first found level (longest) wins; the
+    # accumulated backoff is the sum of bo over levels longer than it.
+    n_levels = len(found_list)                        # = order
+    score = jnp.full(tok.shape, unk_logp)
+    taken = jnp.zeros(tok.shape, bool)
+    bo_sum = jnp.zeros(tok.shape, jnp.float32)
+    for i in range(n_levels):
+        hit = found_list[i] & ~taken
+        score = jnp.where(hit, bo_sum + logp_list[i], score)
+        taken = taken | hit
+        if i < len(bo_list):
+            bo_sum = bo_sum + jnp.where(taken, 0.0, bo_list[i])
+    # total miss: accumulated backoff + unk penalty
+    score = jnp.where(taken, score, bo_sum + unk_logp)
+    oov = tok < 0
+    return jnp.where(oov & ~taken, bo_sum + unk_logp, score)

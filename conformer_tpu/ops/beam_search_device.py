@@ -1,15 +1,25 @@
-"""Device-resident CTC prefix beam search (no LM), fully jittable.
+"""Device-resident CTC prefix beam search with optional n-gram LM fusion.
 
 The reference's beam search is sequential host Python per utterance
 (reference: processing/lm.py:62-75 via pyctcdecode). This implementation runs
 the entire search as one XLA program — ``lax.scan`` over frames, ``vmap`` over
-the batch — so batched beam decoding stays on-chip at accelerator speed. LM
-shallow fusion remains host-side (conformer_tpu.decode.beam_search); this op
-covers the no-LM operating point and first-pass generation for rescoring.
+the batch — so batched beam decoding stays on-chip at accelerator speed.
+
+LM shallow fusion (a SURVEY §2.10 north-star capability with no reference
+counterpart) queries an HBM-resident hashed token-level n-gram table
+(conformer_tpu.lm.device_table) on every candidate extension: the LM factor
+is folded multiplicatively into the non-blank path mass at emission time,
+which is algebraically identical to the host decoder's separate lm_score
+bookkeeping (every path of a prefix shares the prefix's LM score, so p_b and
+p_nb simply scale by it), and merging stays exact. The word-level host
+decoder (conformer_tpu.decode.beam_search) remains the reference operating
+point; the device LM is token-level (build with
+``cli.create_lm --token-level``).
 
 Algorithm (standard CTC prefix beam search, static shapes throughout):
 - beam state: prefix token buffer + length, last token, two independent
-  rolling hashes, log p(blank-ending) and log p(nonblank-ending);
+  rolling hashes, LM context ring, log p(blank-ending) and
+  log p(nonblank-ending);
 - per frame: the top-K non-blank tokens generate W "keep" candidates
   (blank + repeat mass) and W*K "extend" candidates;
 - identical prefixes merge by sorting on hash1 and segment-logsumexp over
@@ -21,6 +31,7 @@ Algorithm (standard CTC prefix beam search, static shapes throughout):
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -29,6 +40,7 @@ import jax.numpy as jnp
 NEG = -1e30
 _M1 = jnp.uint32(1000003)
 _M2 = jnp.uint32(2654435761)
+_LOG10_TO_LN = math.log(10.0)
 
 
 class BeamState(NamedTuple):
@@ -39,6 +51,8 @@ class BeamState(NamedTuple):
     h2: jnp.ndarray         # (W,) uint32
     p_b: jnp.ndarray        # (W,) f32 log prob of blank-ending paths
     p_nb: jnp.ndarray       # (W,) f32 log prob of nonblank-ending paths
+    lm_ctx: jnp.ndarray     # (W, order-1) int32 LM ids, right-aligned
+    lm_len: jnp.ndarray     # (W,) int32 valid context length
 
 
 def _logaddexp(a, b):
@@ -63,7 +77,16 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                            beam_width: int = 16, top_k: int = 8,
                            blank_id: int = 0,
                            unk_id: Optional[int] = None,
-                           max_len: Optional[int] = None
+                           max_len: Optional[int] = None,
+                           lm_tables=None,
+                           tok2lm: Optional[jnp.ndarray] = None,
+                           lm_alpha: float = 0.0,
+                           lm_beta: float = 0.0,
+                           delim_id: Optional[int] = None,
+                           lm_bos_id: int = -1,
+                           lm_unk_logp: float = -99.0,
+                           lm_order: int = 0,
+                           lm_n_probes: int = 8,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(B, T, V) log-softmax -> (prefixes (B, W, U), plens (B, W),
     scores (B, W)), best beam first.
@@ -71,13 +94,26 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
     `lengths` masks trailing frames; `max_len` caps emitted tokens
     (default T). `unk_id` tokens are never emitted (reference greedy drops
     <UNK>, processor.py:309).
+
+    LM fusion (optional): `lm_tables` = DeviceNgramTable.device_arrays(),
+    `tok2lm` (V,) int32 mapping token ids -> LM ids (-1 = OOV), `lm_alpha`
+    the fusion weight on ln-scale LM scores, `lm_beta` a per-word bonus
+    applied when `delim_id` is emitted; `lm_order`/`lm_n_probes` are static
+    table properties.
     """
     b, t, v = log_probs.shape
     u = max_len or t
     k = min(top_k, v - 1)
     w = beam_width
+    use_lm = lm_tables is not None and lm_order >= 2
+    m_ctx = max(lm_order - 1, 1)
 
     def decode_one(lp: jnp.ndarray, n: jnp.ndarray):
+        lm_ctx0 = jnp.full((w, m_ctx), -1, jnp.int32)
+        lm_len0 = jnp.zeros((w,), jnp.int32)
+        if use_lm and lm_bos_id >= 0:
+            lm_ctx0 = lm_ctx0.at[:, -1].set(lm_bos_id)
+            lm_len0 = jnp.ones((w,), jnp.int32)
         init = BeamState(
             prefixes=jnp.zeros((w, u), jnp.int32),
             plen=jnp.zeros((w,), jnp.int32),
@@ -86,6 +122,8 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             h2=jnp.zeros((w,), jnp.uint32),
             p_b=jnp.full((w,), NEG).at[0].set(0.0),
             p_nb=jnp.full((w,), NEG),
+            lm_ctx=lm_ctx0,
+            lm_len=lm_len0,
         )
 
         def step(state: BeamState, inputs):
@@ -107,7 +145,26 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
 
             # -- extend candidates (append c): (W*K,)
             base = jnp.where(is_rep, state.p_b[:, None], total[:, None])
-            ext_pnb = (base + cand_lp[None, :]).reshape(-1)
+            ext_scores = base + cand_lp[None, :]                # (W, K)
+            if use_lm:
+                # Shallow fusion: alpha * ln P_lm(c | ctx) folded into the
+                # emission mass (+ beta per word boundary). Exact backoff
+                # lookups against the HBM-resident hashed ARPA tables.
+                from conformer_tpu.lm.device_table import score_tokens
+
+                lm_tok = tok2lm[cand_tok]                       # (K,)
+                lm10 = score_tokens(
+                    lm_tables,
+                    jnp.broadcast_to(state.lm_ctx[:, None, :], (w, k, m_ctx)),
+                    jnp.broadcast_to(state.lm_len[:, None], (w, k)),
+                    jnp.broadcast_to(lm_tok[None, :], (w, k)),
+                    lm_unk_logp, lm_n_probes)                   # (W, K)
+                lm_delta = lm_alpha * _LOG10_TO_LN * lm10
+                if delim_id is not None and lm_beta:
+                    lm_delta = lm_delta + jnp.where(
+                        cand_tok[None, :] == delim_id, lm_beta, 0.0)
+                ext_scores = ext_scores + lm_delta
+            ext_pnb = ext_scores.reshape(-1)
             buffer_full = (state.plen[:, None] >= u) | (ext_pnb.reshape(w, k) <= NEG / 2)
             ext_pnb = jnp.where(buffer_full.reshape(-1), NEG, ext_pnb)
             ext_parent = jnp.repeat(jnp.arange(w), k)
@@ -149,6 +206,18 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             parent = c_parent[sel]
             tok = c_tok[sel]
             is_ext = tok >= 0
+            if use_lm:
+                new_tok_lm = tok2lm[jnp.maximum(tok, 0)]
+                shifted = jnp.concatenate(
+                    [state.lm_ctx[parent][:, 1:], new_tok_lm[:, None]], 1)
+                new_ctx = jnp.where(is_ext[:, None], shifted,
+                                    state.lm_ctx[parent])
+                new_len = jnp.where(
+                    is_ext, jnp.minimum(state.lm_len[parent] + 1, m_ctx),
+                    state.lm_len[parent])
+            else:
+                new_ctx = state.lm_ctx[parent]
+                new_len = state.lm_len[parent]
             new_state = BeamState(
                 prefixes=jnp.where(
                     is_ext[:, None]
@@ -159,7 +228,8 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 last=jnp.where(is_ext, tok, state.last[parent]),
                 h1=c_h1[sel], h2=c_h2[sel],
                 p_b=jnp.where(alive, seg_pb[sel_seg], NEG),
-                p_nb=jnp.where(alive, seg_pnb[sel_seg], NEG))
+                p_nb=jnp.where(alive, seg_pnb[sel_seg], NEG),
+                lm_ctx=new_ctx, lm_len=new_len)
 
             new_state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(
@@ -180,4 +250,6 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
 
 ctc_beam_search_device_jit = jax.jit(
     ctc_beam_search_device,
-    static_argnames=("beam_width", "top_k", "blank_id", "unk_id", "max_len"))
+    static_argnames=("beam_width", "top_k", "blank_id", "unk_id", "max_len",
+                     "lm_alpha", "lm_beta", "delim_id", "lm_bos_id",
+                     "lm_unk_logp", "lm_order", "lm_n_probes"))

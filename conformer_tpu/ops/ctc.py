@@ -28,36 +28,29 @@ from conformer_tpu.utils.masking import padding_mask
 def ctc_loss(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
              labels: jnp.ndarray, label_lengths: jnp.ndarray,
              blank_id: int = 0, zero_infinity: bool = True,
-             impl: str = "optax",
              row_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Mean CTC loss.
+    """Mean CTC loss (optax.ctc_loss dynamic program on device).
 
     logits: (B, T, V) unnormalized; logit_lengths: (B,); labels: (B, N) int;
-    label_lengths: (B,). Uses float32 throughout. impl='pallas' runs the
-    alpha/beta dynamic program as a Pallas kernel
-    (conformer_tpu.ops.pallas.ctc_loss) with identical numerics.
+    label_lengths: (B,). Uses float32 throughout.
+
+    A Pallas alpha/beta kernel was built and removed in round 2: it was exact
+    but 20x slower than optax's XLA scan at (B32, T199, N128) — per-frame op
+    latency on small (B, 2N+1) tiles is structural in Mosaic today and
+    neither frame-chunking, batch-tiling, nor pltpu.roll lane shifts closed
+    the gap (finding recorded in docs/PERFORMANCE.md).
 
     row_mask: optional (B,) bool — rows where False (e.g. the dummy rows that
     pad a remainder batch up to the static batch size) are excluded from the
     batch mean instead of diluting it.
     """
     logits = logits.astype(jnp.float32)
-    if impl == "pallas":
-        import jax as _jax
-
-        from conformer_tpu.ops.pallas.ctc_loss import ctc_loss_pallas
-
-        interpret = _jax.default_backend() not in ("tpu", "axon")
-        log_probs = _jax.nn.log_softmax(logits, axis=-1)
-        per_seq = ctc_loss_pallas(log_probs, logit_lengths, labels,
-                                  label_lengths, blank_id, interpret)
-    else:
-        logit_paddings = 1.0 - padding_mask(
-            logit_lengths, logits.shape[1]).astype(jnp.float32)
-        label_paddings = 1.0 - padding_mask(
-            label_lengths, labels.shape[1]).astype(jnp.float32)
-        per_seq = optax.ctc_loss(logits, logit_paddings, labels,
-                                 label_paddings, blank_id=blank_id)
+    logit_paddings = 1.0 - padding_mask(
+        logit_lengths, logits.shape[1]).astype(jnp.float32)
+    label_paddings = 1.0 - padding_mask(
+        label_lengths, labels.shape[1]).astype(jnp.float32)
+    per_seq = optax.ctc_loss(logits, logit_paddings, labels,
+                             label_paddings, blank_id=blank_id)
     if zero_infinity:
         per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
     # torch reduction='mean': divide by target length, then batch-average.

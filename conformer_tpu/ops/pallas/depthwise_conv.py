@@ -82,6 +82,53 @@ def _pallas_depthwise(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     )(x, w, b)
 
 
+def _dw_kernel(x_ref, g_ref, dw_ref, scratch_ref, *, kernel_size: int,
+               pad: int):
+    """Weight gradient: dw[k, c] = sum_{b,i} x[b, i+k-pad, c] * g[b, i, c].
+    One (L, C) slab per program (grid over batch, sequential), x in a
+    zero-padded halo scratch as in the forward; each tap is one fused
+    multiply + L-reduction on the VPU, accumulated into the (K, C) output
+    block across the batch grid."""
+    i = pl.program_id(0)
+    l = x_ref.shape[1]
+    scratch_ref[pl.ds(0, pad), :] = jnp.zeros_like(
+        scratch_ref[pl.ds(0, pad), :])
+    scratch_ref[pl.ds(pad, l), :] = x_ref[0]
+    tail = kernel_size - 1 - pad
+    if tail:
+        scratch_ref[pl.ds(pad + l, tail), :] = jnp.zeros_like(
+            scratch_ref[pl.ds(pad + l, tail), :])
+    g = g_ref[0].astype(jnp.float32)   # (L, C)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    for k in range(kernel_size):
+        tap = jnp.sum(scratch_ref[pl.ds(k, l), :].astype(jnp.float32) * g,
+                      axis=0, keepdims=True)          # (1, C)
+        dw_ref[k:k + 1, :] += tap.astype(dw_ref.dtype)
+
+
+def _pallas_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
+               interpret: bool = False) -> jnp.ndarray:
+    batch, l, c = x.shape
+    pad = (k - 1) // 2
+    kern = functools.partial(_dw_kernel, kernel_size=k, pad=pad)
+    vm = {"memory_space": _VMEM} if _VMEM and not interpret else {}
+    block = pl.BlockSpec((1, l, c), lambda i: (i, 0, 0), **vm)
+    from jax.experimental.pallas import tpu as _pltpu
+    return pl.pallas_call(
+        kern,
+        grid=(batch,),
+        in_specs=[block, block],
+        out_specs=pl.BlockSpec((k, c), lambda i: (0, 0), **vm),
+        scratch_shapes=[_pltpu.VMEM((l + k - 1, c), x.dtype)],
+        out_shape=jax.ShapeDtypeStruct((k, c), jnp.float32),
+        interpret=interpret,
+    )(x, g)
+
+
 def _xla_depthwise(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     c = x.shape[-1]
     out = jax.lax.conv_general_dilated(
@@ -117,16 +164,22 @@ def _fwd(x, w, b, use_pallas, interpret):
 
 def _bwd(use_pallas, interpret, res, g):
     x, w = res
+    batch, l, c = x.shape
     k = w.shape[0]
     # dx: depthwise conv of g with the flipped kernel.
     dx = _forward(g, w[::-1], jnp.zeros((w.shape[1],), w.dtype),
                   use_pallas, interpret)
     # dw[k, c] = sum_{b, i} x[b, i + k - pad, c] * g[b, i, c]
-    pad = (k - 1) // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
-    l = x.shape[1]
-    taps = [jnp.sum(xp[:, i: i + l, :] * g, axis=(0, 1)) for i in range(k)]
-    dw = jnp.stack(taps, axis=0)
+    bytes_needed = (2 * l * c + (l + k) * c) * x.dtype.itemsize
+    on_tpu = interpret or jax.default_backend() in ("tpu", "axon")
+    if use_pallas and on_tpu and bytes_needed <= _VMEM_BUDGET_BYTES:
+        dw = _pallas_dw(x, g, k, interpret).astype(w.dtype)
+    else:
+        pad = (k - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        taps = [jnp.sum(xp[:, i: i + l, :] * g, axis=(0, 1))
+                for i in range(k)]
+        dw = jnp.stack(taps, axis=0)
     db = jnp.sum(g, axis=(0, 1))
     return dx, dw, db
 

@@ -125,13 +125,14 @@ def sincos_attention_xla(qu, qv, k, v, wh, lengths, scale: float,
 # Kernels.
 # ---------------------------------------------------------------------------
 
-def _scores(qu, qv, k, wh_ref, sq_ref, cq_ref, sk_ref, ck_ref, scale, d2):
-    """(TQ, L) masked-free scaled scores for one (b, h, q-tile) program."""
+def _scores(qu, qv, k, wh, sq_ref, cq_ref, sk_ref, ck_ref, scale, d2):
+    """(TQ, L) masked-free scaled scores for one (b, h, q-tile) program.
+    wh: (dh, D) per-head projection operand (already read from VMEM)."""
     content = jax.lax.dot_general(
         qu, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                    # (TQ, L)
     a = jax.lax.dot_general(
-        qv, wh_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        qv, wh, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                    # (TQ, D)
     a_s, a_c = a[:, :d2], a[:, d2:]
     sq = sq_ref[...].astype(jnp.float32)                       # (TQ, D/2)
@@ -154,10 +155,11 @@ def _dropout_keep(seed, bi, hi, qi, shape, rate):
     inputs, so no (B, H, L, L) mask ever exists in HBM; being stateless it
     also runs in interpret mode (the TPU PRNG primitive does not)."""
     u = lambda c: np.uint32(c)
-    h = (seed.astype(jnp.uint32) * u(0x9E3779B9)
-         + bi.astype(jnp.uint32) * u(0x85EBCA6B)
-         + hi.astype(jnp.uint32) * u(0xC2B2AE35)
-         + qi.astype(jnp.uint32) * u(0x27D4EB2F))
+    as_u32 = lambda v: jnp.asarray(v).astype(jnp.uint32)
+    h = (as_u32(seed) * u(0x9E3779B9)
+         + as_u32(bi) * u(0x85EBCA6B)
+         + as_u32(hi) * u(0xC2B2AE35)
+         + as_u32(qi) * u(0x27D4EB2F))
     row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = h + col + row * u(0x01000193)
@@ -173,27 +175,36 @@ def _dropout_keep(seed, bi, hi, qi, shape, rate):
 def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, out_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float):
-    bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    """One (batch, q-tile) program; ALL heads are processed in an unrolled
+    loop. Grid programs cost ~3us of dispatch each — a (B, H, L/TQ) grid of
+    tiny per-head programs was dispatch-bound (the matmuls are sub-us), and
+    per-program operands (the sin/cos tables) were re-fetched per head."""
+    bi, hb, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_heads = qu_ref.shape[1]          # heads in this block
     tq = qu_ref.shape[2]
     l = k_ref.shape[2]
-    scores, _, _ = _scores(qu_ref[0, 0], qv_ref[0, 0], k_ref[0, 0], wh_ref,
-                           sq_ref, cq_ref, sk_ref, ck_ref, scale, d2)
     length = jnp.minimum(len_ref[bi], l_valid)
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
     valid = col < length
-    scores = jnp.where(valid, scores, NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m) * valid.astype(jnp.float32)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / jnp.maximum(s, 1e-9)
-    if rate > 0.0:
-        keep = _dropout_keep(seed_ref[0], bi, hi, qi, (tq, l), rate)
-        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-    out = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, 0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    vmask = valid.astype(jnp.float32)
+    for h in range(n_heads):
+        scores, _, _ = _scores(qu_ref[0, h], qv_ref[0, h], k_ref[0, h],
+                               wh_ref[h], sq_ref, cq_ref, sk_ref, ck_ref,
+                               scale, d2)
+        scores = jnp.where(valid, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m) * vmask
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / jnp.maximum(s, 1e-9)
+        if rate > 0.0:
+            keep = _dropout_keep(seed_ref[0], bi, hb * n_heads + h, qi,
+                                 (tq, l), rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        out = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, h] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
@@ -201,97 +212,103 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dwh_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float):
     """Recompute the probability tile (flash-style: no saved score tensors),
-    then emit all five gradients. dk/dv/dwh accumulate across the q-tile grid
-    dimension (innermost, so revisits are consecutive)."""
-    bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    then emit all five gradients; all heads per program (see _fwd_kernel).
+    dk/dv/dwh accumulate across the q-tile grid dimension (innermost, so
+    revisits are consecutive)."""
+    bi, hb, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_heads = qu_ref.shape[1]
     tq = qu_ref.shape[2]
     l = k_ref.shape[2]
-    qu = qu_ref[0, 0]
-    qv = qv_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
-
-    scores, a_s, a_c = _scores(qu, qv, k, wh_ref, sq_ref, cq_ref,
-                               sk_ref, ck_ref, scale, d2)
     length = jnp.minimum(len_ref[bi], l_valid)
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
     valid = col < length
-    scores = jnp.where(valid, scores, NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m) * valid.astype(jnp.float32)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / jnp.maximum(s, 1e-9)                               # (TQ, L)
-
-    dov = jax.lax.dot_general(                                 # dO . v_j
-        do, v.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # (TQ, L)
-    if rate > 0.0:
-        keep = _dropout_keep(seed_ref[0], bi, hi, qi, (tq, l), rate)
-        inv = 1.0 / (1.0 - rate)
-        p_drop = jnp.where(keep, p * inv, 0.0)
-        dp = jnp.where(keep, dov * inv, 0.0)
-    else:
-        p_drop = p
-        dp = dov
-    # softmax backward: ds = p * (dp - sum_j p*dp); delta = dO.O = sum p*dp.
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale                              # (TQ, L) fp32
-
-    dv_c = jax.lax.dot_general(                                # (L, dh)
-        p_drop.astype(do_ref.dtype), do_ref[0, 0],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    ds_c = ds.astype(k.dtype)
-    dqu = jax.lax.dot_general(                                 # (TQ, dh)
-        ds_c, k, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dk_c = jax.lax.dot_general(                                # (L, dh)
-        ds_c, qu, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dalpha = jax.lax.dot_general(                              # (TQ, D/2)
-        ds_c, ck_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dbeta = jax.lax.dot_general(
-        ds_c, sk_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    vmask = valid.astype(jnp.float32)
     sq = sq_ref[...].astype(jnp.float32)
     cq = cq_ref[...].astype(jnp.float32)
-    da_s = dalpha * sq - dbeta * cq
-    da_c = dalpha * cq + dbeta * sq
-    wh = wh_ref[0]                                             # (dh, D)
-    da_s_c = da_s.astype(wh.dtype)
-    da_c_c = da_c.astype(wh.dtype)
-    dqv = jax.lax.dot_general(                                 # (TQ, dh)
-        da_s_c, wh[:, :d2], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dqv = dqv + jax.lax.dot_general(
-        da_c_c, wh[:, d2:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwh_s = jax.lax.dot_general(                               # (dh, D/2)
-        qv, da_s_c, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwh_c = jax.lax.dot_general(
-        qv, da_c_c, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
 
-    dqu_ref[0, 0] = dqu.astype(dqu_ref.dtype)
-    dqv_ref[0, 0] = dqv.astype(dqv_ref.dtype)
+    for h in range(n_heads):
+        qu = qu_ref[0, h]
+        qv = qv_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        wh = wh_ref[h]                                         # (dh, D)
+        do = do_ref[0, h].astype(jnp.float32)
 
-    @pl.when(qi == 0)
-    def _init():
-        dk_ref[0, 0] = dk_c.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_c.astype(dv_ref.dtype)
-        dwh_ref[0, 0, :, :d2] = dwh_s.astype(dwh_ref.dtype)
-        dwh_ref[0, 0, :, d2:] = dwh_c.astype(dwh_ref.dtype)
+        scores, _, _ = _scores(qu, qv, k, wh, sq_ref, cq_ref,
+                               sk_ref, ck_ref, scale, d2)
+        scores = jnp.where(valid, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m) * vmask
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / jnp.maximum(s, 1e-9)                           # (TQ, L)
 
-    @pl.when(qi > 0)
-    def _acc():
-        dk_ref[0, 0] += dk_c.astype(dk_ref.dtype)
-        dv_ref[0, 0] += dv_c.astype(dv_ref.dtype)
-        dwh_ref[0, 0, :, :d2] += dwh_s.astype(dwh_ref.dtype)
-        dwh_ref[0, 0, :, d2:] += dwh_c.astype(dwh_ref.dtype)
+        dov = jax.lax.dot_general(                             # dO . v_j
+            do, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (TQ, L)
+        if rate > 0.0:
+            keep = _dropout_keep(seed_ref[0], bi, hb * n_heads + h, qi,
+                                 (tq, l), rate)
+            inv = 1.0 / (1.0 - rate)
+            p_drop = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dov * inv, 0.0)
+        else:
+            p_drop = p
+            dp = dov
+        # softmax bwd: ds = p * (dp - sum_j p*dp); delta = dO.O = sum p*dp.
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale                          # (TQ, L) fp32
+
+        dv_c = jax.lax.dot_general(                            # (L, dh)
+            p_drop.astype(do_ref.dtype), do_ref[0, h],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds_c = ds.astype(k.dtype)
+        dqu = jax.lax.dot_general(                             # (TQ, dh)
+            ds_c, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_c = jax.lax.dot_general(                            # (L, dh)
+            ds_c, qu, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dalpha = jax.lax.dot_general(                          # (TQ, D/2)
+            ds_c, ck_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbeta = jax.lax.dot_general(
+            ds_c, sk_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        da_s = dalpha * sq - dbeta * cq
+        da_c = dalpha * cq + dbeta * sq
+        da_s_c = da_s.astype(wh.dtype)
+        da_c_c = da_c.astype(wh.dtype)
+        dqv = jax.lax.dot_general(                             # (TQ, dh)
+            da_s_c, wh[:, :d2], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dqv = dqv + jax.lax.dot_general(
+            da_c_c, wh[:, d2:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwh_s = jax.lax.dot_general(                           # (dh, D/2)
+            qv, da_s_c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwh_c = jax.lax.dot_general(
+            qv, da_c_c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        dqu_ref[0, h] = dqu.astype(dqu_ref.dtype)
+        dqv_ref[0, h] = dqv.astype(dqv_ref.dtype)
+
+        @pl.when(qi == 0)
+        def _init(h=h, dk_c=dk_c, dv_c=dv_c, dwh_s=dwh_s, dwh_c=dwh_c):
+            dk_ref[0, h] = dk_c.astype(dk_ref.dtype)
+            dv_ref[0, h] = dv_c.astype(dv_ref.dtype)
+            dwh_ref[0, h, :, :d2] = dwh_s.astype(dwh_ref.dtype)
+            dwh_ref[0, h, :, d2:] = dwh_c.astype(dwh_ref.dtype)
+
+        @pl.when(qi > 0)
+        def _acc(h=h, dk_c=dk_c, dv_c=dv_c, dwh_s=dwh_s, dwh_c=dwh_c):
+            dk_ref[0, h] += dk_c.astype(dk_ref.dtype)
+            dv_ref[0, h] += dv_c.astype(dv_ref.dtype)
+            dwh_ref[0, h, :, :d2] += dwh_s.astype(dwh_ref.dtype)
+            dwh_ref[0, h, :, d2:] += dwh_c.astype(dwh_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -309,15 +326,38 @@ def _pad_args(qu, qv, k, v, lengths, tq):
     return qu, qv, k, v, lengths.astype(jnp.int32), l
 
 
-def _common_specs(b, h, l, tq, dh, d):
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _head_block(h, l, tq, dh, d, itemsize, bwd):
+    """Largest head-block size whose per-program buffers (x2 for pipeline
+    double-buffering) fit the VMEM budget. All heads per program kills grid
+    dispatch overhead at short L; long L needs smaller blocks."""
+    d2 = d // 2
+    tables = (2 * tq * d2 + 2 * l * d2) * itemsize
+    for hb in (h, *(2 ** i for i in range(10, -1, -1))):
+        if hb > h or h % hb:
+            continue
+        per_head_in = (3 * tq * dh + 2 * l * dh + dh * d) * itemsize
+        out_bytes = hb * tq * dh * itemsize
+        if bwd:
+            out_bytes = (2 * tq * dh + 2 * l * dh + dh * d) * 4 * hb
+        total = 2 * (hb * per_head_in + tables + out_bytes)
+        if total <= _VMEM_BUDGET:
+            return hb
+    return 1
+
+
+def _common_specs(b, h, hb, l, tq, dh, d):
+    """Grid (B, H/HB, L/TQ); every spec carries HB heads per program."""
     d2 = d // 2
     vm = dict(memory_space=pltpu.VMEM) if pltpu is not None else {}
     in_specs = [
-        pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-        pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-        pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
-        pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
-        pl.BlockSpec((1, dh, d), lambda bi, hi, qi, *_: (hi, 0, 0), **vm),
+        pl.BlockSpec((1, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+        pl.BlockSpec((1, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+        pl.BlockSpec((1, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+        pl.BlockSpec((1, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+        pl.BlockSpec((hb, dh, d), lambda bi, hi, qi, *_: (hi, 0, 0), **vm),
         pl.BlockSpec((tq, d2), lambda bi, hi, qi, *_: (qi, 0), **vm),
         pl.BlockSpec((tq, d2), lambda bi, hi, qi, *_: (qi, 0), **vm),
         pl.BlockSpec((l, d2), lambda bi, hi, qi, *_: (0, 0), **vm),
@@ -334,14 +374,15 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
     sin_t, cos_t = sincos_tables(l, d, table_dtype)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
 
-    in_specs, vm = _common_specs(b, h, l, tq, dh, d)
+    hb = _head_block(h, l, tq, dh, d, qu.dtype.itemsize, bwd=False)
+    in_specs, vm = _common_specs(b, h, hb, l, tq, dh, d)
     kern = functools.partial(_fwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l_orig, rate=rate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, h, l // tq),
+        grid=(b, h // hb, l // tq),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, tq, dh),
+        out_specs=pl.BlockSpec((1, hb, tq, dh),
                                lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
     )
     out = pl.pallas_call(
@@ -363,21 +404,22 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g):
     sin_t, cos_t = sincos_tables(l, d, table_dtype)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
 
-    in_specs, vm = _common_specs(b, h, l, tq, dh, d)
-    in_specs.append(pl.BlockSpec((1, 1, tq, dh),
+    hb = _head_block(h, l, tq, dh, d, qu.dtype.itemsize, bwd=True)
+    in_specs, vm = _common_specs(b, h, hb, l, tq, dh, d)
+    in_specs.append(pl.BlockSpec((1, hb, tq, dh),
                                  lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm))
     kern = functools.partial(_bwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l_orig, rate=rate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, h, l // tq),
+        grid=(b, h // hb, l // tq),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-            pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
-            pl.BlockSpec((1, 1, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
-            pl.BlockSpec((1, 1, dh, d), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            pl.BlockSpec((1, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+            pl.BlockSpec((1, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+            pl.BlockSpec((1, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            pl.BlockSpec((1, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            pl.BlockSpec((1, hb, dh, d), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
         ],
     )
     f32 = jnp.float32

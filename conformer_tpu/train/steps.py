@@ -72,7 +72,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
             # Dummy remainder-padding rows carry empty transcripts
             # (token_length 0); exclude them from the loss mean.
             loss = ctc_loss(logits, out_lengths, mb["tokens"],
-                            mb["token_lengths"], impl=cfg.optim.ctc_impl,
+                            mb["token_lengths"],
                             row_mask=mb["token_lengths"] > 0)
             return loss, updates["batch_stats"]
 

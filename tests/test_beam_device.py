@@ -196,3 +196,91 @@ class TestFuzzAgainstHostReference:
                         np.asarray(prefixes)[0, 0, :int(plens[0, 0])])
             assert got == want[0][0], f"trial {trial}"
             assert abs(float(scores[0, 0]) - want[0][1]) < 5e-3, f"trial {trial}"
+
+
+class TestDeviceLMFusion:
+    """On-device LM fusion: a token-level n-gram LM queried from HBM-resident
+    hashed tables must tip ambiguous acoustics toward corpus sequences —
+    mirroring the host decoder's LM-rescue test (tests/test_lm_beam.py)."""
+
+    @pytest.fixture(scope="class")
+    def token_lm(self, tmp_path_factory):
+        from conformer_tpu.lm.device_table import DeviceNgramTable
+        from conformer_tpu.lm.ngram import build_arpa
+        from conformer_tpu.text.tokenizer import load_tokenizer
+
+        tok = load_tokenizer("vi")
+        root = tmp_path_factory.mktemp("devbeamlm")
+        corpus = root / "tokens.txt"
+        lines = []
+        for text in ["xin chào", "xin chào bạn", "cảm ơn bạn",
+                     "tạm biệt", "xin lỗi", "chào bạn"] * 5:
+            ids = tok.encode(tok.clean_text(text.upper()))
+            lines.append(" ".join(tok.vocab[i] for i in ids))
+        corpus.write_text("\n".join(lines), encoding="utf8")
+        arpa = str(root / "lm_tokens.arpa")
+        build_arpa(str(corpus), arpa, order=4)
+        table = DeviceNgramTable.from_arpa(arpa)
+        tok2lm = np.array([table.vocab.get(s, -1) for s in tok.vocab],
+                          np.int32)
+        return tok, table, tok2lm
+
+    def _lm_kwargs(self, table, tok2lm, tok, alpha=0.8, beta=0.0):
+        return dict(lm_tables=table.device_arrays(),
+                    tok2lm=jnp.asarray(tok2lm), lm_alpha=alpha, lm_beta=beta,
+                    delim_id=tok.delim_id, lm_bos_id=int(table.bos_id),
+                    lm_unk_logp=float(table.unk_logp),
+                    lm_order=int(table.order),
+                    lm_n_probes=int(table.n_probes))
+
+    def _frames(self, tok, text):
+        ids = tok.encode(text)
+        seq = []
+        for t_ in ids:
+            seq.extend([t_, t_, tok.pad_id])
+        lp = np.full((len(seq), tok.vocab_size), -8.0, np.float32)
+        for i, t_ in enumerate(seq):
+            lp[i, t_] = -0.05
+        return lp - np.log(np.exp(lp).sum(1, keepdims=True))
+
+    def _decode_text(self, tok, prefixes, plens):
+        ids = [int(x) for x in np.asarray(prefixes)[0, 0,
+                                                    :int(plens[0, 0])]]
+        return "".join(" " if i == tok.delim_id else tok.vocab[i]
+                       for i in ids)
+
+    def test_lm_rescues_ambiguous_path(self, token_lm):
+        tok, table, tok2lm = token_lm
+        lp = self._frames(tok, "xin chào")
+        ch, tr = tok.token_id("CH"), tok.token_id("TR")
+        for t_ in range(lp.shape[0]):
+            if np.argmax(lp[t_]) == ch:
+                lp[t_, tr] = lp[t_, ch] + 0.3
+                lp[t_] -= np.log(np.exp(lp[t_]).sum())
+
+        no_lm = ctc_beam_search_device(jnp.asarray(lp[None]), beam_width=16,
+                                       top_k=8, unk_id=tok.unk_id)
+        with_lm = ctc_beam_search_device(
+            jnp.asarray(lp[None]), beam_width=16, top_k=8, unk_id=tok.unk_id,
+            **self._lm_kwargs(table, tok2lm, tok))
+        assert self._decode_text(tok, no_lm[0], no_lm[1]) == "XIN TRÀO"
+        assert self._decode_text(tok, with_lm[0], with_lm[1]) == "XIN CHÀO"
+
+    def test_clean_path_unchanged_by_lm(self, token_lm):
+        tok, table, tok2lm = token_lm
+        lp = self._frames(tok, "cảm ơn bạn")
+        with_lm = ctc_beam_search_device(
+            jnp.asarray(lp[None]), beam_width=8, top_k=4, unk_id=tok.unk_id,
+            **self._lm_kwargs(table, tok2lm, tok))
+        assert self._decode_text(tok, with_lm[0], with_lm[1]) == "CẢM ƠN BẠN"
+
+    def test_jittable_with_lm(self, token_lm):
+        tok, table, tok2lm = token_lm
+        import functools
+
+        f = jax.jit(functools.partial(
+            ctc_beam_search_device, beam_width=8, top_k=4,
+            unk_id=tok.unk_id, **self._lm_kwargs(table, tok2lm, tok)))
+        lp = self._frames(tok, "xin chào")
+        prefixes, plens, scores = f(jnp.asarray(lp[None]))
+        assert np.isfinite(np.asarray(scores)[0, 0])

@@ -168,62 +168,6 @@ class TestMelKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
-class TestCTCKernel:
-    def _case(self, seed=0, B=3, T=20, V=12, N=6):
-        import optax
-        rng = np.random.default_rng(seed)
-        logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
-        labels = jnp.asarray(rng.integers(1, V, size=(B, N)).astype(np.int32))
-        labels = labels.at[0, 2].set(labels[0, 1])  # repeated-label skip case
-        tl = jnp.asarray(rng.integers(T // 2, T + 1, B).astype(np.int32))
-        ll = jnp.asarray(rng.integers(2, N + 1, B).astype(np.int32))
-        lp_pad = 1.0 - (jnp.arange(T)[None] < tl[:, None]).astype(jnp.float32)
-        lab_pad = 1.0 - (jnp.arange(N)[None] < ll[:, None]).astype(jnp.float32)
-        return logits, labels, tl, ll, lp_pad, lab_pad
-
-    def test_loss_matches_optax(self):
-        import optax
-        from conformer_tpu.ops.pallas.ctc_loss import ctc_loss_pallas
-        logits, labels, tl, ll, lp_pad, lab_pad = self._case()
-        want = optax.ctc_loss(logits, lp_pad, labels, lab_pad, blank_id=0)
-        got = ctc_loss_pallas(jax.nn.log_softmax(logits, -1), tl, labels, ll,
-                              0, True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-5)
-
-    def test_gradients_match_optax(self):
-        import optax
-        from conformer_tpu.ops.pallas.ctc_loss import ctc_loss_pallas
-        logits, labels, tl, ll, lp_pad, lab_pad = self._case(seed=1)
-
-        def f_p(lg):
-            return jnp.sum(ctc_loss_pallas(jax.nn.log_softmax(lg, -1), tl,
-                                           labels, ll, 0, True))
-
-        def f_o(lg):
-            return jnp.sum(optax.ctc_loss(lg, lp_pad, labels, lab_pad,
-                                          blank_id=0))
-
-        gp = jax.grad(f_p)(logits)
-        go = jax.grad(f_o)(logits)
-        np.testing.assert_allclose(np.asarray(gp), np.asarray(go), atol=1e-5)
-
-    def test_wrapper_dispatch_matches(self):
-        from conformer_tpu.ops.ctc import ctc_loss
-        logits, labels, tl, ll, _, _ = self._case(seed=2)
-        a = ctc_loss(logits, tl, labels, ll, impl="optax")
-        b = ctc_loss(logits, tl, labels, ll, impl="pallas")
-        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
-
-    def test_impossible_alignment_zeroed(self):
-        from conformer_tpu.ops.ctc import ctc_loss
-        logits = jnp.zeros((1, 3, 6))
-        labels = jnp.asarray([[1, 2, 3, 4, 5]])
-        loss = ctc_loss(logits, jnp.array([3]), labels, jnp.array([5]),
-                        impl="pallas")
-        assert np.isfinite(float(loss))
-
-
 class TestSincosAttention:
     """Shift-free fused rel-pos attention (ops/pallas/sincos_attention.py):
     parity against the rel-shift reference path, fused-backward gradient

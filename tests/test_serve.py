@@ -1,0 +1,134 @@
+"""Serving micro-batching: concurrent requests must ride shared batches
+(fixed shapes per bucket), and the HTTP surface must report them."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from conformer_tpu.cli.serve import MicroBatcher, make_handler
+from conformer_tpu.config import Config
+
+SR = 16000
+
+
+class FakePipe:
+    """Stands in for InferencePipeline: records batch shapes, simulates a
+    fixed per-batch device cost (so batching visibly wins)."""
+
+    def __init__(self, cost_s=0.05):
+        self.cost_s = cost_s
+        self.batches = []
+
+    def transcribe_batch(self, batch):
+        real = int((batch.audio_lengths > 1).sum())
+        self.batches.append((batch.audio.shape, real))
+        time.sleep(self.cost_s)
+        return [f"UTT{i}" if batch.audio_lengths[i] > 1 else ""
+                for i in range(batch.audio.shape[0])]
+
+
+def _signal(seconds=1.0, value=0.1):
+    return np.full(int(seconds * SR), value, np.float32)
+
+
+class TestMicroBatcher:
+    def test_concurrent_requests_share_batches(self):
+        pipe = FakePipe()
+        mb = MicroBatcher(pipe, [2 * SR, 4 * SR], max_batch=4, window_ms=150)
+        results = [None] * 6
+
+        def client(i):
+            results[i] = mb.submit(_signal(1.0))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and r.startswith("UTT") for r in results)
+        assert mb.stats["requests"] == 6
+        assert mb.stats["batches"] < 6          # batching engaged
+        assert mb.stats["batched_requests"] >= 2
+        assert mb.stats["max_batch_seen"] >= 2
+        # every dispatched batch kept the static (max_batch, bucket) shape
+        for shape, _real in pipe.batches:
+            assert shape == (4, 2 * SR)
+
+    def test_mixed_buckets_do_not_mix_shapes(self):
+        pipe = FakePipe(cost_s=0.01)
+        mb = MicroBatcher(pipe, [2 * SR, 4 * SR], max_batch=4, window_ms=100)
+        results = {}
+
+        def client(name, seconds):
+            results[name] = mb.submit(_signal(seconds))
+
+        threads = [threading.Thread(target=client, args=(f"s{i}", 1.0))
+                   for i in range(2)]
+        threads += [threading.Thread(target=client, args=(f"l{i}", 3.0))
+                    for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4
+        shapes = {s for s, _ in pipe.batches}
+        assert shapes <= {(4, 2 * SR), (4, 4 * SR)}
+        assert len(shapes) == 2                  # both buckets served
+
+    def test_worker_error_propagates(self):
+        class BoomPipe:
+            def transcribe_batch(self, batch):
+                raise ValueError("device on fire")
+
+        mb = MicroBatcher(BoomPipe(), [SR], max_batch=2, window_ms=5)
+        with pytest.raises(RuntimeError, match="device on fire"):
+            mb.submit(_signal(0.5))
+
+
+class TestHTTPServer:
+    def test_end_to_end_concurrent_clients(self):
+        from http.server import ThreadingHTTPServer
+        from scipy.io import wavfile
+
+        pipe = FakePipe()
+        mb = MicroBatcher(pipe, [2 * SR], max_batch=4, window_ms=150)
+        handler = make_handler(mb, Config())
+        server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            buf = io.BytesIO()
+            wavfile.write(buf, SR, (np.ones(SR) * 1000).astype(np.int16))
+            raw = buf.getvalue()
+
+            codes, bodies = [None] * 5, [None] * 5
+
+            def client(i):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/transcribe", data=raw)
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    codes[i] = r.status
+                    bodies[i] = json.loads(r.read())
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(5)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert codes == [200] * 5
+            assert all(b["text"].startswith("UTT") for b in bodies)
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats", timeout=10) as r:
+                stats = json.loads(r.read())
+            assert stats["requests"] == 5
+            assert stats["batches"] < 5          # batching engaged over HTTP
+        finally:
+            server.shutdown()

@@ -1,0 +1,93 @@
+"""Streaming decode: single-chunk output is identical to offline greedy
+decode; chunked processing is invariant to how the audio is block-fed."""
+
+import numpy as np
+import pytest
+
+from conformer_tpu.config import Config
+from conformer_tpu.text.tokenizer import load_tokenizer
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+
+    from conformer_tpu.train.steps import init_variables
+
+    tok = load_tokenizer("vi")
+    cfg = Config().override(**{
+        "model.n_blocks": 2, "model.d_model": 64, "model.n_heads": 2,
+        "model.kernel_size": 7, "model.lstm_hidden_dim": 64,
+        "model.dropout_rate": 0.0, "model.use_remat": False,
+        "model.use_scan_layers": False, "model.vocab_size": tok.vocab_size,
+        "optim.compute_dtype": "float32"})
+    variables = init_variables(cfg, jax.random.PRNGKey(0))
+    return cfg, tok, variables
+
+
+def _audio(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    return (0.4 * np.sin(2 * np.pi * 300 * t)
+            + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def _offline_text(cfg, tok, variables, audio):
+    import jax
+
+    from conformer_tpu.ops.ctc import greedy_decode
+    from conformer_tpu.train.steps import make_forward
+
+    forward = make_forward(cfg)
+    logits, out_len = jax.jit(forward)(
+        variables, audio[None], np.asarray([len(audio)], np.int32))
+    packed, counts = greedy_decode(logits, out_len, unk_id=tok.unk_id)
+    return tok.collapsed_ids_to_text(np.asarray(packed)[0],
+                                     int(np.asarray(counts)[0]))
+
+
+class TestStreaming:
+    def test_single_chunk_matches_offline(self, setup):
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        audio = _audio(1.5)
+        want = _offline_text(cfg, tok, variables, audio)
+
+        st = StreamingTranscriber(cfg, tok, variables, chunk_s=2.0,
+                                  left_context_s=4.0)
+        st.feed(audio)
+        st.finish()
+        assert st.text == want
+
+    def test_block_size_invariance(self, setup):
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        audio = _audio(3.3, seed=1)
+
+        def run(block):
+            st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                      left_context_s=2.0)
+            for i in range(0, len(audio), block):
+                st.feed(audio[i: i + block])
+            st.finish()
+            return st.text
+
+        texts = {run(b) for b in (1000, 7777, len(audio))}
+        assert len(texts) == 1  # feeding granularity must not matter
+
+    def test_incremental_emission_accumulates(self, setup):
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        audio = _audio(2.6, seed=2)
+        st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                  left_context_s=2.0)
+        emitted = st.feed(audio) + st.finish()
+        # Raw emitted pieces assemble into the final text.
+        raw = "".join(st._pieces).replace(tok.delim_token, " ")
+        assert tok.spec_decode(raw).strip() == st.text
+        assert emitted == "".join(st._pieces)

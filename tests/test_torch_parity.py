@@ -104,3 +104,65 @@ class TestParity:
         # models produce matching logits (test above) and that nothing in the
         # converter raised a KeyError.
         assert n_ours > 0 and n_ref > 0
+
+
+@pytest.mark.slow
+class TestProdShapeParity:
+    """Parity at the production operating point (17 blocks, d=512, 8 heads,
+    kernel 31, LSTM 640, vocab 370 — reference: train.py:324-330), so the
+    scan layout and checkpoint converter stay compatible with real reference
+    checkpoints at full scale. Opt-in slow test: pytest -m slow."""
+
+    def test_prod_logits_match_and_tp_shardings_build(self):
+        import jax
+        import jax.numpy as jnp
+
+        from model.conformer import Conformer as TorchConformer  # reference
+        from conformer_tpu.config import ModelConfig
+        from conformer_tpu.models.conformer import Conformer as JaxConformer
+        from tools.import_torch_checkpoint import convert_state_dict
+
+        torch.manual_seed(1)
+        tmodel = TorchConformer(
+            vocab_size=370, n_mel_channels=80, n_conformer_blocks=17,
+            d_model=512, n_heads=8, kernel_size=31, lstm_hidden_dim=640,
+            n_lstm_layers=1, dropout_rate=0.0).eval()
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+        cfg = ModelConfig(dropout_rate=0.0, use_remat=False,
+                          use_scan_layers=True, conv_mask_pad=False)
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+        params, batch_stats = convert_state_dict(sd, cfg.n_blocks, cfg.d_model,
+                                                 scan_layers=True)
+
+        rng = np.random.default_rng(3)
+        b, t = 1, 61
+        mels = rng.standard_normal((b, 80, t)).astype(np.float32)
+        lengths = np.array([t], np.int64)
+        with torch.no_grad():
+            t_logits, t_lengths = tmodel(torch.tensor(mels),
+                                         torch.tensor(lengths))
+        jmodel = JaxConformer(cfg, deterministic=True)
+        (j_logits, j_lengths), _ = jmodel.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(mels.transpose(0, 2, 1)), jnp.asarray(lengths),
+            mutable=[])
+        np.testing.assert_array_equal(np.asarray(j_lengths),
+                                      t_lengths.numpy())
+        t_np, j_np = t_logits.numpy(), np.asarray(j_logits)
+        n = int(t_lengths[0])
+        diff = np.abs(t_np[0, :n] - j_np[0, :n]).max()
+        scale = np.abs(t_np[0, :n]).max()
+        assert diff < 5e-3 + 1e-3 * scale, f"prod maxdiff {diff}"
+
+        # TP partition rules must cover the full prod parameter tree
+        # (imported-checkpoint layout) without structural mismatch.
+        from conformer_tpu.parallel.mesh import (make_mesh,
+                                                 make_param_shardings)
+        mesh = make_mesh(dp=4, tp=2)
+        shardings = make_param_shardings(mesh, params, tp_enabled=True)
+        assert (jax.tree_util.tree_structure(shardings)
+                == jax.tree_util.tree_structure(params))

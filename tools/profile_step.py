@@ -63,7 +63,11 @@ def main():
 
     cfg = Config()
     cfg = cfg.override(**{
-        "model.use_remat": os.environ.get("BENCH_REMAT", "0") == "1"})
+        "model.use_remat": os.environ.get("BENCH_REMAT", "0") == "1",
+        "model.attention_impl": os.environ.get("BENCH_ATTN", "xla"),
+        "model.attention_score_dtype": os.environ.get("BENCH_SCORE",
+                                                      "bfloat16"),
+        "model.conv_impl": os.environ.get("BENCH_CONV", "xla")})
     sr = cfg.audio.sample_rate
     num_samples = int(args.audio_s * sr)
     b = args.batch
@@ -93,6 +97,11 @@ def main():
     enc_out = enc_fn(enc_vars, mels, mel_lengths)
     print(f"encoder fwd:       {t_enc*1e3:8.2f} ms   {enc_out.shape}")
 
+    enc_gd = jax.jit(jax.grad(lambda v, m, l: jnp.sum(
+        enc.apply(v, m, l, mutable=[])[0][0].astype(jnp.float32))))
+    t_encb = timeit(enc_gd, enc_vars, mels, mel_lengths)
+    print(f"encoder fwd+bwd:   {t_encb*1e3:8.2f} ms")
+
     dec = LSTMDecoder(cfg.model.vocab_size, cfg.model.lstm_hidden_dim,
                       cfg.model.n_lstm_layers,
                       dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
@@ -103,11 +112,21 @@ def main():
     logits = dec_fn(dec_vars, enc_out)
     print(f"decoder fwd:       {t_dec*1e3:8.2f} ms   {logits.shape}")
 
+    dec_gd = jax.jit(jax.grad(lambda v, x: jnp.sum(
+        dec.apply(v, x, mutable=[])[0].astype(jnp.float32))))
+    t_decb = timeit(dec_gd, dec_vars, enc_out)
+    print(f"decoder fwd+bwd:   {t_decb*1e3:8.2f} ms")
+
     from conformer_tpu.utils.masking import subsampled_length
     out_lengths = subsampled_length(mel_lengths)
-    loss_fn = jax.jit(lambda lg: ctc_loss(lg, out_lengths, tokens, token_lengths))
+    loss_fn = jax.jit(lambda lg: ctc_loss(lg, out_lengths, tokens,
+                                          token_lengths))
     t_loss = timeit(loss_fn, logits.astype(jnp.float32))
     print(f"ctc loss:          {t_loss*1e3:8.2f} ms")
+    loss_gd = jax.jit(jax.grad(lambda lg: ctc_loss(
+        lg, out_lengths, tokens, token_lengths)))
+    t_lossb = timeit(loss_gd, logits.astype(jnp.float32))
+    print(f"ctc fwd+bwd:       {t_lossb*1e3:8.2f} ms")
 
     tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
     variables = init_variables(cfg, rng, mel_frames=num_samples // 160 + 1)
