@@ -19,17 +19,21 @@ import jax.numpy as jnp
 from conformer_tpu.config import AugmentConfig
 
 
-def _axis_mask(rng: jax.Array, n_masks: int, mask_param: int, axis_len: int,
-               prob: float) -> jnp.ndarray:
-    """-> (axis_len,) bool, True where masked."""
+def _axis_masks(rng: jax.Array, b: int, n_masks: int, mask_param: int,
+                axis_len: int, prob: float) -> jnp.ndarray:
+    """-> (B, axis_len) bool, True where masked. One batched draw — the
+    per-example vmap-over-split formulation cost ~3 ms of pure PRNG-chain
+    and tiny-op overhead per step."""
     k_width, k_start = jax.random.split(rng)
     cap = jnp.asarray(int(prob * axis_len), dtype=jnp.int32)
-    widths = jax.random.randint(k_width, (n_masks,), 0, mask_param + 1)
+    widths = jax.random.randint(k_width, (b, n_masks), 0, mask_param + 1)
     widths = jnp.minimum(widths, cap)
-    starts = jax.random.randint(k_start, (n_masks,), 0, jnp.maximum(axis_len - widths, 1))
-    pos = jnp.arange(axis_len)[None, :]
-    in_mask = (pos >= starts[:, None]) & (pos < (starts + widths)[:, None])
-    return jnp.any(in_mask, axis=0)
+    starts = jax.random.randint(k_start, (b, n_masks), 0,
+                                jnp.maximum(axis_len - widths, 1))
+    pos = jnp.arange(axis_len)[None, None, :]
+    in_mask = ((pos >= starts[..., None])
+               & (pos < (starts + widths)[..., None]))     # (B, N, L)
+    return jnp.any(in_mask, axis=1)
 
 
 def spec_augment(rng: jax.Array, mel: jnp.ndarray, cfg: AugmentConfig,
@@ -42,13 +46,14 @@ def spec_augment(rng: jax.Array, mel: jnp.ndarray, cfg: AugmentConfig,
     if not cfg.enabled:
         return mel
     b, t, f = mel.shape
-
-    def one(rng_i, mel_i):
-        k_t, k_f = jax.random.split(rng_i)
-        tmask = _axis_mask(k_t, cfg.n_time_masks, cfg.time_mask_param, t, cfg.prob)
-        fmask = _axis_mask(k_f, cfg.n_freq_masks, cfg.freq_mask_param, f, cfg.prob)
-        masked = tmask[:, None] | fmask[None, :]
-        fill = 0.0 if cfg.zero_masking else jnp.mean(mel_i)
-        return jnp.where(masked, fill, mel_i)
-
-    return jax.vmap(one)(jax.random.split(rng, b), mel)
+    k_t, k_f = jax.random.split(rng)
+    tmask = _axis_masks(k_t, b, cfg.n_time_masks, cfg.time_mask_param, t,
+                        cfg.prob)
+    fmask = _axis_masks(k_f, b, cfg.n_freq_masks, cfg.freq_mask_param, f,
+                        cfg.prob)
+    masked = tmask[:, :, None] | fmask[:, None, :]
+    if cfg.zero_masking:
+        fill = jnp.zeros((b, 1, 1), mel.dtype)
+    else:
+        fill = jnp.mean(mel, axis=(1, 2), keepdims=True)
+    return jnp.where(masked, fill, mel)

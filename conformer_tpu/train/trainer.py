@@ -34,6 +34,16 @@ class Trainer:
                  mesh: Optional[Mesh] = None,
                  logger: Optional[MetricsLogger] = None):
         cfg = cfg.override(**{"model.vocab_size": tokenizer.vocab_size})
+        if (mesh is not None and np.prod(list(mesh.shape.values())) > 1
+                and cfg.model.attention_impl == "pallas"):
+            # The fused attention kernel has no GSPMD partitioning rule: the
+            # auto-partitioner cannot shard a pallas_call across the mesh.
+            # The XLA path is numerically identical and partitions cleanly;
+            # single-chip training keeps the kernel. (shard_map-wrapping the
+            # kernel per mesh axis is future work — ROADMAP.md.)
+            print("[trainer] attention_impl=pallas is single-chip only; "
+                  "using 'xla' on the multi-chip mesh")
+            cfg = cfg.override(**{"model.attention_impl": "xla"})
         if cfg.train.prng_impl:
             try:
                 jax.config.update("jax_default_prng_impl", cfg.train.prng_impl)
