@@ -43,7 +43,9 @@ def main() -> None:
     from conformer_tpu.train.steps import init_variables, make_train_step
 
     mode = os.environ.get("BENCH_MODE", "train")
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    # Batch 48 is the best measured single-chip operating point (sweep:
+    # b32 2866 -> b48 2966 audio-s/s, remat off, unrolled blocks).
+    batch_size = int(os.environ.get("BENCH_BATCH", "48"))
     audio_s = float(os.environ.get("BENCH_AUDIO_S", "8.0"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 

@@ -131,3 +131,26 @@ class TestGradAccumulation:
         p1 = jax.tree_util.tree_leaves(state_1.params)[0]
         p2 = jax.tree_util.tree_leaves(state_2.params)[0]
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+
+
+class TestAttentionImplGuard:
+    def test_pallas_attention_forced_to_xla_on_mesh(self, tmp_path):
+        from conformer_tpu.config import Config
+        from conformer_tpu.parallel.mesh import make_mesh
+        from conformer_tpu.text.tokenizer import load_tokenizer
+        from conformer_tpu.train.trainer import Trainer
+
+        cfg = Config().override(**{
+            "model.n_blocks": 2, "model.d_model": 64, "model.n_heads": 2,
+            "model.kernel_size": 7, "model.lstm_hidden_dim": 64,
+            "model.attention_impl": "pallas", "model.use_remat": False,
+            "optim.compute_dtype": "float32",
+            "train.checkpoint_dir": str(tmp_path), "train.resume": False})
+        tok = load_tokenizer("vi")
+        import jax
+        mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+        trainer = Trainer(cfg, tok, mesh=mesh)
+        # The kernel has no GSPMD partition rule; the trainer must fall back.
+        assert trainer.cfg.model.attention_impl == "xla"
+        single = Trainer(cfg, tok, mesh=None)
+        assert single.cfg.model.attention_impl == "pallas"
