@@ -86,10 +86,13 @@ class ModelConfig:
     # reference: model/utils/convolution.py:15 with no masking).
     conv_mask_pad: bool = True
     decoder_norm_masked: bool = True # mask-aware BatchNorm stats in the decoder
-    # 'xla' dense scores | 'pallas' fused shift-free sin/cos kernel (fused
-    # fwd+bwd, in-kernel dropout; scores never touch HBM) | 'pallas_bias'
-    # round-1 bias-fused kernel (inference-only, neutral; kept for benches).
-    attention_impl: str = "xla"
+    # 'pallas' (default): fused shift-free sin/cos kernel — fused fwd+bwd,
+    # in-kernel dropout, scores never touch HBM; 2-10x vs the dense path on
+    # TPU. Falls back to identical-math XLA off-TPU; the Trainer forces
+    # 'xla' on multi-chip meshes (no GSPMD partition rule for the kernel).
+    # 'xla': dense (B,H,L,L) scores + rel-shift. 'pallas_bias': round-1
+    # bias-fused kernel (inference-only, neutral; kept for benches).
+    attention_impl: str = "pallas"
     # Attention score tensor IO dtype. bfloat16 halves the dominant HBM
     # traffic at (B,H,L,L); softmax still reduces in float32.
     attention_score_dtype: str = "float32"
