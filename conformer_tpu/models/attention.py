@@ -81,8 +81,10 @@ class RelativeMultiHeadAttention(nn.Module):
         if self.impl == "pallas":
             # Fully-fused shift-free kernel: scores never touch HBM, fused
             # backward, in-kernel dropout — used for training and inference.
+            # Under an active mesh (jax.set_mesh) the call is shard_mapped
+            # over the data/model axes (pallas has no GSPMD partition rule).
             from conformer_tpu.ops.pallas.sincos_attention import (
-                prep_pos_kernel, rel_attention_sincos)
+                prep_pos_kernel, rel_attention_sincos_sharded)
 
             import jax
 
@@ -94,7 +96,7 @@ class RelativeMultiHeadAttention(nn.Module):
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0,
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-            context = rel_attention_sincos(
+            context = rel_attention_sincos_sharded(
                 jnp.transpose(q + u, (0, 2, 1, 3)),
                 jnp.transpose(q + vb, (0, 2, 1, 3)),
                 jnp.transpose(k, (0, 2, 1, 3)),

@@ -487,3 +487,64 @@ def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
                       tq, interpret)
     return sincos_attention_xla(qu, qv, k, v, wh, lengths, scale,
                                 dropout_rate, seed)
+
+
+def shardable_axes(mesh, b: int, h: int,
+                   data_axis: str = "data", model_axis: str = "model"):
+    """Which mesh axes the attention call can shard over: the batch over
+    `data_axis` and heads over `model_axis`, subject to divisibility.
+    Returns (data_axis | None, model_axis | None); (None, None) means
+    shard_map would be pointless."""
+    names = getattr(mesh, "axis_names", ())
+    shape = dict(getattr(mesh, "shape", {}))
+    d_ax = (data_axis if data_axis in names and shape.get(data_axis, 1) > 1
+            and b % shape[data_axis] == 0 else None)
+    m_ax = (model_axis if model_axis in names and shape.get(model_axis, 1) > 1
+            and h % shape[model_axis] == 0 else None)
+    return d_ax, m_ax
+
+
+def rel_attention_sincos_sharded(qu, qv, k, v, wh, lengths, scale: float,
+                                 dropout_rate: float = 0.0,
+                                 seed=None, tq: int = 128,
+                                 interpret: bool = False, mesh=None,
+                                 data_axis: str = "data",
+                                 model_axis: str = "model"):
+    """shard_map wrapper: batch sharded over the data axis, heads over the
+    model axis, everything inside each shard the plain fused kernel.
+
+    A pallas_call has no GSPMD partitioning rule, so under plain pjit the
+    auto-partitioner cannot shard it; shard_map makes the decomposition
+    explicit — and its transpose rule inserts the psum that accumulates the
+    pos-projection gradient across data shards. The dropout seed is mixed
+    with the shard's axis indices so masks stay independent across shards.
+    Falls back to the unsharded call when no axis is shardable.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+    b, h = qu.shape[0], qu.shape[1]
+    d_ax, m_ax = shardable_axes(mesh, b, h, data_axis, model_axis)
+    if d_ax is None and m_ax is None:
+        return rel_attention_sincos(qu, qv, k, v, wh, lengths, scale,
+                                    dropout_rate, seed, tq, interpret)
+    if lengths is None:
+        lengths = jnp.full((b,), qu.shape[2], jnp.int32)
+    seed_arr = jnp.asarray(0 if seed is None else seed, jnp.int32)
+
+    def body(qu, qv, k, v, wh, lengths, seed):
+        if d_ax is not None:
+            seed = seed + jax.lax.axis_index(d_ax) * np.int32(40503)
+        if m_ax is not None:
+            seed = seed + jax.lax.axis_index(m_ax) * np.int32(2654435)
+        return rel_attention_sincos(qu, qv, k, v, wh, lengths, scale,
+                                    dropout_rate, seed, tq, interpret)
+
+    spec4 = P(d_ax, m_ax, None, None)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec4, spec4, spec4, spec4, P(m_ax, None, None),
+                  P(d_ax), P()),
+        out_specs=spec4, check_vma=False,
+    )(qu, qv, k, v, wh, lengths, seed_arr)

@@ -34,16 +34,6 @@ class Trainer:
                  mesh: Optional[Mesh] = None,
                  logger: Optional[MetricsLogger] = None):
         cfg = cfg.override(**{"model.vocab_size": tokenizer.vocab_size})
-        if (mesh is not None and np.prod(list(mesh.shape.values())) > 1
-                and cfg.model.attention_impl == "pallas"):
-            # The fused attention kernel has no GSPMD partitioning rule: the
-            # auto-partitioner cannot shard a pallas_call across the mesh.
-            # The XLA path is numerically identical and partitions cleanly;
-            # single-chip training keeps the kernel. (shard_map-wrapping the
-            # kernel per mesh axis is future work — ROADMAP.md.)
-            print("[trainer] attention_impl=pallas is single-chip only; "
-                  "using 'xla' on the multi-chip mesh")
-            cfg = cfg.override(**{"model.attention_impl": "xla"})
         if cfg.train.prng_impl:
             try:
                 jax.config.update("jax_default_prng_impl", cfg.train.prng_impl)
@@ -92,12 +82,27 @@ class Trainer:
             print(f"[trainer] resumed from step {int(jax.device_get(self.state.step))}"
                   f" (epoch {self.epoch})")
 
-        self.train_step = make_train_step(cfg, self.tx, donate=True)
-        self.eval_step = make_eval_step(cfg, unk_id=tokenizer.unk_id)
+        self.train_step = self._with_mesh(make_train_step(cfg, self.tx,
+                                                          donate=True))
+        self.eval_step = self._with_mesh(make_eval_step(
+            cfg, unk_id=tokenizer.unk_id))
         print(f"[trainer] params: {param_count(self.state.params)/1e6:.1f}M, "
               f"vocab {tokenizer.vocab_size}")
 
     # ------------------------------------------------------------------
+    def _with_mesh(self, fn):
+        """Invoke jitted steps under the active mesh so the fused attention
+        kernel (no GSPMD partition rule) traces through its shard_map path
+        (ops/pallas/sincos_attention.rel_attention_sincos_sharded)."""
+        if self.mesh is None:
+            return fn
+
+        def wrapped(*args):
+            with jax.set_mesh(self.mesh):
+                return fn(*args)
+
+        return wrapped
+
     def _device_batch(self, batch: Batch):
         arrays = (batch.audio, batch.audio_lengths, batch.tokens,
                   batch.token_lengths)

@@ -133,24 +133,55 @@ class TestGradAccumulation:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
 
 
-class TestAttentionImplGuard:
-    def test_pallas_attention_forced_to_xla_on_mesh(self, tmp_path):
+class TestShardedAttention:
+    def test_module_matches_unsharded_under_mesh(self):
+        """The pallas attention dispatch shard_maps over the active mesh
+        (data axis on batch, model axis on heads); outputs must match the
+        meshless call exactly (CPU fallback math inside each shard)."""
+        import jax
+        import jax.numpy as jnp
+
+        from conformer_tpu.models.attention import MHSAModule
+        from conformer_tpu.models.position import relative_positional_encoding
+        from conformer_tpu.parallel.mesh import make_mesh
+
+        B, L, D, H = 8, 40, 64, 4
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, L, D))
+        pe = relative_positional_encoding(L, D)
+        lengths = jnp.asarray([40, 30, 40, 25, 40, 40, 18, 40])
+        mask = (jnp.arange(L)[None, None, None, :]
+                >= lengths[:, None, None, None])
+
+        m = MHSAModule(D, H, impl="pallas")
+        v = m.init(jax.random.PRNGKey(1), x, pe, mask)
+        want = m.apply(v, x, pe, mask)
+
+        mesh = make_mesh(dp=4, tp=2, devices=jax.devices()[:8])
+        with jax.set_mesh(mesh):
+            got = jax.jit(lambda v, x: m.apply(v, x, pe, mask))(v, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_trainer_keeps_pallas_on_mesh(self, tmp_path):
         from conformer_tpu.config import Config
         from conformer_tpu.parallel.mesh import make_mesh
         from conformer_tpu.text.tokenizer import load_tokenizer
         from conformer_tpu.train.trainer import Trainer
+        import jax
 
         cfg = Config().override(**{
             "model.n_blocks": 2, "model.d_model": 64, "model.n_heads": 2,
             "model.kernel_size": 7, "model.lstm_hidden_dim": 64,
-            "model.attention_impl": "pallas", "model.use_remat": False,
-            "optim.compute_dtype": "float32",
+            "model.use_remat": False, "optim.compute_dtype": "float32",
             "train.checkpoint_dir": str(tmp_path), "train.resume": False})
         tok = load_tokenizer("vi")
-        import jax
         mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
         trainer = Trainer(cfg, tok, mesh=mesh)
-        # The kernel has no GSPMD partition rule; the trainer must fall back.
-        assert trainer.cfg.model.attention_impl == "xla"
-        single = Trainer(cfg, tok, mesh=None)
-        assert single.cfg.model.attention_impl == "pallas"
+        assert trainer.cfg.model.attention_impl == "pallas"
+        # One sharded train step through the shard_mapped attention path.
+        from conformer_tpu.data.dataset import synthetic_batch
+        batch = synthetic_batch(4, 16000, tok.vocab_size, max_tokens=16)
+        args = trainer._device_batch(batch)
+        state, metrics = trainer.train_step(
+            trainer.state, *args, jax.random.PRNGKey(0))
+        assert np.isfinite(float(jax.device_get(metrics["loss"])))
