@@ -75,6 +75,8 @@ def main(argv=None) -> None:
         from conformer_tpu.audio.io import load_audio
         from conformer_tpu.decode.streaming import StreamingTranscriber
 
+        if args.decode == "beam_device":
+            raise SystemExit("--streaming supports --decode greedy|beam")
         sr = cfg.audio.sample_rate
         texts = []
         for p_ in paths:
@@ -83,7 +85,8 @@ def main(argv=None) -> None:
                 {"params": pipe.state.params,
                  "batch_stats": pipe.state.batch_stats},
                 chunk_s=args.stream_chunk_seconds,
-                left_context_s=args.stream_context_seconds)
+                left_context_s=args.stream_context_seconds,
+                decode=args.decode, decode_cfg=pipe.cfg.decode)
             st.feed(load_audio(p_, sr, channel=args.channel))
             st.finish()
             texts.append(st.text)

@@ -82,6 +82,15 @@ def _load_native():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.bs_stream_new.restype = ctypes.c_void_p
+        lib.bs_stream_new.argtypes = [ctypes.c_void_p]
+        lib.bs_stream_feed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int]
+        lib.bs_stream_text.restype = ctypes.c_int
+        lib.bs_stream_text.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.bs_stream_free.argtypes = [ctypes.c_void_p]
         _BS_LIB = lib
         return lib
 
@@ -224,14 +233,27 @@ class BeamSearchDecoder:
     def decode_py(self, log_probs: np.ndarray,
                   length: Optional[int] = None) -> str:
         """Pure-Python reference implementation (the behavioral spec)."""
+        beams = self.start_state()
+        beams = self.step_py(beams, log_probs, length)
+        return self.finalize_py(beams)
+
+    def start_state(self) -> List[_Beam]:
+        """Fresh beam state (one empty hypothesis seeded with LM BOS)."""
+        return [_Beam(lm_ctx=(self.lm.bos_id,) if self.lm else ())]
+
+    def step_py(self, beams: List[_Beam], log_probs: np.ndarray,
+                length: Optional[int] = None) -> List[_Beam]:
+        """Advance `beams` through the frames of `log_probs` (T, V).
+
+        Prefix beam search is frame-sequential, so stepping chunk by chunk
+        through a persistent state is exactly offline decode of the
+        concatenation — the invariant the streaming decoder relies on."""
         cfg = self.cfg
         tok = self.tok
         t_max = int(length) if length is not None else log_probs.shape[0]
         blank = tok.pad_id
         unk = tok.unk_id
         delim = tok.delim_id
-
-        beams: List[_Beam] = [_Beam(lm_ctx=(self.lm.bos_id,) if self.lm else ())]
 
         for t in range(t_max):
             frame = log_probs[t]
@@ -309,8 +331,11 @@ class BeamSearchDecoder:
             beams = [b for b in scored[: cfg.beam_width] if b.total() >= floor]
             if not beams:
                 beams = scored[:1]
+        return beams
 
-        # finalize: score trailing partial word
+    def finalize_py(self, beams: List[_Beam]) -> str:
+        """Best hypothesis with the trailing partial word scored. Read-only:
+        a streaming caller can snapshot mid-utterance and keep feeding."""
         final: List[Tuple[float, str]] = []
         for beam in beams:
             score = _logsumexp2(beam.p_b, beam.p_nb) + beam.lm_score
@@ -341,3 +366,69 @@ class BeamSearchDecoder:
             n = int(lengths[i]) if lengths is not None else None
             out.append(self.decode_py(log_probs[i], n))
         return out
+
+    def stream(self) -> "BeamStream":
+        """A persistent beam state fed frames chunk by chunk (see BeamStream)."""
+        return BeamStream(self)
+
+
+class BeamStream:
+    """Stateful beam+LM search across chunk boundaries.
+
+    Feeding ``[A; B]`` via two :meth:`feed` calls yields exactly the same
+    hypothesis as one offline decode over the concatenation — prefix beam
+    search consumes frames sequentially, so carrying the beam list is
+    lossless (tests/test_lm_beam.py). :meth:`text` snapshots the current
+    best hypothesis (trailing partial word scored) without disturbing the
+    state, so it can be polled between chunks for live partials.
+
+    New capability: the reference decodes whole utterances only
+    (reference: processing/lm.py:29-42).
+    """
+
+    def __init__(self, decoder: BeamSearchDecoder):
+        self.dec = decoder  # keeps the native handle alive
+        self._state = None
+        if decoder._native is not None:
+            lib, h = decoder._native
+            self._state = ctypes.c_void_p(lib.bs_stream_new(h))
+        else:
+            self._beams = decoder.start_state()
+
+    def feed(self, log_probs: np.ndarray, length: Optional[int] = None) -> None:
+        """Advance through `log_probs` (T, V) natural-log softmax frames."""
+        t = int(length) if length is not None else log_probs.shape[0]
+        if t <= 0:
+            return
+        if self._state is not None:
+            lib, h = self.dec._native
+            lp = np.ascontiguousarray(log_probs[:t], dtype=np.float32)
+            lib.bs_stream_feed(
+                h, self._state,
+                lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                t, lp.shape[1])
+        else:
+            self._beams = self.dec.step_py(self._beams, log_probs, t)
+
+    def text(self) -> str:
+        """Current best hypothesis (spec-decoded); revisable as more frames
+        arrive — standard for beam streaming."""
+        if self._state is None:
+            return self.dec.finalize_py(self._beams)  # already spec-decoded
+        lib, h = self.dec._native
+        cap = 1 << 16
+        buf = ctypes.create_string_buffer(cap)
+        lib.bs_stream_text(h, self._state, buf, cap)
+        return self.dec.tok.spec_decode(buf.value.decode("utf8"))
+
+    def close(self) -> None:
+        if self._state is not None:
+            lib, _h = self.dec._native
+            lib.bs_stream_free(self._state)
+            self._state = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

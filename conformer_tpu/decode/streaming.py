@@ -19,6 +19,13 @@ approximation.
 Shapes are static: one compiled program per (context + chunk) window; the
 chunk advance is a multiple of the total subsampling stride so emitted
 frames align exactly across chunks.
+
+``decode="beam"`` replaces the greedy collapse with a stateful beam+LM
+search (decode/beam_search.py::BeamStream): the beam list persists across
+chunks, so the search over the streamed log-probs is exactly offline prefix
+beam search — the only approximation remains the encoder's finite left
+context. Beam hypotheses are revisable, so ``feed`` returns "" in beam mode
+and the live hypothesis is read from ``.text``.
 """
 
 from __future__ import annotations
@@ -27,7 +34,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from conformer_tpu.config import Config
+from conformer_tpu.config import Config, DecodeConfig
 from conformer_tpu.text.tokenizer import GraphemeTokenizer
 
 
@@ -44,13 +51,18 @@ class StreamingTranscriber:
     """
 
     def __init__(self, cfg: Config, tokenizer: GraphemeTokenizer, variables,
-                 chunk_s: float = 2.0, left_context_s: float = 6.0):
+                 chunk_s: float = 2.0, left_context_s: float = 6.0,
+                 decode: str = "greedy",
+                 decode_cfg: Optional[DecodeConfig] = None):
         import jax
         import jax.numpy as jnp
 
         from conformer_tpu.audio.mel import MelFrontend
         from conformer_tpu.train.steps import build_models
 
+        if decode not in ("greedy", "beam"):
+            raise ValueError(f"decode must be greedy|beam, got {decode!r}")
+        self.decode = decode
         self.cfg = cfg
         self.tok = tokenizer
         self.sr = cfg.audio.sample_rate
@@ -69,12 +81,23 @@ class StreamingTranscriber:
             mel_lengths = frontend.frame_lengths(length)
             (logits, out_lengths), _ = model.apply(variables, mels,
                                                    mel_lengths, mutable=[])
-            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return ids, out_lengths
+            if decode == "beam":
+                out = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1)
+            else:
+                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return out, out_lengths
 
         self._forward = jax.jit(forward)
         self._variables = variables
         self._jnp = jnp
+
+        self._stream = None
+        if decode == "beam":
+            from conformer_tpu.decode.beam_search import BeamSearchDecoder
+
+            self._stream = BeamSearchDecoder(
+                tokenizer, decode_cfg or DecodeConfig()).stream()
 
         self._buffer = np.zeros((0,), np.float32)   # unprocessed audio
         self._context = np.zeros((0,), np.float32)  # already-emitted audio
@@ -89,18 +112,22 @@ class StreamingTranscriber:
         return ((mel - 1) // 2 - 1) // 2
 
     def _run_window(self, audio: np.ndarray, emit_from_sample: int) -> str:
-        """Encode `audio`, emit collapsed text for frames at/after the
-        subsampled position of `emit_from_sample`."""
+        """Encode `audio`, emit collapsed text (greedy) or advance the beam
+        (beam mode) for frames at/after the subsampled position of
+        `emit_from_sample`."""
         window = self.ctx + self.chunk
         padded = np.zeros((1, max(len(audio), window)), np.float32)
         padded[0, : len(audio)] = audio
-        ids, out_len = self._forward(
+        out, out_len = self._forward(
             self._variables, padded,
             np.asarray([len(audio)], np.int32))
-        ids = np.asarray(ids)[0]
+        out = np.asarray(out)[0]
         n = int(np.asarray(out_len)[0])
         start = self._sub_frames(emit_from_sample) if emit_from_sample else 0
-        return self._emit(ids[:n], start)
+        if self._stream is not None:
+            self._stream.feed(out[start:n])
+            return ""
+        return self._emit(out[:n], start)
 
     def _emit(self, ids: np.ndarray, start: int) -> str:
         """Collapse frames [start:], carrying the last-emitted-token state
@@ -138,7 +165,8 @@ class StreamingTranscriber:
         return emitted
 
     def finish(self) -> str:
-        """Flush the remainder; returns the final newly-emitted text."""
+        """Flush the remainder; returns the final newly-emitted text
+        (greedy) or the full final hypothesis (beam)."""
         emitted = ""
         if len(self._buffer) > 0:
             ctx = self._context[-self.ctx:] if self.ctx else \
@@ -149,11 +177,16 @@ class StreamingTranscriber:
             if piece:
                 self._pieces.append(piece)
                 emitted = piece
+        if self._stream is not None:
+            return self.text
         return emitted
 
     @property
     def text(self) -> str:
-        """Full transcript so far (delim -> space, spec-decoded — same
-        assembly as GraphemeTokenizer.collapsed_ids_to_text)."""
+        """Full transcript so far. Greedy: delim -> space, spec-decoded (same
+        assembly as GraphemeTokenizer.collapsed_ids_to_text); beam: the
+        current best hypothesis (revisable until finish())."""
+        if self._stream is not None:
+            return self._stream.text()
         raw = "".join(self._pieces).replace(self.tok.delim_token, " ")
         return self.tok.spec_decode(raw).strip()

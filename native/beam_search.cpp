@@ -117,10 +117,18 @@ struct Decoder {
     return delta;
   }
 
-  std::string decode(const float* lp, int t_max, int v) const {
+  std::vector<Beam> start_state() const {
     std::vector<Beam> beams(1);
     if (lm) beams[0].lm_ctx.push_back(lm_bos(lm));
+    return beams;
+  }
 
+  // Advance `beams` through t_max frames. Prefix beam search is
+  // frame-sequential, so feeding frames in chunks through a persistent
+  // state is EXACTLY offline decode of the concatenation — this is what
+  // makes the streaming API (bs_stream_*) lossless at the search level.
+  void step(std::vector<Beam>& beams, const float* lp, int t_max,
+            int v) const {
     std::vector<Beam> next;           // insertion order (Python dict order)
     std::unordered_map<std::string, size_t> index;
     std::vector<int> cand;
@@ -244,8 +252,12 @@ struct Decoder {
       if (beams.empty() && !next.empty())
         beams.push_back(std::move(next[order[0]]));
     }
+  }
 
-    // finalize: score trailing partial word (beam_search.py:199-210)
+  // finalize: score trailing partial word (beam_search.py:199-210).
+  // Read-only — a streaming caller can snapshot the current hypothesis
+  // mid-utterance and keep feeding frames afterwards.
+  std::string best_text(const std::vector<Beam>& beams) const {
     double best_score = kNegInf;
     std::string best_text;
     bool first = true;
@@ -264,6 +276,12 @@ struct Decoder {
       }
     }
     return best_text;
+  }
+
+  std::string decode(const float* lp, int t_max, int v) const {
+    std::vector<Beam> beams = start_state();
+    step(beams, lp, t_max, v);
+    return best_text(beams);
   }
 };
 
@@ -334,6 +352,37 @@ void bs_decode_batch(void* h, const float* log_probs, const int32_t* lengths,
   };
   for (int w = 0; w < n_threads; ++w) pool.emplace_back(work);
   for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Streaming API: a persistent beam state fed frames chunk by chunk.
+// Feeding [A; B] via two bs_stream_feed calls is bit-identical to one
+// bs_decode over the concatenation (the search is frame-sequential).
+// bs_stream_text snapshots the current best hypothesis without disturbing
+// the state, so it can be polled between chunks for live partial results.
+
+void* bs_stream_new(void* h) {
+  auto* d = static_cast<Decoder*>(h);
+  return new std::vector<Beam>(d->start_state());
+}
+
+void bs_stream_feed(void* h, void* state, const float* log_probs, int t,
+                    int v) {
+  auto* d = static_cast<Decoder*>(h);
+  d->step(*static_cast<std::vector<Beam>*>(state), log_probs, t, v);
+}
+
+int bs_stream_text(void* h, void* state, char* out, int out_cap) {
+  auto* d = static_cast<Decoder*>(h);
+  std::string text = d->best_text(*static_cast<std::vector<Beam>*>(state));
+  int n = std::min((int)text.size(), out_cap - 1);
+  std::memcpy(out, text.data(), n);
+  out[n] = '\0';
+  return (int)text.size();
+}
+
+void bs_stream_free(void* state) {
+  delete static_cast<std::vector<Beam>*>(state);
 }
 
 }  // extern "C"

@@ -187,3 +187,58 @@ class TestNativeBeamParity:
         assert dec._native is not None
         lp = frames_for(vi, "xin chào bạn")
         assert dec.decode(lp) == "XIN CHÀO BẠN"
+
+
+class TestBeamStream:
+    """Chunked feeding through a persistent BeamStream must equal offline
+    decode of the concatenated frames — the search is frame-sequential, so
+    the streaming API is lossless at the search level."""
+
+    def _chunks(self, lp, sizes):
+        out, i = [], 0
+        for s in sizes:
+            out.append(lp[i: i + s])
+            i += s
+        if i < lp.shape[0]:
+            out.append(lp[i:])
+        return out
+
+    @pytest.mark.parametrize("native", [False, True])
+    def test_stream_matches_offline(self, vi, arpa, native):
+        cfg = DecodeConfig(beam_width=24, alpha=2.1, beta=9.2,
+                           beam_prune_logp=-20.0, lm_path=arpa,
+                           hotwords=("XIN CHÀO",), hotword_weight=9.0)
+        dec = BeamSearchDecoder(vi, cfg, native=native)
+        if native:
+            assert dec._native is not None
+        lp = frames_for(vi, "xin chào bạn")
+        stream = dec.stream()
+        for chunk in self._chunks(lp, (5, 1, 9, 3)):
+            stream.feed(chunk)
+        assert stream.text() == dec.decode(lp)
+
+    def test_midstream_snapshot_nondestructive(self, vi, arpa):
+        cfg = DecodeConfig(beam_width=16, alpha=1.0, beta=1.0, lm_path=arpa)
+        for native in (False, True):
+            dec = BeamSearchDecoder(vi, cfg, native=native)
+            lp = frames_for(vi, "cảm ơn bạn")
+            stream = dec.stream()
+            for chunk in self._chunks(lp, (4, 4, 4)):
+                stream.feed(chunk)
+                stream.text()  # polling partials must not disturb the state
+            assert stream.text() == dec.decode(lp)
+
+    def test_stream_native_matches_python_fuzz(self, vi, arpa):
+        cfg = DecodeConfig(beam_width=32, alpha=2.1, beta=9.2,
+                           beam_prune_logp=-20.0, lm_path=arpa,
+                           hotwords=("BẠN",), hotword_weight=9.0)
+        dec_n = BeamSearchDecoder(vi, cfg)
+        dec_p = BeamSearchDecoder(vi, cfg, native=False)
+        assert dec_n._native is not None
+        rng = np.random.default_rng(7)
+        lp = TestNativeBeamParity._random_lp(None, vi, rng, t=30)
+        sn, sp = dec_n.stream(), dec_p.stream()
+        for chunk in self._chunks(lp, (7, 7, 7, 7)):
+            sn.feed(chunk)
+            sp.feed(chunk)
+            assert sn.text() == sp.text()

@@ -79,6 +79,51 @@ class TestStreaming:
         texts = {run(b) for b in (1000, 7777, len(audio))}
         assert len(texts) == 1  # feeding granularity must not matter
 
+    def test_beam_mode_single_chunk_matches_offline_beam(self, setup):
+        import jax
+
+        from conformer_tpu.config import DecodeConfig
+        from conformer_tpu.decode.beam_search import BeamSearchDecoder
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+        from conformer_tpu.train.steps import make_forward
+
+        cfg, tok, variables = setup
+        audio = _audio(1.5, seed=3)
+        dcfg = DecodeConfig(beam_width=8)
+
+        forward = make_forward(cfg)
+        logits, out_len = jax.jit(forward)(
+            variables, audio[None], np.asarray([len(audio)], np.int32))
+        lp = np.asarray(jax.nn.log_softmax(
+            logits.astype(np.float32), axis=-1))[0]
+        want = BeamSearchDecoder(tok, dcfg).decode(
+            lp, int(np.asarray(out_len)[0]))
+
+        st = StreamingTranscriber(cfg, tok, variables, chunk_s=2.0,
+                                  left_context_s=4.0, decode="beam",
+                                  decode_cfg=dcfg)
+        assert st.feed(audio) == ""  # beam hypotheses are revisable
+        assert st.finish() == want
+        assert st.text == want
+
+    def test_beam_mode_block_invariance(self, setup):
+        from conformer_tpu.config import DecodeConfig
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        audio = _audio(3.3, seed=4)
+
+        def run(block):
+            st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                      left_context_s=2.0, decode="beam",
+                                      decode_cfg=DecodeConfig(beam_width=8))
+            for i in range(0, len(audio), block):
+                st.feed(audio[i: i + block])
+            return st.finish()
+
+        texts = {run(b) for b in (1000, 7777, len(audio))}
+        assert len(texts) == 1
+
     def test_incremental_emission_accumulates(self, setup):
         from conformer_tpu.decode.streaming import StreamingTranscriber
 
