@@ -30,38 +30,57 @@ from conformer_tpu.cli.common import (add_common_args, load_config,
 class MicroBatcher:
     """Assembles concurrent transcription requests into fixed-shape batches.
 
-    Shapes stay static per bucket: the audio axis is padded to the request's
-    bucket, the batch axis always to ``max_batch`` (dummy rows), so each
-    bucket has exactly one compiled program regardless of how many requests
-    ride a batch.
+    Shapes stay static per (bucket, batch-size) pair: the audio axis is
+    padded to the request's bucket; the batch axis to the smallest
+    power-of-two ladder rung that fits the assembled requests (1, 2, 4, ...,
+    ``max_batch``) — so a lone request at low load rides a batch-1 program
+    instead of paying a full ``max_batch`` forward, while the shape set
+    stays small enough to keep every program compile-cached.
+    ``adaptive=False`` restores the always-``max_batch`` behavior.
     """
 
     def __init__(self, pipe, bucket_samples, max_batch: int = 8,
-                 window_ms: float = 15.0):
+                 window_ms: float = 15.0, adaptive: bool = True):
         from conformer_tpu.data.dataset import Batch
 
         self._Batch = Batch
         self.pipe = pipe
         self.buckets = sorted(bucket_samples)
         self.max_batch = max_batch
+        sizes = []
+        s = 1
+        while s < max_batch:
+            sizes.append(s)
+            s *= 2
+        sizes.append(max_batch)
+        self.sizes = sizes if adaptive else [max_batch]
         self.window_s = window_ms / 1000.0
         self.q: "queue.Queue" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "max_batch_seen": 0}
+                      "max_batch_seen": 0,
+                      "batch_size_hist": {str(s): 0 for s in self.sizes}}
         self._lock = threading.Lock()
         threading.Thread(target=self._run, daemon=True).start()
 
     def bucket_for(self, n: int) -> int:
         return next((b for b in self.buckets if n <= b), self.buckets[-1])
 
-    def warmup(self) -> None:
-        """Compile every bucket shape up front (one dummy batch each)."""
+    def size_for(self, n: int) -> int:
+        return next((s for s in self.sizes if n <= s), self.max_batch)
+
+    def warmup(self, all_sizes: bool = False) -> None:
+        """Compile bucket shapes up front. Default: the smallest and largest
+        batch rung per bucket (low-load latency + full-batch throughput);
+        ``all_sizes`` compiles the whole ladder."""
+        sizes = self.sizes if all_sizes else sorted(
+            {self.sizes[0], self.sizes[-1]})
         for b in self.buckets:
-            audio = np.zeros((self.max_batch, b), np.float32)
-            lengths = np.full((self.max_batch,), b, np.int32)
-            self.pipe.transcribe_batch(self._Batch(
-                audio, lengths, np.zeros((self.max_batch, 1), np.int32),
-                np.zeros((self.max_batch,), np.int32)))
+            for nb in sizes:
+                audio = np.zeros((nb, b), np.float32)
+                lengths = np.full((nb,), b, np.int32)
+                self.pipe.transcribe_batch(self._Batch(
+                    audio, lengths, np.zeros((nb, 1), np.int32),
+                    np.zeros((nb,), np.int32)))
 
     def submit(self, signal: np.ndarray, timeout: float = 120.0) -> str:
         """Blocks until the signal's transcript is ready."""
@@ -101,22 +120,24 @@ class MicroBatcher:
 
     def _process(self, items, bucket: int) -> None:
         try:
-            audio = np.zeros((self.max_batch, bucket), np.float32)
-            lengths = np.zeros((self.max_batch,), np.int32)
+            nb = self.size_for(len(items))
+            audio = np.zeros((nb, bucket), np.float32)
+            lengths = np.zeros((nb,), np.int32)
             for i, (sig, _, _) in enumerate(items):
                 n = min(len(sig), bucket)
                 audio[i, :n] = sig[:n]
                 lengths[i] = n
             lengths[len(items):] = 1  # dummy rows
             texts = self.pipe.transcribe_batch(self._Batch(
-                audio, lengths, np.zeros((self.max_batch, 1), np.int32),
-                np.zeros((self.max_batch,), np.int32)))
+                audio, lengths, np.zeros((nb, 1), np.int32),
+                np.zeros((nb,), np.int32)))
             with self._lock:
                 self.stats["batches"] += 1
                 if len(items) > 1:
                     self.stats["batched_requests"] += len(items)
                 self.stats["max_batch_seen"] = max(
                     self.stats["max_batch_seen"], len(items))
+                self.stats["batch_size_hist"][str(nb)] += 1
             for i, (_, ev, slot) in enumerate(items):
                 slot["text"] = texts[i]
                 ev.set()
@@ -199,7 +220,13 @@ def main(argv=None) -> None:
     p.add_argument("--window-ms", type=float, default=15.0,
                    help="batching window opened by the first request")
     p.add_argument("--warmup", action="store_true",
-                   help="compile all bucket shapes before serving")
+                   help="compile bucket shapes (min+max batch rungs) before "
+                        "serving")
+    p.add_argument("--warmup-all", action="store_true",
+                   help="with --warmup: compile the full batch-size ladder")
+    p.add_argument("--no-adaptive-batch", action="store_true",
+                   help="always pad the batch axis to --max-batch instead of "
+                        "the smallest power-of-two rung that fits")
     args = p.parse_args(argv)
 
     cfg = load_config(args)
@@ -213,10 +240,11 @@ def main(argv=None) -> None:
                              decode=args.decode)
     sr = cfg.audio.sample_rate
     batcher = MicroBatcher(pipe, [int(b * sr) for b in args.buckets],
-                           max_batch=args.max_batch, window_ms=args.window_ms)
+                           max_batch=args.max_batch, window_ms=args.window_ms,
+                           adaptive=not args.no_adaptive_batch)
     if args.warmup:
         t0 = time.perf_counter()
-        batcher.warmup()
+        batcher.warmup(all_sizes=args.warmup_all)
         print(f"warmed {len(args.buckets)} bucket shapes "
               f"in {time.perf_counter() - t0:.1f}s")
     handler = make_handler(batcher, cfg)

@@ -56,9 +56,11 @@ class TestMicroBatcher:
         assert mb.stats["batches"] < 6          # batching engaged
         assert mb.stats["batched_requests"] >= 2
         assert mb.stats["max_batch_seen"] >= 2
-        # every dispatched batch kept the static (max_batch, bucket) shape
-        for shape, _real in pipe.batches:
-            assert shape == (4, 2 * SR)
+        # every dispatched batch used a static ladder shape: the smallest
+        # power-of-two rung that fits the real requests, audio at the bucket
+        for shape, real in pipe.batches:
+            assert shape[1] == 2 * SR
+            assert shape[0] == mb.size_for(real)
 
     def test_mixed_buckets_do_not_mix_shapes(self):
         pipe = FakePipe(cost_s=0.01)
@@ -77,9 +79,35 @@ class TestMicroBatcher:
         for t in threads:
             t.join()
         assert len(results) == 4
+        audio_shapes = {s[1] for s, _ in pipe.batches}
+        assert audio_shapes == {2 * SR, 4 * SR}  # both buckets served
+        assert all(s[0] in mb.sizes for s, _ in pipe.batches)
+
+    def test_adaptive_batch_sizes(self):
+        # A lone request must ride the smallest ladder rung, not max_batch.
+        pipe = FakePipe(cost_s=0.0)
+        mb = MicroBatcher(pipe, [SR], max_batch=8, window_ms=1)
+        assert mb.sizes == [1, 2, 4, 8]
+        assert mb.submit(_signal(0.5)) == "UTT0"
+        assert pipe.batches[-1][0] == (1, SR)
+        assert mb.stats["batch_size_hist"]["1"] == 1
+
+        # adaptive off: always max_batch (the round-1 behavior)
+        pipe2 = FakePipe(cost_s=0.0)
+        mb2 = MicroBatcher(pipe2, [SR], max_batch=8, window_ms=1,
+                           adaptive=False)
+        assert mb2.submit(_signal(0.5)) == "UTT0"
+        assert pipe2.batches[-1][0] == (8, SR)
+
+    def test_warmup_compiles_ladder_ends(self):
+        pipe = FakePipe(cost_s=0.0)
+        mb = MicroBatcher(pipe, [SR, 2 * SR], max_batch=8, window_ms=1)
+        mb.warmup()
         shapes = {s for s, _ in pipe.batches}
-        assert shapes <= {(4, 2 * SR), (4, 4 * SR)}
-        assert len(shapes) == 2                  # both buckets served
+        assert shapes == {(1, SR), (8, SR), (1, 2 * SR), (8, 2 * SR)}
+        pipe.batches.clear()
+        mb.warmup(all_sizes=True)
+        assert {s[0] for s, _ in pipe.batches} == {1, 2, 4, 8}
 
     def test_worker_error_propagates(self):
         class BoomPipe:
