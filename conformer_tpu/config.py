@@ -252,6 +252,12 @@ class TrainConfig:
     # PRNG implementation for dropout/augment keys. 'rbg' (TPU hardware RNG)
     # is ~25% faster end-to-end than 'threefry2x32' at production scale.
     prng_impl: str = "rbg"
+    # AOT-compile the train step for every bucket shape into the persistent
+    # compilation cache before training: 'off', 'sync' (block before the
+    # first epoch), or 'background' (compile on a thread while the first
+    # buckets train). One compiled program exists per bucket; without warmup
+    # each bucket's first batch stalls the step loop on a cold compile.
+    warmup_compile: str = "off"
 
 
 @dataclass

@@ -82,12 +82,84 @@ class Trainer:
             print(f"[trainer] resumed from step {int(jax.device_get(self.state.step))}"
                   f" (epoch {self.epoch})")
 
-        self.train_step = self._with_mesh(make_train_step(cfg, self.tx,
-                                                          donate=True))
+        # Persistent compilation cache: bucket-shape compiles are minutes
+        # cold through the remote-compile path; cached reruns are instant.
+        import os
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/conformer_tpu_jax_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              5.0)
+        except Exception:
+            pass
+
+        self._raw_train_step = make_train_step(cfg, self.tx, donate=True)
+        self.train_step = self._with_mesh(self._raw_train_step)
         self.eval_step = self._with_mesh(make_eval_step(
             cfg, unk_id=tokenizer.unk_id))
+        self._warmup_thread = None
         print(f"[trainer] params: {param_count(self.state.params)/1e6:.1f}M, "
               f"vocab {tokenizer.vocab_size}")
+
+    # ------------------------------------------------------------------
+    def warmup_compile(self, background: bool = False):
+        """AOT-compile the train step for every bucket shape (ROADMAP:
+        steady-state training is one compiled program per bucket, but each
+        bucket's first batch otherwise stalls on a cold compile — slow via
+        the remote-compile path). Lowering with abstract ShapeDtypeStructs
+        populates the persistent compilation cache, so the real first call
+        per bucket re-lowers cheaply and hits the cached executable.
+
+        background=True runs the compiles on a daemon thread (XLA releases
+        the GIL) while the first buckets train; call ``wait_warmup`` to join.
+        """
+        import threading
+
+        cfg = self.cfg
+        sr = cfg.audio.sample_rate
+        boundaries = [int(b * sr) for b in cfg.data.bucket_boundaries_s]
+        max_samples = int(cfg.data.max_audio_s * sr)
+        if not boundaries or boundaries[-1] < max_samples:
+            boundaries.append(max_samples)
+        bs = cfg.data.batch_size
+
+        state_abs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        rng_abs = jax.ShapeDtypeStruct(rng.shape, rng.dtype)
+        sds = jax.ShapeDtypeStruct
+
+        def work():
+            done = 0
+            for n in boundaries:
+                args = (state_abs,
+                        sds((bs, n), np.float32), sds((bs,), np.int32),
+                        sds((bs, cfg.data.max_tokens), np.int32),
+                        sds((bs,), np.int32), rng_abs)
+                try:
+                    if self.mesh is not None:
+                        with jax.set_mesh(self.mesh):
+                            self._raw_train_step.lower(*args).compile()
+                    else:
+                        self._raw_train_step.lower(*args).compile()
+                    done += 1
+                except Exception as e:  # noqa: BLE001 — warmup must not kill training
+                    print(f"[trainer] warmup compile failed for bucket "
+                          f"{n / sr:.1f}s: {type(e).__name__}: {e}")
+            return done
+
+        if background:
+            self._warmup_thread = threading.Thread(target=work, daemon=True)
+            self._warmup_thread.start()
+            return None
+        return work()
+
+    def wait_warmup(self) -> None:
+        if self._warmup_thread is not None:
+            self._warmup_thread.join()
+            self._warmup_thread = None
 
     # ------------------------------------------------------------------
     def _with_mesh(self, fn):
@@ -219,6 +291,10 @@ class Trainer:
                 val = self.validate(_loader.epoch(0))
                 print(f"[step {step}] val: {val}")
                 self.logger.log(step, val, prefix="val/")
+
+        if cfg.train.warmup_compile in ("sync", "background"):
+            self.warmup_compile(
+                background=cfg.train.warmup_compile == "background")
 
         rng = jax.random.PRNGKey(cfg.train.seed + jax.process_index())
         for epoch in range(self.epoch, cfg.train.num_epochs):

@@ -90,6 +90,22 @@ class TestEndToEnd:
         assert len(texts) == 2
 
 
+class TestWarmupCompile:
+    def test_warmup_compiles_every_bucket(self, corpus, tmp_path):
+        from conformer_tpu.train.trainer import Trainer
+
+        tok = load_tokenizer("vi")
+        cfg = tiny_cfg(tmp_path / "ckpt_w", corpus).override(**{
+            "data.bucket_boundaries_s": [1.0, 2.0], "train.resume": False})
+        trainer = Trainer(cfg, tok)
+        assert trainer.warmup_compile(background=False) == 2
+
+        # Background mode compiles on a thread; wait_warmup joins it.
+        trainer.warmup_compile(background=True)
+        trainer.wait_warmup()
+        assert trainer._warmup_thread is None
+
+
 class TestLoader:
     def test_bucketing_static_shapes(self, corpus):
         from conformer_tpu.data.dataset import BucketedLoader, ManifestDataset
