@@ -44,7 +44,7 @@ def main() -> None:
 
     mode = os.environ.get("BENCH_MODE", "train")
     # Batch 48 is the best measured single-chip operating point (sweep:
-    # b32 2866 -> b48 2966 audio-s/s, remat off, unrolled blocks).
+    # b32 2866 -> b48 2966 -> adaptive-tq 3159 audio-s/s, remat off, unrolled).
     batch_size = int(os.environ.get("BENCH_BATCH", "48"))
     audio_s = float(os.environ.get("BENCH_AUDIO_S", "8.0"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))

@@ -96,6 +96,15 @@ class ModelConfig:
     # Attention score tensor IO dtype. bfloat16 halves the dominant HBM
     # traffic at (B,H,L,L); softmax still reduces in float32.
     attention_score_dtype: str = "float32"
+    # Subsampling stack. 'conv2d' = two dense 3x3 stride-2 convs (reference
+    # semantics, model/utils/convolution.py:34-57); the second conv
+    # (d_model->d_model 3x3) alone is ~12% of the measured train step at
+    # near-peak MFU — architecturally expensive. 'separable' replaces it
+    # with depthwise 3x3 + pointwise 1x1 (~9x fewer FLOPs; the reference's
+    # own aspirational-but-never-wired DepthWiseSeperableConvolution,
+    # convolution.py:59-70). NOT checkpoint-compatible with the reference;
+    # use for from-scratch training.
+    subsample_impl: str = "conv2d"
 
     @staticmethod
     def small(vocab_size: int = 370) -> "ModelConfig":

@@ -95,6 +95,8 @@ class ConformerEncoder(nn.Module):
         """
         cfg = self.cfg
         x = ConvolutionSubsampling(cfg.d_model, self.dtype,
+                                   impl=getattr(cfg, "subsample_impl",
+                                                "conv2d"),
                                    name="subsample")(mels)
         x = nn.Dense(cfg.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                      name="input_proj")(x)

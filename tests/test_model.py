@@ -60,6 +60,43 @@ class TestShapes:
                                    np.asarray(lo_long)[0, :n], atol=2e-4)
 
 
+class TestSeparableSubsampling:
+    def test_separable_shapes_lengths_and_grads(self):
+        # subsample_impl='separable' (the reference's dead-code
+        # DepthWiseSeperableConvolution made real, convolution.py:59-70) must
+        # keep the exact output shapes and length formula of the conv2d stack
+        # while swapping parameters; gradients must flow through both convs.
+        cfg = ModelConfig.tiny(vocab_size=20)
+        cfg_sep = type(cfg)(**{**cfg.__dict__, "subsample_impl": "separable"})
+        b, t = 2, 101
+        mels = jax.random.normal(jax.random.PRNGKey(3), (b, t, cfg.n_mel_channels))
+        lengths = jnp.array([101, 55])
+
+        m = Conformer(cfg_sep, deterministic=True)
+        v = m.init(jax.random.PRNGKey(0), mels, lengths)
+        (logits, out_lengths), _ = m.apply(v, mels, lengths, mutable=[])
+        t_sub = ((t - 1) // 2 - 1) // 2
+        assert logits.shape == (b, t_sub, 20)
+        np.testing.assert_array_equal(np.asarray(out_lengths),
+                                      [subsampled_length(101), subsampled_length(55)])
+
+        sub = v["params"]["encoder"]["subsample"]
+        assert set(sub) == {"conv1", "conv2_dw", "conv2_pw"}
+        d = cfg.d_model
+        assert sub["conv2_dw"]["kernel"].shape == (3, 3, 1, d)
+        assert sub["conv2_pw"]["kernel"].shape == (1, 1, d, d)
+
+        def loss(params):
+            (lo, _), _ = m.apply({**v, "params": params}, mels, lengths,
+                                 mutable=[])
+            return jnp.sum(lo ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        gsub = g["encoder"]["subsample"]
+        for name in ("conv1", "conv2_dw", "conv2_pw"):
+            assert float(jnp.abs(gsub[name]["kernel"]).max()) > 0.0
+
+
 class TestScanEquivalence:
     def test_scan_and_loop_paths_match(self):
         cfg_loop = ModelConfig.tiny(vocab_size=20)

@@ -209,6 +209,26 @@ class TestSincosAttention:
         np.testing.assert_allclose(np.asarray(got_pl), np.asarray(want),
                                    atol=2e-5)
 
+    def test_auto_tq_selection_and_parity(self):
+        # tq=None picks one q-tile per program when the padded length fits
+        # 256 (the measured-fastest layout at the production bucket) and
+        # falls back to 128-row tiles at longer L.
+        from conformer_tpu.ops.pallas.sincos_attention import (
+            _auto_tq, rel_attention_sincos, sincos_attention_xla)
+        assert _auto_tq(199) == 256
+        assert _auto_tq(256) == 256
+        assert _auto_tq(50) == 128
+        assert _auto_tq(257) == 128
+        assert _auto_tq(599) == 128
+
+        qu, qv, k, v, K, wh, lengths, _ = self._case(L=150, seed=3)
+        scale = 1 / np.sqrt(qu.shape[-1])
+        want = sincos_attention_xla(qu, qv, k, v, wh, lengths, scale)
+        got = rel_attention_sincos(qu, qv, k, v, wh, lengths, scale,
+                                   tq=None, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
     def test_fused_backward_parity(self):
         from conformer_tpu.ops.pallas.sincos_attention import (
             prep_pos_kernel, rel_attention_sincos, sincos_attention_xla)
