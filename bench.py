@@ -70,6 +70,15 @@ def main() -> None:
                                                         "0") == "1"
     if os.environ.get("BENCH_CONV"):
         overrides["model.conv_impl"] = os.environ["BENCH_CONV"]
+    # Partial unroll for the block scan (long buckets where full unroll
+    # exceeds the remote-compile budget): cross-block XLA scheduling within
+    # k-block chunks, scan param layout unchanged.
+    if os.environ.get("BENCH_UNROLL"):
+        overrides["model.scan_unroll"] = int(os.environ["BENCH_UNROLL"])
+    # 'separable' swaps the second subsampling conv for depthwise+pointwise
+    # (~9x fewer FLOPs there); opt-in, not reference-checkpoint-compatible.
+    if os.environ.get("BENCH_SUBSAMPLE"):
+        overrides["model.subsample_impl"] = os.environ["BENCH_SUBSAMPLE"]
     if os.environ.get("BENCH_SCORE"):
         overrides["model.attention_score_dtype"] = os.environ["BENCH_SCORE"]
     # rbg PRNG: threefry dropout-mask generation costs ~20% of the train

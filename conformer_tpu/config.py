@@ -79,6 +79,13 @@ class ModelConfig:
     # TPU-specific knobs (no reference counterpart):
     use_remat: bool = True           # jax.checkpoint each block: trade FLOPs for HBM
     use_scan_layers: bool = True     # lax.scan over blocks: O(1) compile in depth
+    # Unroll factor for the block scan (forwarded to lax.scan). Full unroll
+    # (use_scan_layers=False) lets XLA schedule across all block boundaries
+    # (+25% at 8s) but compile time blows up at long L (24s bucket exceeds
+    # the remote-compile budget); scan_unroll=k recovers cross-block
+    # scheduling within k-block chunks at bounded compile time, with the
+    # SAME stacked param layout as scan_unroll=1 (checkpoint-compatible).
+    scan_unroll: int = 1
     conv_norm: str = "batch"         # 'batch' (reference semantics) or 'group'
     conv_impl: str = "xla"           # depthwise conv backend: 'xla' or 'pallas'
     # Zero padded frames before the depthwise conv. False reproduces the

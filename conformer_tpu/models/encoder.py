@@ -134,6 +134,7 @@ class ConformerEncoder(nn.Module):
                 split_rngs={"dropout": True, "params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.n_blocks,
+                unroll=getattr(cfg, "scan_unroll", 1),
             )(block_kwargs=block_kwargs, name="blocks")
             x, _ = blocks(x, pos_emb, attn_mask, frame_mask)
         else:

@@ -119,6 +119,32 @@ class TestScanEquivalence:
         np.testing.assert_allclose(np.asarray(out_loop), np.asarray(out_scan),
                                    atol=2e-4)
 
+    def test_partial_unroll_matches_loop(self):
+        # scan_unroll=2 with an odd block count (3): same stacked param
+        # layout as scan_unroll=1, same numbers as the unrolled loop.
+        base = ModelConfig.tiny(vocab_size=20)
+        cfg_loop = type(base)(**{**base.__dict__, "n_blocks": 3})
+        cfg_scan = type(base)(**{**base.__dict__, "n_blocks": 3,
+                                 "use_scan_layers": True, "use_remat": True,
+                                 "scan_unroll": 2})
+        mels = jax.random.normal(jax.random.PRNGKey(4),
+                                 (2, 61, base.n_mel_channels))
+        lengths = jnp.array([61, 40])
+
+        m_loop = Conformer(cfg_loop, deterministic=True)
+        v_loop = m_loop.init(jax.random.PRNGKey(0), mels, lengths)
+        (out_loop, _), _ = m_loop.apply(v_loop, mels, lengths, mutable=[])
+
+        m_scan = Conformer(cfg_scan, deterministic=True)
+        v_scan = m_scan.init(jax.random.PRNGKey(0), mels, lengths)
+        # Param layout is identical to the unroll=1 scan (stacked axis 0).
+        assert v_scan["params"]["encoder"]["blocks"]["block"]["ffn1"][
+            "hidden"]["kernel"].shape[0] == 3
+        v_scan2 = _restack_params(v_loop, v_scan, 3)
+        (out_scan, _), _ = m_scan.apply(v_scan2, mels, lengths, mutable=[])
+        np.testing.assert_allclose(np.asarray(out_loop), np.asarray(out_scan),
+                                   atol=2e-4)
+
 
 def _restack_params(v_loop, v_scan, n_blocks):
     """Stack per-block params from the loop layout into the scan layout."""
