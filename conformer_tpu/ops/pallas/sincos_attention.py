@@ -175,36 +175,40 @@ def _dropout_keep(seed, bi, hi, qi, shape, rate):
 def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, out_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float):
-    """One (batch, q-tile) program; ALL heads are processed in an unrolled
-    loop. Grid programs cost ~3us of dispatch each — a (B, H, L/TQ) grid of
-    tiny per-head programs was dispatch-bound (the matmuls are sub-us), and
-    per-program operands (the sin/cos tables) were re-fetched per head."""
+    """One (batch-block, q-tile) program; ALL heads — and NB batch rows —
+    are processed in an unrolled loop. Grid programs cost ~3us of dispatch
+    each: a (B, H, L/TQ) grid of tiny per-head programs was dispatch-bound
+    (the matmuls are sub-us), per-program operands (the sin/cos tables) were
+    re-fetched per head, and at short L even one-batch-per-program leaves
+    the pipeline dispatch-bound (48 programs x ~3us vs ~0.6 GFLOP each)."""
     bi, hb, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nb = qu_ref.shape[0]               # batch rows in this block
     n_heads = qu_ref.shape[1]          # heads in this block
     tq = qu_ref.shape[2]
     l = k_ref.shape[2]
-    length = jnp.minimum(len_ref[bi], l_valid)
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
-    valid = col < length
-    vmask = valid.astype(jnp.float32)
-    for h in range(n_heads):
-        scores, _, _ = _scores(qu_ref[0, h], qv_ref[0, h], k_ref[0, h],
-                               wh_ref[h], sq_ref, cq_ref, sk_ref, ck_ref,
-                               scale, d2)
-        scores = jnp.where(valid, scores, NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m) * vmask
-        s = jnp.sum(e, axis=-1, keepdims=True)
-        p = e / jnp.maximum(s, 1e-9)
-        if rate > 0.0:
-            keep = _dropout_keep(seed_ref[0], bi, hb * n_heads + h, qi,
-                                 (tq, l), rate)
-            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-        out = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, h],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out_ref[0, h] = out.astype(out_ref.dtype)
+    for bb in range(nb):
+        length = jnp.minimum(len_ref[bi * nb + bb], l_valid)
+        valid = col < length
+        vmask = valid.astype(jnp.float32)
+        for h in range(n_heads):
+            scores, _, _ = _scores(qu_ref[bb, h], qv_ref[bb, h], k_ref[bb, h],
+                                   wh_ref[h], sq_ref, cq_ref, sk_ref, ck_ref,
+                                   scale, d2)
+            scores = jnp.where(valid, scores, NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m) * vmask
+            s = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / jnp.maximum(s, 1e-9)
+            if rate > 0.0:
+                keep = _dropout_keep(seed_ref[0], bi * nb + bb,
+                                     hb * n_heads + h, qi, (tq, l), rate)
+                p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+            out = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[bb, h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[bb, h] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
@@ -212,27 +216,29 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dwh_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float):
     """Recompute the probability tile (flash-style: no saved score tensors),
-    then emit all five gradients; all heads per program (see _fwd_kernel).
-    dk/dv/dwh accumulate across the q-tile grid dimension (innermost, so
-    revisits are consecutive)."""
+    then emit all five gradients; all heads and NB batch rows per program
+    (see _fwd_kernel). dk/dv/dwh accumulate across the q-tile grid dimension
+    (innermost, so revisits are consecutive)."""
     bi, hb, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nb = qu_ref.shape[0]
     n_heads = qu_ref.shape[1]
     tq = qu_ref.shape[2]
     l = k_ref.shape[2]
-    length = jnp.minimum(len_ref[bi], l_valid)
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
-    valid = col < length
-    vmask = valid.astype(jnp.float32)
     sq = sq_ref[...].astype(jnp.float32)
     cq = cq_ref[...].astype(jnp.float32)
 
-    for h in range(n_heads):
-        qu = qu_ref[0, h]
-        qv = qv_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
+    for bb in range(nb):
+      length = jnp.minimum(len_ref[bi * nb + bb], l_valid)
+      valid = col < length
+      vmask = valid.astype(jnp.float32)
+      for h in range(n_heads):
+        qu = qu_ref[bb, h]
+        qv = qv_ref[bb, h]
+        k = k_ref[bb, h]
+        v = v_ref[bb, h]
         wh = wh_ref[h]                                         # (dh, D)
-        do = do_ref[0, h].astype(jnp.float32)
+        do = do_ref[bb, h].astype(jnp.float32)
 
         scores, _, _ = _scores(qu, qv, k, wh, sq_ref, cq_ref,
                                sk_ref, ck_ref, scale, d2)
@@ -247,8 +253,8 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                # (TQ, L)
         if rate > 0.0:
-            keep = _dropout_keep(seed_ref[0], bi, hb * n_heads + h, qi,
-                                 (tq, l), rate)
+            keep = _dropout_keep(seed_ref[0], bi * nb + bb,
+                                 hb * n_heads + h, qi, (tq, l), rate)
             inv = 1.0 / (1.0 - rate)
             p_drop = jnp.where(keep, p * inv, 0.0)
             dp = jnp.where(keep, dov * inv, 0.0)
@@ -260,7 +266,7 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
         ds = p * (dp - delta) * scale                          # (TQ, L) fp32
 
         dv_c = jax.lax.dot_general(                            # (L, dh)
-            p_drop.astype(do_ref.dtype), do_ref[0, h],
+            p_drop.astype(do_ref.dtype), do_ref[bb, h],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds_c = ds.astype(k.dtype)
@@ -293,20 +299,26 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             qv, da_c_c, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        dqu_ref[0, h] = dqu.astype(dqu_ref.dtype)
-        dqv_ref[0, h] = dqv.astype(dqv_ref.dtype)
+        dqu_ref[bb, h] = dqu.astype(dqu_ref.dtype)
+        dqv_ref[bb, h] = dqv.astype(dqv_ref.dtype)
 
         @pl.when(qi == 0)
-        def _init(h=h, dk_c=dk_c, dv_c=dv_c, dwh_s=dwh_s, dwh_c=dwh_c):
-            dk_ref[0, h] = dk_c.astype(dk_ref.dtype)
-            dv_ref[0, h] = dv_c.astype(dv_ref.dtype)
-            dwh_ref[0, h, :, :d2] = dwh_s.astype(dwh_ref.dtype)
-            dwh_ref[0, h, :, d2:] = dwh_c.astype(dwh_ref.dtype)
+        def _init(bb=bb, h=h, dk_c=dk_c, dv_c=dv_c,
+                  dwh_s=dwh_s, dwh_c=dwh_c):
+            dk_ref[bb, h] = dk_c.astype(dk_ref.dtype)
+            dv_ref[bb, h] = dv_c.astype(dv_ref.dtype)
+            if bb == 0:
+                dwh_ref[0, h, :, :d2] = dwh_s.astype(dwh_ref.dtype)
+                dwh_ref[0, h, :, d2:] = dwh_c.astype(dwh_ref.dtype)
+            else:
+                dwh_ref[0, h, :, :d2] += dwh_s.astype(dwh_ref.dtype)
+                dwh_ref[0, h, :, d2:] += dwh_c.astype(dwh_ref.dtype)
 
         @pl.when(qi > 0)
-        def _acc(h=h, dk_c=dk_c, dv_c=dv_c, dwh_s=dwh_s, dwh_c=dwh_c):
-            dk_ref[0, h] += dk_c.astype(dk_ref.dtype)
-            dv_ref[0, h] += dv_c.astype(dv_ref.dtype)
+        def _acc(bb=bb, h=h, dk_c=dk_c, dv_c=dv_c,
+                 dwh_s=dwh_s, dwh_c=dwh_c):
+            dk_ref[bb, h] += dk_c.astype(dk_ref.dtype)
+            dv_ref[bb, h] += dv_c.astype(dv_ref.dtype)
             dwh_ref[0, h, :, :d2] += dwh_s.astype(dwh_ref.dtype)
             dwh_ref[0, h, :, d2:] += dwh_c.astype(dwh_ref.dtype)
 
@@ -329,34 +341,54 @@ def _pad_args(qu, qv, k, v, lengths, tq):
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _head_block(h, l, tq, dh, d, itemsize, bwd):
-    """Largest head-block size whose per-program buffers (x2 for pipeline
-    double-buffering) fit the VMEM budget. All heads per program kills grid
-    dispatch overhead at short L; long L needs smaller blocks."""
+def _program_bytes(hb, nb, l, tq, dh, d, itemsize, bwd):
+    """Approximate per-program VMEM footprint (x2 for double-buffering)."""
     d2 = d // 2
     tables = (2 * tq * d2 + 2 * l * d2) * itemsize
-    for hb in (h, *(2 ** i for i in range(10, -1, -1))):
-        if hb > h or h % hb:
+    per_head_batch = (3 * tq * dh + 2 * l * dh) * itemsize  # qu,qv,do,k,v
+    shared = hb * dh * d * itemsize                          # wh
+    out_bytes = hb * nb * tq * dh * itemsize
+    if bwd:
+        out_bytes = (2 * tq * dh + 2 * l * dh) * 4 * hb * nb + dh * d * 4 * hb
+    return 2 * (nb * hb * per_head_batch + shared + tables + out_bytes)
+
+
+def _block_sizes(h, b, l, tq, dh, d, itemsize, bwd):
+    """(head-block, batch-block) sizes whose per-program buffers fit the
+    VMEM budget. All heads per program kills grid dispatch overhead at short
+    L (long L needs smaller head blocks); once all heads fit, additionally
+    packing batch rows amortizes the ~3us program dispatch at short L where
+    per-program work is tiny (measured: B48/L199 fwd+bwd is dispatch-bound
+    at nb=1)."""
+    hb = 1
+    for cand in (h, *(2 ** i for i in range(10, -1, -1))):
+        if cand > h or h % cand:
             continue
-        per_head_in = (3 * tq * dh + 2 * l * dh + dh * d) * itemsize
-        out_bytes = hb * tq * dh * itemsize
-        if bwd:
-            out_bytes = (2 * tq * dh + 2 * l * dh + dh * d) * 4 * hb
-        total = 2 * (hb * per_head_in + tables + out_bytes)
-        if total <= _VMEM_BUDGET:
-            return hb
-    return 1
+        if _program_bytes(cand, 1, l, tq, dh, d, itemsize, bwd) <= _VMEM_BUDGET:
+            hb = cand
+            break
+    nb = 1
+    if hb == h:
+        for cand in (16, 8, 4, 2):
+            if b % cand:
+                continue
+            if _program_bytes(hb, cand, l, tq, dh, d, itemsize,
+                              bwd) <= _VMEM_BUDGET:
+                nb = cand
+                break
+    return hb, nb
 
 
-def _common_specs(b, h, hb, l, tq, dh, d):
-    """Grid (B, H/HB, L/TQ); every spec carries HB heads per program."""
+def _common_specs(b, h, hb, nb, l, tq, dh, d):
+    """Grid (B/NB, H/HB, L/TQ); every spec carries HB heads x NB batch rows
+    per program."""
     d2 = d // 2
     vm = dict(memory_space=pltpu.VMEM) if pltpu is not None else {}
     in_specs = [
-        pl.BlockSpec((1, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-        pl.BlockSpec((1, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-        pl.BlockSpec((1, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
-        pl.BlockSpec((1, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+        pl.BlockSpec((nb, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+        pl.BlockSpec((nb, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+        pl.BlockSpec((nb, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+        pl.BlockSpec((nb, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
         pl.BlockSpec((hb, dh, d), lambda bi, hi, qi, *_: (hi, 0, 0), **vm),
         pl.BlockSpec((tq, d2), lambda bi, hi, qi, *_: (qi, 0), **vm),
         pl.BlockSpec((tq, d2), lambda bi, hi, qi, *_: (qi, 0), **vm),
@@ -374,15 +406,15 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
     sin_t, cos_t = sincos_tables(l, d, table_dtype)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
 
-    hb = _head_block(h, l, tq, dh, d, qu.dtype.itemsize, bwd=False)
-    in_specs, vm = _common_specs(b, h, hb, l, tq, dh, d)
+    hb, nb = _block_sizes(h, b, l, tq, dh, d, qu.dtype.itemsize, bwd=False)
+    in_specs, vm = _common_specs(b, h, hb, nb, l, tq, dh, d)
     kern = functools.partial(_fwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l_orig, rate=rate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, h // hb, l // tq),
+        grid=(b // nb, h // hb, l // tq),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hb, tq, dh),
+        out_specs=pl.BlockSpec((nb, hb, tq, dh),
                                lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
     )
     out = pl.pallas_call(
@@ -404,34 +436,37 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g):
     sin_t, cos_t = sincos_tables(l, d, table_dtype)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
 
-    hb = _head_block(h, l, tq, dh, d, qu.dtype.itemsize, bwd=True)
-    in_specs, vm = _common_specs(b, h, hb, l, tq, dh, d)
-    in_specs.append(pl.BlockSpec((1, hb, tq, dh),
+    hb, nb = _block_sizes(h, b, l, tq, dh, d, qu.dtype.itemsize, bwd=True)
+    in_specs, vm = _common_specs(b, h, hb, nb, l, tq, dh, d)
+    in_specs.append(pl.BlockSpec((nb, hb, tq, dh),
                                  lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm))
     kern = functools.partial(_bwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l_orig, rate=rate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, h // hb, l // tq),
+        grid=(b // nb, h // hb, l // tq),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-            pl.BlockSpec((1, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-            pl.BlockSpec((1, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
-            pl.BlockSpec((1, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            pl.BlockSpec((nb, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+            pl.BlockSpec((nb, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+            pl.BlockSpec((nb, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            pl.BlockSpec((nb, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
             pl.BlockSpec((1, hb, dh, d), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
         ],
     )
     f32 = jnp.float32
+    # dqu/dqv are written exactly once per q-tile -> emit in input dtype
+    # (no accumulation to protect); dk/dv/dwh accumulate across the q-tile
+    # grid dimension in their output refs -> keep f32.
     dqu, dqv, dk, dv, dwh = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
+            jax.ShapeDtypeStruct((b, h, l, dh), qu.dtype),
+            jax.ShapeDtypeStruct((b, h, l, dh), qu.dtype),
             jax.ShapeDtypeStruct((b, h, l, dh), f32),
             jax.ShapeDtypeStruct((b, h, l, dh), f32),
-            jax.ShapeDtypeStruct((b, h, l, dh), f32),
-            jax.ShapeDtypeStruct((b, h, l, dh), f32),
-            jax.ShapeDtypeStruct((b, h, dh, d), f32),
+            jax.ShapeDtypeStruct((b // nb, h, dh, d), f32),
         ],
         interpret=interpret,
     )(lengths, seed_arr, qu, qv, k, v, wh, sin_t, cos_t, sin_t, cos_t, g)
