@@ -79,6 +79,9 @@ def main() -> None:
     # (~9x fewer FLOPs there); opt-in, not reference-checkpoint-compatible.
     if os.environ.get("BENCH_SUBSAMPLE"):
         overrides["model.subsample_impl"] = os.environ["BENCH_SUBSAMPLE"]
+    # 'hash': fused stateless-hash dropout masks (no HBM mask buffers).
+    if os.environ.get("BENCH_DROPOUT"):
+        overrides["model.dropout_impl"] = os.environ["BENCH_DROPOUT"]
     if os.environ.get("BENCH_SCORE"):
         overrides["model.attention_score_dtype"] = os.environ["BENCH_SCORE"]
     # rbg PRNG: threefry dropout-mask generation costs ~20% of the train

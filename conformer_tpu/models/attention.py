@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from conformer_tpu.models.dropout import Dropout
 from conformer_tpu.ops.rel_shift import rel_shift
 
 
@@ -52,6 +53,7 @@ class RelativeMultiHeadAttention(nn.Module):
     # kept for benchmarking).
     impl: str = "xla"
     score_dtype: jnp.dtype = jnp.float32
+    dropout_impl: str = "prng"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
@@ -129,8 +131,8 @@ class RelativeMultiHeadAttention(nn.Module):
             if mask is not None:
                 scores = jnp.where(mask, jnp.finfo(jnp.float32).min, scores)
             weights = nn.softmax(scores, axis=-1)
-            weights = nn.Dropout(self.dropout_rate,
-                                 deterministic=deterministic)(weights)
+            weights = Dropout(self.dropout_rate,
+                              self.dropout_impl)(weights, deterministic)
             context = jnp.einsum("bhlm,bmhd->blhd", weights.astype(self.dtype),
                                  v, preferred_element_type=jnp.float32)
         context = context.reshape(b, l, self.d_model).astype(self.dtype)
@@ -146,6 +148,7 @@ class MHSAModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
     score_dtype: jnp.dtype = jnp.float32
+    dropout_impl: str = "prng"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos_emb: jnp.ndarray,
@@ -154,6 +157,6 @@ class MHSAModule(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = RelativeMultiHeadAttention(
             self.d_model, self.n_heads, self.dropout_rate, self.dtype,
-            self.impl, self.score_dtype, name="attention")(
-                x, pos_emb, mask, deterministic=deterministic)
-        return nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+            self.impl, self.score_dtype, self.dropout_impl,
+            name="attention")(x, pos_emb, mask, deterministic=deterministic)
+        return Dropout(self.dropout_rate, self.dropout_impl)(x, deterministic)

@@ -36,6 +36,7 @@ class ConformerBlock(nn.Module):
     conv_mask_pad: bool = True
     attention_impl: str = "xla"
     attention_score_dtype: str = "float32"
+    dropout_impl: str = "prng"
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
@@ -47,20 +48,24 @@ class ConformerBlock(nn.Module):
         det = self.deterministic
         x = 0.5 * FeedForwardModule(self.d_model, self.ffn_expansion,
                                     self.dropout_rate, self.dtype,
+                                    self.dropout_impl,
                                     name="ffn1")(x, det) + x
         import jax.numpy as _jnp
         sdt = (_jnp.bfloat16 if self.attention_score_dtype == "bfloat16"
                else _jnp.float32)
         x = MHSAModule(self.d_model, self.n_heads, self.dropout_rate,
                        self.dtype, self.attention_impl, sdt,
+                       self.dropout_impl,
                        name="mhsa")(x, pos_emb, attn_mask, det) + x
         x = ConvolutionModule(self.d_model, self.kernel_size, self.dropout_rate,
                               self.conv_norm, self.conv_impl,
                               self.conv_mask_pad,
                               self.bn_axis_name, self.dtype,
+                              self.dropout_impl,
                               name="conv")(x, frame_mask, det) + x
         x = 0.5 * FeedForwardModule(self.d_model, self.ffn_expansion,
                                     self.dropout_rate, self.dtype,
+                                    self.dropout_impl,
                                     name="ffn2")(x, det) + x
         return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                             name="final_norm")(x)
@@ -100,8 +105,10 @@ class ConformerEncoder(nn.Module):
                                    name="subsample")(mels)
         x = nn.Dense(cfg.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                      name="input_proj")(x)
-        x = nn.Dropout(cfg.dropout_rate,
-                       deterministic=self.deterministic)(x)
+        from conformer_tpu.models.dropout import Dropout as _Dropout
+        x = _Dropout(cfg.dropout_rate,
+                     getattr(cfg, "dropout_impl", "prng"))(
+                         x, self.deterministic)
 
         l = x.shape[1]
         attn_mask = frame_mask = None
@@ -120,6 +127,7 @@ class ConformerEncoder(nn.Module):
             conv_mask_pad=cfg.conv_mask_pad,
             attention_impl=cfg.attention_impl,
             attention_score_dtype=cfg.attention_score_dtype,
+            dropout_impl=getattr(cfg, "dropout_impl", "prng"),
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype, deterministic=self.deterministic,
         )

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from conformer_tpu.models.dropout import Dropout
+
 
 def swish(x: jnp.ndarray) -> jnp.ndarray:
     """x * sigmoid(x) (reference: model/utils/activation.py:4-8)."""
@@ -42,6 +44,7 @@ class FeedForwardModule(nn.Module):
     expansion: int = 4
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    dropout_impl: str = "prng"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -49,10 +52,10 @@ class FeedForwardModule(nn.Module):
         x = nn.Dense(self.expansion * self.d_model, dtype=self.dtype,
                      param_dtype=jnp.float32, name="hidden")(x)
         x = swish(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = Dropout(self.dropout_rate, self.dropout_impl)(x, deterministic)
         x = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                      name="out")(x)
-        return nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        return Dropout(self.dropout_rate, self.dropout_impl)(x, deterministic)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -152,6 +155,7 @@ class ConvolutionModule(nn.Module):
     mask_pad: bool = True           # zero padded frames before the conv
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    dropout_impl: str = "prng"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -179,7 +183,7 @@ class ConvolutionModule(nn.Module):
         x = swish(x)
         x = nn.Dense(self.channels, dtype=self.dtype, param_dtype=jnp.float32,
                      name="pointwise2")(x)
-        return nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        return Dropout(self.dropout_rate, self.dropout_impl)(x, deterministic)
 
 
 class ConvolutionSubsampling(nn.Module):

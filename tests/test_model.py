@@ -174,6 +174,55 @@ def _restack_params(v_loop, v_scan, n_blocks):
     return flax.core.freeze(out) if isinstance(v_scan, flax.core.FrozenDict) else out
 
 
+class TestHashDropout:
+    def test_mask_statistics_and_determinism(self):
+        from conformer_tpu.models.dropout import hash_keep
+        seed = jnp.asarray([123, 456], jnp.uint32)
+        keep = hash_keep((128, 1024), seed, 0.3)
+        frac = float(jnp.mean(keep.astype(jnp.float32)))
+        assert abs(frac - 0.7) < 0.01          # keep prob = 1 - rate
+        keep2 = hash_keep((128, 1024), seed, 0.3)
+        assert bool(jnp.all(keep == keep2))    # deterministic
+        keep3 = hash_keep((128, 1024), jnp.asarray([7, 8], jnp.uint32), 0.3)
+        assert bool(jnp.any(keep != keep3))    # seed-dependent
+        # Rows must not repeat each other (axis mixing).
+        rows = np.asarray(keep[:4]).astype(np.int8)
+        assert not (rows[0] == rows[1]).all()
+
+    def test_dropout_module_hash_impl(self):
+        from conformer_tpu.models.dropout import Dropout
+        x = jnp.ones((4, 64, 32), jnp.float32)
+        m = Dropout(0.25, impl="hash")
+        y = m.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+        vals = np.unique(np.round(np.asarray(y), 4))
+        assert set(vals).issubset({0.0, np.float32(1 / 0.75).round(4)})
+        frac0 = float(np.mean(np.asarray(y) == 0.0))
+        assert abs(frac0 - 0.25) < 0.03
+        # deterministic=True is the identity regardless of impl.
+        y_det = m.apply({}, x, True, rngs={"dropout": jax.random.PRNGKey(0)})
+        np.testing.assert_array_equal(np.asarray(y_det), np.asarray(x))
+
+    def test_model_trains_with_hash_dropout(self):
+        base = ModelConfig.tiny(vocab_size=20)
+        cfg = type(base)(**{**base.__dict__, "dropout_rate": 0.1,
+                            "dropout_impl": "hash"})
+        model = Conformer(cfg, deterministic=False)
+        mels = jax.random.normal(jax.random.PRNGKey(0), (2, 61, cfg.n_mel_channels))
+        lengths = jnp.array([61, 40])
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, mels, lengths)
+
+        def loss(params):
+            (lo, _), _ = model.apply(
+                {**v, "params": params}, mels, lengths,
+                mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(lo.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        gn = float(optax.global_norm(g))
+        assert np.isfinite(gn) and gn > 0
+
+
 class TestLSTM:
     def test_unidirectional_masked_equivalence(self):
         # Packed-LSTM equivalence (reference: model/modules/decoder.py:17):
