@@ -82,6 +82,9 @@ def main() -> None:
     # 'hash': fused stateless-hash dropout masks (no HBM mask buffers).
     if os.environ.get("BENCH_DROPOUT"):
         overrides["model.dropout_impl"] = os.environ["BENCH_DROPOUT"]
+    # 'pallas': fused frame+window+DFT+mel+log frontend kernel.
+    if os.environ.get("BENCH_STFT"):
+        overrides["audio.stft_impl"] = os.environ["BENCH_STFT"]
     if os.environ.get("BENCH_SCORE"):
         overrides["model.attention_score_dtype"] = os.environ["BENCH_SCORE"]
     # rbg PRNG: threefry dropout-mask generation costs ~20% of the train

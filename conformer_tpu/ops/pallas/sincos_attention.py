@@ -145,7 +145,10 @@ def _scores(qu, qv, k, wh, sq_ref, cq_ref, sk_ref, ck_ref, scale, d2):
     pos = pos + jax.lax.dot_general(
         beta, sk_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    return (content + pos) * scale, a_s, a_c
+    scores = content + pos
+    if scale != 1.0:  # scale is folded into qu/qv by the public wrapper;
+        scores = scores * scale  # kept for direct callers of the kernels
+    return scores, a_s, a_c
 
 
 def _dropout_keep(seed, bi, hi, qi, shape, rate):
@@ -190,14 +193,18 @@ def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
     for bb in range(nb):
         length = jnp.minimum(len_ref[bi * nb + bb], l_valid)
         valid = col < length
-        vmask = valid.astype(jnp.float32)
         for h in range(n_heads):
             scores, _, _ = _scores(qu_ref[bb, h], qv_ref[bb, h], k_ref[bb, h],
                                    wh_ref[h], sq_ref, cq_ref, sk_ref, ck_ref,
                                    scale, d2)
             scores = jnp.where(valid, scores, NEG_INF)
             m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m) * vmask
+            # Masked columns hold the (finite) NEG_INF sentinel: exp
+            # underflows to exactly 0 there, so no mask multiply is needed.
+            # (A fully-masked row -- length 0 -- yields uniform weights
+            # instead of zeros; such rows only exist as dataset padding and
+            # are excluded from the loss.)
+            e = jnp.exp(scores - m)
             s = jnp.sum(e, axis=-1, keepdims=True)
             p = e / jnp.maximum(s, 1e-9)
             if rate > 0.0:
@@ -231,7 +238,6 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
     for bb in range(nb):
       length = jnp.minimum(len_ref[bi * nb + bb], l_valid)
       valid = col < length
-      vmask = valid.astype(jnp.float32)
       for h in range(n_heads):
         qu = qu_ref[bb, h]
         qv = qv_ref[bb, h]
@@ -244,7 +250,7 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                                sk_ref, ck_ref, scale, d2)
         scores = jnp.where(valid, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m) * vmask
+        e = jnp.exp(scores - m)                # masked cols underflow to 0
         s = jnp.sum(e, axis=-1, keepdims=True)
         p = e / jnp.maximum(s, 1e-9)                           # (TQ, L)
 
@@ -263,7 +269,9 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             dp = dov
         # softmax bwd: ds = p * (dp - sum_j p*dp); delta = dO.O = sum p*dp.
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = p * (dp - delta) * scale                          # (TQ, L) fp32
+        ds = p * (dp - delta)                                  # (TQ, L) fp32
+        if scale != 1.0:  # scale folded into qu/qv by the public wrapper
+            ds = ds * scale
 
         dv_c = jax.lax.dot_general(                            # (L, dh)
             p_drop.astype(do_ref.dtype), do_ref[bb, h],
@@ -349,7 +357,9 @@ def _program_bytes(hb, nb, l, tq, dh, d, itemsize, bwd):
     shared = hb * dh * d * itemsize                          # wh
     out_bytes = hb * nb * tq * dh * itemsize
     if bwd:
-        out_bytes = (2 * tq * dh + 2 * l * dh) * 4 * hb * nb + dh * d * 4 * hb
+        # dqu/dqv come out in the input dtype; dk/dv/dwh accumulate in f32.
+        out_bytes = ((2 * tq * dh * itemsize + 2 * l * dh * 4) * hb * nb
+                     + dh * d * 4 * hb)
     return 2 * (nb * hb * per_head_batch + shared + tables + out_bytes)
 
 
@@ -528,8 +538,13 @@ def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
     if tq is None:
         tq = _auto_tq(qu.shape[2])
     if interpret or jax.default_backend() in ("tpu", "axon"):
-        return _fused(qu, qv, k, v, wh, lengths, seed, scale, dropout_rate,
-                      tq, interpret)
+        # Fold the score scale into qu/qv (64-wide rows, fuses into the
+        # producing transpose) so the kernels skip a full (TQ, L) multiply
+        # in fwd AND bwd. Autodiff through the fold restores the scale in
+        # the qu/qv gradients.
+        s = jnp.asarray(scale, qu.dtype)
+        return _fused(qu * s, qv * s, k, v, wh, lengths, seed, 1.0,
+                      dropout_rate, tq, interpret)
     return sincos_attention_xla(qu, qv, k, v, wh, lengths, scale,
                                 dropout_rate, seed)
 
