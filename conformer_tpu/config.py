@@ -103,14 +103,17 @@ class ModelConfig:
     # Attention score tensor IO dtype. bfloat16 halves the dominant HBM
     # traffic at (B,H,L,L); softmax still reduces in float32.
     attention_score_dtype: str = "float32"
-    # Dropout mask generation. 'prng': jax PRNG (rbg on TPU) — the bit
-    # buffer cannot fuse into its consumer, so every mask round-trips HBM
-    # (~4 ms/step across ~100 sites, tools/trace_step.py). 'hash': stateless
-    # murmur-style hash of element coordinates, pure elementwise ops that
-    # fuse into the surrounding chain (models/dropout.py) — same
-    # construction the attention kernel uses in-kernel. Not bit-compatible
-    # with 'prng' (neither matches the reference's torch PRNG).
-    dropout_impl: str = "prng"
+    # Dropout mask generation. 'hash' (default): stateless murmur-style
+    # hash of element coordinates, pure elementwise ops that fuse into the
+    # surrounding chain (models/dropout.py) — the same construction the
+    # fused attention kernel uses in-kernel, applied at the XLA level
+    # (+4.4% train throughput: no mask buffer ever round-trips HBM).
+    # 'prng': jax PRNG (rbg/threefry) masks via flax nn.Dropout — the bit
+    # buffer cannot fuse into its consumer (~4 ms/step across ~100 sites,
+    # tools/trace_step.py). Not bit-compatible with each other; neither
+    # matches the reference's torch PRNG (dropout only affects training
+    # randomness, never inference numerics).
+    dropout_impl: str = "hash"
     # Subsampling stack. 'conv2d' = two dense 3x3 stride-2 convs (reference
     # semantics, model/utils/convolution.py:34-57); the second conv
     # (d_model->d_model 3x3) alone is ~12% of the measured train step at

@@ -25,6 +25,66 @@ import optax
 from conformer_tpu.utils.masking import padding_mask
 
 
+_LOG_EPS = -1e5
+
+
+def ctc_per_seq(logits: jnp.ndarray, logit_paddings: jnp.ndarray,
+                labels: jnp.ndarray, label_paddings: jnp.ndarray,
+                blank_id: int = 0, unroll: int = 8) -> jnp.ndarray:
+    """Per-sequence CTC negative log-likelihood, (B,).
+
+    Standard Graves alpha recursion (two interleaved score lattices: blank
+    states (B, N+1) and emit states (B, N)) as one ``lax.scan`` over time.
+    Same math as ``optax.ctc_loss`` (parity-tested) with one TPU-relevant
+    difference: the scan is unrolled ``unroll`` frames per iteration, which
+    amortizes the per-iteration loop overhead that dominates these tiny
+    (B, N) per-frame updates — and the scan carries no per-step outputs
+    (optax stacks full (T, B, N) alpha histories it never uses for the
+    loss), so the backward rematerializes instead of reading them back.
+    """
+    b, t, k = logits.shape
+    n = labels.shape[1]
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    label_valid = 1.0 - label_paddings
+    # rep[b, i] == 1 where labels[b, i] repeats labels[b, i+1].
+    rep = jnp.pad((labels[:, :-1] == labels[:, 1:]).astype(jnp.float32),
+                  ((0, 0), (0, 1)))
+
+    lp_blank = jnp.transpose(lp[:, :, blank_id])              # (T, B)
+    # One-hot contraction (MXU) beats a (B, T, N) gather on TPU.
+    one_hot = jax.nn.one_hot(labels, num_classes=k, dtype=jnp.float32)
+    lp_emit = jnp.transpose(
+        jnp.einsum("btk,bnk->btn", lp, one_hot), (1, 0, 2))   # (T, B, N)
+
+    blank0 = jnp.full((b, n + 1), _LOG_EPS).at[:, 0].set(0.0)
+    emit0 = jnp.full((b, n), _LOG_EPS)
+
+    def step(carry, frame):
+        s_blank, s_emit = carry
+        f_emit, f_blank, pad = frame
+        # epsilon transition emit->blank, blocked between repeated labels
+        eps_in = jnp.logaddexp(s_blank[:, 1:], s_emit + _LOG_EPS * rep)
+        blank_ext = jnp.concatenate([s_blank[:, :1], eps_in], axis=1)
+        nxt_emit = jnp.logaddexp(blank_ext[:, :-1] + f_emit,
+                                 s_emit + f_emit)
+        nxt_blank = blank_ext + f_blank[:, None]
+        # blank after an emit of a repeated label
+        rep_in = jnp.logaddexp(
+            nxt_blank[:, 1:], s_emit + f_blank[:, None] + _LOG_EPS * (1.0 - rep))
+        nxt_blank = jnp.concatenate([nxt_blank[:, :1], rep_in], axis=1)
+        p = pad[:, None]
+        return (p * s_blank + (1.0 - p) * nxt_blank,
+                p * s_emit + (1.0 - p) * nxt_emit), None
+
+    frames = (lp_emit, lp_blank, jnp.transpose(logit_paddings))
+    (s_blank, s_emit), _ = jax.lax.scan(step, (blank0, emit0), frames,
+                                        unroll=min(unroll, max(t, 1)))
+    final_blank = jnp.concatenate(
+        [s_blank[:, :1], jnp.logaddexp(s_blank[:, 1:], s_emit)], axis=1)
+    lens = jnp.sum(label_valid, axis=1).astype(jnp.int32)
+    return -jnp.take_along_axis(final_blank, lens[:, None], axis=1)[:, 0]
+
+
 def ctc_loss(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
              labels: jnp.ndarray, label_lengths: jnp.ndarray,
              blank_id: int = 0, zero_infinity: bool = True,
@@ -49,8 +109,8 @@ def ctc_loss(logits: jnp.ndarray, logit_lengths: jnp.ndarray,
         logit_lengths, logits.shape[1]).astype(jnp.float32)
     label_paddings = 1.0 - padding_mask(
         label_lengths, labels.shape[1]).astype(jnp.float32)
-    per_seq = optax.ctc_loss(logits, logit_paddings, labels,
-                             label_paddings, blank_id=blank_id)
+    per_seq = ctc_per_seq(logits, logit_paddings, labels,
+                          label_paddings, blank_id=blank_id)
     if zero_infinity:
         per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
     # torch reduction='mean': divide by target length, then batch-average.

@@ -13,7 +13,12 @@ slices, no gather:
     frames = concat([R[i : i+TF] for i in 0..k-1] + [R[k : k+TF, :rem]], axis=1)
 
 Requires win_length == n_fft and reflect padding done by the (cheap) XLA
-prologue; everything heavy is in-kernel.
+prologue. The prologue also pre-slices each (batch, tile) pair's contiguous
+audio span into a row of a (B*n_tiles, span) matrix (static strided slices,
+~1% duplicated samples at the tile seams): per-program blocks are then plain
+8-row slabs, satisfying Mosaic's (8, 128) tiling rules at ANY batch size and
+keeping per-program VMEM bounded by the tile length instead of the full
+utterance length.
 """
 
 from __future__ import annotations
@@ -37,33 +42,37 @@ except Exception:  # pragma: no cover
 
 def _kernel(audio_ref, dft_ref, fb_ref, out_ref, *, tf: int, hop: int,
             n_fft: int, n_bins: int, clamp: float):
-    """audio row (1, S) in VMEM -> log-mels (1, TF, n_mels) for tile ti."""
-    ti = pl.program_id(1)
+    """audio rows (RB, span) in VMEM -> log-mels (RB, TF, n_mels)."""
+    rb = audio_ref.shape[0]
     whole = n_fft // hop          # whole hop-rows per frame
     rem = n_fft - whole * hop     # leading remainder of the next row
     rows = tf + whole + (1 if rem else 0)
-    tile = audio_ref[0, pl.ds(ti * tf * hop, rows * hop)].reshape(rows, hop)
-    parts = [jax.lax.slice(tile, (i, 0), (i + tf, hop)) for i in range(whole)]
-    if rem:
-        parts.append(jax.lax.slice(tile, (whole, 0), (whole + tf, rem)))
-    frames = jnp.concatenate(parts, axis=1)              # (TF, n_fft)
+    for r in range(rb):
+        tile = audio_ref[r].reshape(rows, hop)
+        parts = [jax.lax.slice(tile, (i, 0), (i + tf, hop))
+                 for i in range(whole)]
+        if rem:
+            parts.append(jax.lax.slice(tile, (whole, 0), (whole + tf, rem)))
+        frames = jnp.concatenate(parts, axis=1)              # (TF, n_fft)
 
-    proj = jnp.dot(frames, dft_ref[:],
-                   preferred_element_type=jnp.float32)   # (TF, 2*n_bins)
-    re = proj[:, :n_bins]
-    im = proj[:, n_bins:]
-    power = re * re + im * im
-    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.log(jnp.maximum(mel, clamp))
+        proj = jnp.dot(frames, dft_ref[:],
+                       preferred_element_type=jnp.float32)   # (TF, 2*n_bins)
+        re = proj[:, :n_bins]
+        im = proj[:, n_bins:]
+        power = re * re + im * im
+        mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+        out_ref[r] = jnp.log(jnp.maximum(mel, clamp))
 
 
 def logmel_pallas(padded_audio: jnp.ndarray, dft: jnp.ndarray,
                   fb: jnp.ndarray, hop: int, n_fft: int, n_frames: int,
                   clamp: float = 1e-5, frames_per_tile: int = 256,
+                  rows_per_program: int = 8,
                   interpret: bool = False) -> jnp.ndarray:
     """padded_audio: (B, S_pad) already reflect-padded; -> (B, n_frames, n_mels).
 
-    S_pad must cover (n_tiles*TF - 1)*hop + n_fft; caller zero-pads the tail.
+    S_pad must cover (n_tiles*TF - 1)*hop + n_fft; this wrapper zero-pads the
+    tail as needed.
     """
     b, s_pad = padded_audio.shape
     n_bins = n_fft // 2 + 1
@@ -74,28 +83,35 @@ def logmel_pallas(padded_audio: jnp.ndarray, dft: jnp.ndarray,
     whole = n_fft // hop
     rem = n_fft - whole * hop
     rows_extra = whole + (1 if rem else 0)
-    # Every tile reshapes a (tf + rows_extra) * hop span; pad the tail so the
-    # last tile's span is in range.
+    span = (tf + rows_extra) * hop
     need = (padded_frames + rows_extra) * hop
     if s_pad < need:
         padded_audio = jnp.pad(padded_audio, ((0, 0), (0, need - s_pad)))
         s_pad = need
+
+    # (B, S) -> (B*n_tiles, span): one contiguous span per (batch, tile).
+    spans = jnp.stack([padded_audio[:, t * tf * hop: t * tf * hop + span]
+                       for t in range(n_tiles)], axis=1)
+    spans = spans.reshape(b * n_tiles, span)
+    n_rows = spans.shape[0]
+    rb = max(1, min(rows_per_program, n_rows))
+    while n_rows % rb:
+        rb -= 1
 
     kern = functools.partial(_kernel, tf=tf, hop=hop, n_fft=n_fft,
                              n_bins=n_bins, clamp=clamp)
     vm = {"memory_space": _VMEM} if _VMEM and not interpret else {}
     out = pl.pallas_call(
         kern,
-        grid=(b, n_tiles),
+        grid=(n_rows // rb,),
         in_specs=[
-            pl.BlockSpec((1, padded_audio.shape[1]),
-                         lambda bi, ti: (bi, 0), **vm),
-            pl.BlockSpec((n_fft, 2 * n_bins), lambda bi, ti: (0, 0), **vm),
-            pl.BlockSpec((n_bins, n_mels), lambda bi, ti: (0, 0), **vm),
+            pl.BlockSpec((rb, span), lambda ri: (ri, 0), **vm),
+            pl.BlockSpec((n_fft, 2 * n_bins), lambda ri: (0, 0), **vm),
+            pl.BlockSpec((n_bins, n_mels), lambda ri: (0, 0), **vm),
         ],
-        out_specs=pl.BlockSpec((1, tf, n_mels), lambda bi, ti: (bi, ti, 0),
-                               **vm),
-        out_shape=jax.ShapeDtypeStruct((b, padded_frames, n_mels), jnp.float32),
+        out_specs=pl.BlockSpec((rb, tf, n_mels), lambda ri: (ri, 0, 0), **vm),
+        out_shape=jax.ShapeDtypeStruct((n_rows, tf, n_mels), jnp.float32),
         interpret=interpret,
-    )(padded_audio, dft, fb)
+    )(spans, dft, fb)
+    out = out.reshape(b, padded_frames, n_mels)
     return out[:, :n_frames]

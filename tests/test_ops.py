@@ -118,6 +118,37 @@ class TestCTCLoss:
         got = ctc_loss(logits, lens, labels, lab_lens)
         np.testing.assert_allclose(got, want, rtol=1e-6)
 
+    def test_per_seq_matches_optax_values_and_grads(self):
+        # The in-repo unrolled alpha recursion (ops/ctc.py:ctc_per_seq) must
+        # match optax.ctc_loss exactly — values and logit gradients — on
+        # random batches with repeated labels and frame/label padding.
+        import optax
+
+        from conformer_tpu.ops.ctc import ctc_per_seq
+        rng = np.random.default_rng(7)
+        b, t, k, n = 4, 23, 11, 7
+        logits = jnp.asarray(rng.standard_normal((b, t, k)).astype(np.float32))
+        labels = jnp.asarray(
+            rng.integers(1, k, size=(b, n)).astype(np.int32))
+        labels = labels.at[0, 1].set(labels[0, 0])   # force a repeat
+        frame_lens = jnp.asarray([23, 17, 23, 9])
+        lab_lens = jnp.asarray([7, 5, 1, 3])
+        lp = 1.0 - np.asarray(padding_mask(frame_lens, t), np.float32)
+        lbp = 1.0 - np.asarray(padding_mask(lab_lens, n), np.float32)
+
+        for unroll in (1, 8):
+            got = ctc_per_seq(logits, lp, labels, lbp, unroll=unroll)
+            want = optax.ctc_loss(logits, lp, labels, lbp)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
+
+        g_got = jax.grad(lambda x: jnp.sum(ctc_per_seq(x, lp, labels, lbp)))(
+            logits)
+        g_want = jax.grad(
+            lambda x: jnp.sum(optax.ctc_loss(x, lp, labels, lbp)))(logits)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_impossible_alignment_zeroed(self):
         # Label longer than frames -> infinite loss -> zeroed (zero_infinity).
         logits = jnp.zeros((1, 2, 4))
