@@ -121,27 +121,62 @@ def _fingerprint_jnp(ids, valid):
     return jnp.where(h == _EMPTY, np.uint32(1), h)
 
 
-def _probe(keys, values, fp, n_probes: int = _PROBES):
+def _probe(keys, values, fp, n_probes: int = _PROBES,
+           axis_name=None, n_slots_global: int = 0):
     """Open-addressing lookup. keys/values: (n_slots,); fp: (...,) uint32.
     -> (found (...,) bool, value (...,)). n_probes must cover the maximum
-    insertion displacement (DeviceNgramTable.n_probes)."""
+    insertion displacement (DeviceNgramTable.n_probes).
+
+    With ``axis_name`` (inside a shard_map), keys/values are the LOCAL
+    contiguous slot slice of a table of ``n_slots_global`` slots sharded
+    over that mesh axis: each shard probes only the global slots it owns
+    (uint32 wraparound makes the range test one compare) and the partial
+    results combine with a psum over ICI. Exact, because insertion
+    guarantees a fingerprint occupies at most one global slot — at most one
+    shard can hit, so the masked-zero partials sum to the unsharded answer.
+    This is the "collective exchange of LM state during decode" north star
+    (SURVEY §2.10): the LM no longer needs to fit in one chip's HBM.
+    """
+    import jax
     import jax.numpy as jnp
 
-    mask = np.uint32(keys.shape[0] - 1)
+    if axis_name is None:
+        mask = np.uint32(keys.shape[0] - 1)
+        found = jnp.zeros(fp.shape, bool)
+        out = jnp.zeros(fp.shape, values.dtype)
+        slot = fp & mask
+        for _ in range(n_probes):
+            k = keys[slot]
+            hit = (k == fp) & ~found
+            out = jnp.where(hit, values[slot], out)
+            found = found | hit
+            slot = (slot + np.uint32(1)) & mask
+        return found, out
+
+    s_local = keys.shape[0]
+    mask = np.uint32(n_slots_global - 1)
+    off = (jax.lax.axis_index(axis_name).astype(jnp.uint32)
+           * np.uint32(s_local))
     found = jnp.zeros(fp.shape, bool)
     out = jnp.zeros(fp.shape, values.dtype)
     slot = fp & mask
     for _ in range(n_probes):
-        k = keys[slot]
-        hit = (k == fp) & ~found
-        out = jnp.where(hit, values[slot], out)
+        local = slot - off                      # uint32 wraparound
+        in_rng = local < np.uint32(s_local)
+        li = jnp.where(in_rng, local, np.uint32(0)).astype(jnp.int32)
+        k = keys[li]
+        hit = in_rng & (k == fp) & ~found
+        out = jnp.where(hit, values[li], out)
         found = found | hit
         slot = (slot + np.uint32(1)) & mask
+    found = jax.lax.psum(found.astype(jnp.int32), axis_name) > 0
+    out = jax.lax.psum(out, axis_name)
     return found, out
 
 
 def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
-                 n_probes: int = _PROBES):
+                 n_probes: int = _PROBES,
+                 axis_name=None, n_slots_global: int = 0):
     """Exact ARPA backoff score, vectorized.
 
     tables: (keys (order, S), logps (order, S), backoffs (order, S));
@@ -171,14 +206,16 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
             [ctx[..., m_ctx - u:], tok[..., None].astype(jnp.int32)], -1)
         valid = jnp.ones(ids.shape, bool)
         fp = _fingerprint_jnp(ids, valid)
-        f, lp = _probe(keys[u], logps[u], fp, n_probes)
+        f, lp = _probe(keys[u], logps[u], fp, n_probes,
+                       axis_name, n_slots_global)
         usable = ctx_len >= u
         found_list.append(f & usable)
         logp_list.append(lp)
         if u >= 1:
             ctx_ids = ctx[..., m_ctx - u:]
             bo_fp = _fingerprint_jnp(ctx_ids, jnp.ones(ctx_ids.shape, bool))
-            bf, bo = _probe(keys[u - 1], backoffs[u - 1], bo_fp, n_probes)
+            bf, bo = _probe(keys[u - 1], backoffs[u - 1], bo_fp, n_probes,
+                            axis_name, n_slots_global)
             bo_list.append(jnp.where(bf & usable, bo, 0.0))
 
     # Sequential backoff emulation: first found level (longest) wins; the

@@ -87,6 +87,8 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                            lm_unk_logp: float = -99.0,
                            lm_order: int = 0,
                            lm_n_probes: int = 8,
+                           lm_axis_name=None,
+                           lm_n_slots_global: int = 0,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(B, T, V) log-softmax -> (prefixes (B, W, U), plens (B, W),
     scores (B, W)), best beam first.
@@ -158,7 +160,8 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                     jnp.broadcast_to(state.lm_ctx[:, None, :], (w, k, m_ctx)),
                     jnp.broadcast_to(state.lm_len[:, None], (w, k)),
                     jnp.broadcast_to(lm_tok[None, :], (w, k)),
-                    lm_unk_logp, lm_n_probes)                   # (W, K)
+                    lm_unk_logp, lm_n_probes,
+                    lm_axis_name, lm_n_slots_global)            # (W, K)
                 lm_delta = lm_alpha * _LOG10_TO_LN * lm10
                 if delim_id is not None and lm_beta:
                     lm_delta = lm_delta + jnp.where(
@@ -252,4 +255,64 @@ ctc_beam_search_device_jit = jax.jit(
     ctc_beam_search_device,
     static_argnames=("beam_width", "top_k", "blank_id", "unk_id", "max_len",
                      "lm_alpha", "lm_beta", "delim_id", "lm_bos_id",
-                     "lm_unk_logp", "lm_order", "lm_n_probes"))
+                     "lm_unk_logp", "lm_order", "lm_n_probes",
+                     "lm_axis_name", "lm_n_slots_global"))
+
+
+def ctc_beam_search_device_sharded(log_probs, lengths=None, mesh=None,
+                                   data_axis: str = "data",
+                                   model_axis: str = "model", **kw):
+    """Multi-chip device beam search: batch sharded over the data axis, LM
+    hash tables sharded over the model axis (slot dim) with probe results
+    combined by psum over ICI (lm/device_table.py:_probe). The search math
+    replicates across the model axis — every chip in a model group holds
+    the same beams, exchanging only LM state — realizing SURVEY §2.10's
+    "collective exchange of beam/LM state during decode" north star (no
+    reference counterpart: processing/lm.py:62-75 is sequential host
+    Python). Falls back to the unsharded search when no axis applies.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+    names = getattr(mesh, "axis_names", ())
+    shape = dict(getattr(mesh, "shape", {}))
+    b = log_probs.shape[0]
+    d_ax = (data_axis if data_axis in names and shape.get(data_axis, 1) > 1
+            and b % shape[data_axis] == 0 else None)
+    lm_tables = kw.get("lm_tables")
+    n_model = shape.get(model_axis, 1)
+    m_ax = (model_axis if model_axis in names and n_model > 1
+            and lm_tables is not None
+            and lm_tables[0].shape[1] % n_model == 0 else None)
+    if d_ax is None and m_ax is None:
+        return ctc_beam_search_device(log_probs, lengths, **kw)
+    if lengths is None:
+        lengths = jnp.full((b,), log_probs.shape[1], jnp.int32)
+
+    kw = dict(kw)
+    tables = kw.pop("lm_tables", None)
+    if m_ax is not None:
+        kw["lm_axis_name"] = m_ax
+        kw["lm_n_slots_global"] = int(tables[0].shape[1])
+    out_spec = (P(d_ax), P(d_ax), P(d_ax))
+
+    if tables is None:
+        body = lambda lp, n: ctc_beam_search_device(lp, n, **kw)
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(P(d_ax), P(d_ax)),
+            out_specs=out_spec, check_vma=False,
+        )(log_probs, lengths.astype(jnp.int32))
+
+    # Shard the slot axis over the model axis only when it applies; the
+    # tables are replicated otherwise.
+    table_spec = (P(None, m_ax),) * 3
+
+    def body(lp, n, tabs):
+        return ctc_beam_search_device(lp, n, lm_tables=tabs, **kw)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(d_ax), P(d_ax), table_spec),
+        out_specs=out_spec, check_vma=False,
+    )(log_probs, lengths.astype(jnp.int32), tuple(tables))

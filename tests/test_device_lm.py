@@ -77,3 +77,88 @@ class TestDeviceTable:
                 table.n_probes))
             assert float((10.0 ** scores).sum()) == pytest.approx(1.0,
                                                                   abs=2e-3)
+
+
+class TestShardedTable:
+    def test_sharded_probe_matches_unsharded(self, arpa):
+        # Table slots sharded over a mesh axis; lookups combine via psum
+        # (lm/device_table.py:_probe axis_name path). Must equal the
+        # unsharded scorer bit-for-bit on the virtual 8-device mesh.
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from conformer_tpu.lm.device_table import score_tokens as st
+
+        table = DeviceNgramTable.from_arpa(arpa)
+        tables = table.device_arrays()
+        n_slots = tables[0].shape[1]
+        m_ctx = table.order - 1
+        n_dev = len(jax.devices())
+        assert n_slots % n_dev == 0
+
+        rng = np.random.default_rng(3)
+        ids = sorted(table.vocab.values())
+        nq = 64
+        ctx_arr = np.zeros((nq, m_ctx), np.int32)
+        ctx_len = np.zeros((nq,), np.int32)
+        toks = np.zeros((nq,), np.int32)
+        for i in range(nq):
+            clen = int(rng.integers(0, m_ctx + 1))
+            ctx = [int(rng.choice(ids)) for _ in range(clen)]
+            if ctx:
+                ctx_arr[i, m_ctx - len(ctx):] = ctx
+            ctx_len[i] = clen
+            toks[i] = int(rng.choice(ids + [-1]))
+
+        want = np.asarray(st(tables, jnp.asarray(ctx_arr),
+                             jnp.asarray(ctx_len), jnp.asarray(toks),
+                             table.unk_logp, table.n_probes))
+
+        mesh = Mesh(np.array(jax.devices()), ("model",))
+
+        def body(tabs, ctx, cl, tk):
+            return st(tabs, ctx, cl, tk, table.unk_logp, table.n_probes,
+                      axis_name="model", n_slots_global=n_slots)
+
+        got = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=((P(None, "model"),) * 3, P(), P(), P()),
+            out_specs=P(), check_vma=False,
+        )(tuple(tables), jnp.asarray(ctx_arr), jnp.asarray(ctx_len),
+          jnp.asarray(toks))
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_sharded_beam_search_matches_unsharded(self, arpa):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from conformer_tpu.ops.beam_search_device import (
+            ctc_beam_search_device, ctc_beam_search_device_sharded)
+
+        table = DeviceNgramTable.from_arpa(arpa)
+        tables = table.device_arrays()
+        v, b, t = 12, 4, 9
+        rng = np.random.default_rng(5)
+        lp = jax.nn.log_softmax(
+            jnp.asarray(rng.standard_normal((b, t, v)).astype(np.float32)))
+        lengths = jnp.asarray([9, 7, 9, 5], jnp.int32)
+        tok2lm = jnp.asarray(
+            [-1] + [rng.choice(sorted(table.vocab.values()))
+                    for _ in range(v - 1)], jnp.int32)
+        kw = dict(beam_width=6, top_k=4, lm_tables=tables, tok2lm=tok2lm,
+                  lm_alpha=0.7, lm_beta=0.0, lm_bos_id=table.bos_id,
+                  lm_unk_logp=table.unk_logp, lm_order=table.order,
+                  lm_n_probes=table.n_probes)
+
+        pre_w, pre_l, pre_s = ctc_beam_search_device(lp, lengths, **kw)
+
+        devs = np.array(jax.devices()).reshape(4, 2)
+        mesh = Mesh(devs, ("data", "model"))
+        got_w, got_l, got_s = ctc_beam_search_device_sharded(
+            lp, lengths, mesh=mesh, **kw)
+        np.testing.assert_array_equal(np.asarray(got_l), np.asarray(pre_l))
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(pre_s),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_w), np.asarray(pre_w))
