@@ -99,8 +99,8 @@ class InferencePipeline:
         if decode == "beam_device":
             import functools
 
-            from conformer_tpu.ops.beam_search_device import \
-                ctc_beam_search_device
+            from conformer_tpu.ops.beam_search_device import (
+                ctc_beam_search_device, ctc_beam_search_device_sharded)
 
             # Optional on-device LM fusion from a token-level ARPA
             # (HBM-resident hashed tables, lm/device_table.py).
@@ -128,8 +128,12 @@ class InferencePipeline:
             # Honors cfg.decode.beam_width exactly (the reference op point is
             # 190, processing/lm.py:12); widths are static shapes, memory is
             # O(B * width * max_tokens) device ints — tiny next to the model.
+            # Under an active mesh the search is shard_mapped: batch over the
+            # data axis, LM tables sharded over the model axis with
+            # psum-combined probes (ops/beam_search_device.py).
+            del ctc_beam_search_device  # sharded wrapper falls back itself
             self._device_beam = jax.jit(functools.partial(
-                ctc_beam_search_device,
+                ctc_beam_search_device_sharded,
                 beam_width=cfg.decode.beam_width, top_k=8,
                 blank_id=tokenizer.pad_id, unk_id=tokenizer.unk_id,
                 max_len=cfg.data.max_tokens, **lm_kwargs))
