@@ -42,13 +42,14 @@ except Exception:  # pragma: no cover
 
 def _kernel(audio_ref, dft_ref, fb_ref, out_ref, *, tf: int, hop: int,
             n_fft: int, n_bins: int, clamp: float):
-    """audio rows (RB, span) in VMEM -> log-mels (RB, TF, n_mels)."""
+    """audio spans (RB, rows, hop) in VMEM -> log-mels (RB, TF, n_mels).
+    The hop-rows reshape happens in the XLA prologue: a 1D->2D reshape
+    inside the kernel is an unsupported Mosaic shape cast."""
     rb = audio_ref.shape[0]
     whole = n_fft // hop          # whole hop-rows per frame
     rem = n_fft - whole * hop     # leading remainder of the next row
-    rows = tf + whole + (1 if rem else 0)
     for r in range(rb):
-        tile = audio_ref[r].reshape(rows, hop)
+        tile = audio_ref[r]
         parts = [jax.lax.slice(tile, (i, 0), (i + tf, hop))
                  for i in range(whole)]
         if rem:
@@ -89,10 +90,12 @@ def logmel_pallas(padded_audio: jnp.ndarray, dft: jnp.ndarray,
         padded_audio = jnp.pad(padded_audio, ((0, 0), (0, need - s_pad)))
         s_pad = need
 
-    # (B, S) -> (B*n_tiles, span): one contiguous span per (batch, tile).
+    # (B, S) -> (B*n_tiles, rows, hop): one contiguous span per
+    # (batch, tile), pre-reshaped into hop-sized rows for the kernel.
+    rows = tf + rows_extra
     spans = jnp.stack([padded_audio[:, t * tf * hop: t * tf * hop + span]
                        for t in range(n_tiles)], axis=1)
-    spans = spans.reshape(b * n_tiles, span)
+    spans = spans.reshape(b * n_tiles, rows, hop)
     n_rows = spans.shape[0]
     rb = max(1, min(rows_per_program, n_rows))
     while n_rows % rb:
@@ -105,7 +108,7 @@ def logmel_pallas(padded_audio: jnp.ndarray, dft: jnp.ndarray,
         kern,
         grid=(n_rows // rb,),
         in_specs=[
-            pl.BlockSpec((rb, span), lambda ri: (ri, 0), **vm),
+            pl.BlockSpec((rb, rows, hop), lambda ri: (ri, 0, 0), **vm),
             pl.BlockSpec((n_fft, 2 * n_bins), lambda ri: (0, 0), **vm),
             pl.BlockSpec((n_bins, n_mels), lambda ri: (0, 0), **vm),
         ],

@@ -142,3 +142,22 @@ class TestLoader:
                                     shard_count=2, training=False)
             seen.update(loader.indices.tolist())
         assert seen == set(range(8))
+
+
+class TestShippedConfigs:
+    def test_every_example_config_loads(self):
+        # Regression: configs/ once shipped a stale DataConfig.shuffle_buffer
+        # key that crashed `--config configs/production_vi.json` after the
+        # knob was removed. Every shipped example must load against the
+        # current schema.
+        import glob
+        import os
+
+        from conformer_tpu.config import Config
+
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        paths = sorted(glob.glob(os.path.join(root, "*.json")))
+        assert len(paths) >= 4
+        for p in paths:
+            cfg = Config.from_json(p)
+            assert cfg.model.d_model > 0, p
