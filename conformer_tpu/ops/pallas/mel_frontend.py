@@ -50,14 +50,26 @@ def _kernel(audio_ref, dft_ref, fb_ref, out_ref, *, tf: int, hop: int,
     rem = n_fft - whole * hop     # leading remainder of the next row
     for r in range(rb):
         tile = audio_ref[r]
-        parts = [jax.lax.slice(tile, (i, 0), (i + tf, hop))
-                 for i in range(whole)]
+        # frames @ DFT decomposed as a sum of per-part matmuls: frame i is
+        # [R[i..i+tf) rows | leading rem of the next row], so multiplying
+        # each part against the matching DFT row block and summing equals
+        # the concatenated-frame product — and Mosaic cannot concatenate
+        # slices whose sublane offsets differ ("offset mismatch on
+        # non-concat dimension").
+        proj = None
+        for i in range(whole):
+            part = jax.lax.slice(tile, (i, 0), (i + tf, hop))
+            dft_rows = jax.lax.slice(dft_ref[:], (i * hop, 0),
+                                     ((i + 1) * hop, 2 * n_bins))
+            term = jnp.dot(part, dft_rows,
+                           preferred_element_type=jnp.float32)
+            proj = term if proj is None else proj + term
         if rem:
-            parts.append(jax.lax.slice(tile, (whole, 0), (whole + tf, rem)))
-        frames = jnp.concatenate(parts, axis=1)              # (TF, n_fft)
-
-        proj = jnp.dot(frames, dft_ref[:],
-                       preferred_element_type=jnp.float32)   # (TF, 2*n_bins)
+            part = jax.lax.slice(tile, (whole, 0), (whole + tf, rem))
+            dft_rows = jax.lax.slice(dft_ref[:], (whole * hop, 0),
+                                     (whole * hop + rem, 2 * n_bins))
+            proj = proj + jnp.dot(part, dft_rows,
+                                  preferred_element_type=jnp.float32)
         re = proj[:, :n_bins]
         im = proj[:, n_bins:]
         power = re * re + im * im

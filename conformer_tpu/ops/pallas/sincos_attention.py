@@ -177,7 +177,8 @@ def _dropout_keep(seed, bi, hi, qi, shape, rate):
 
 def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, out_ref, *,
-                scale: float, d2: int, l_valid: int, rate: float):
+                scale: float, d2: int, l_valid: int, rate: float,
+                probs_bf16: bool = False):
     """One (batch-block, q-tile) program; ALL heads — and NB batch rows —
     are processed in an unrolled loop. Grid programs cost ~3us of dispatch
     each: a (B, H, L/TQ) grid of tiny per-head programs was dispatch-bound
@@ -204,9 +205,19 @@ def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             # (A fully-masked row -- length 0 -- yields uniform weights
             # instead of zeros; such rows only exist as dataset padding and
             # are excluded from the loss.)
-            e = jnp.exp(scores - m)
-            s = jnp.sum(e, axis=-1, keepdims=True)
-            p = e / jnp.maximum(s, 1e-9)
+            x = scores - m
+            if probs_bf16:
+                # Probability arithmetic in bf16 (max-sub still f32): halves
+                # the VPU bytes of the exp/divide passes; softmax error
+                # ~1e-2 relative, same scale as the bf16 IO everywhere else.
+                e = jnp.exp(x.astype(jnp.bfloat16))
+                s = jnp.sum(e, axis=-1, keepdims=True,
+                            dtype=jnp.float32)
+                p = e * (1.0 / jnp.maximum(s, 1e-9)).astype(jnp.bfloat16)
+            else:
+                e = jnp.exp(x)
+                s = jnp.sum(e, axis=-1, keepdims=True)
+                p = e / jnp.maximum(s, 1e-9)
             if rate > 0.0:
                 keep = _dropout_keep(seed_ref[0], bi * nb + bb,
                                      hb * n_heads + h, qi, (tq, l), rate)
@@ -221,7 +232,8 @@ def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
 def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, do_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dwh_ref, *,
-                scale: float, d2: int, l_valid: int, rate: float):
+                scale: float, d2: int, l_valid: int, rate: float,
+                probs_bf16: bool = False):
     """Recompute the probability tile (flash-style: no saved score tensors),
     then emit all five gradients; all heads and NB batch rows per program
     (see _fwd_kernel). dk/dv/dwh accumulate across the q-tile grid dimension
@@ -250,9 +262,15 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                                sk_ref, ck_ref, scale, d2)
         scores = jnp.where(valid, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)                # masked cols underflow to 0
-        s = jnp.sum(e, axis=-1, keepdims=True)
-        p = e / jnp.maximum(s, 1e-9)                           # (TQ, L)
+        if probs_bf16:
+            e = jnp.exp((scores - m).astype(jnp.bfloat16))
+            ssum = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            p = (e * (1.0 / jnp.maximum(ssum, 1e-9)).astype(jnp.bfloat16)
+                 ).astype(jnp.float32)
+        else:
+            e = jnp.exp(scores - m)            # masked cols underflow to 0
+            ssum = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / jnp.maximum(ssum, 1e-9)                    # (TQ, L)
 
         dov = jax.lax.dot_general(                             # dO . v_j
             do, v.astype(jnp.float32),
@@ -408,7 +426,8 @@ def _common_specs(b, h, hb, nb, l, tq, dh, d):
     return in_specs, vm
 
 
-def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
+def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
+              probs_bf16=False):
     b, h, l_orig, dh = qu.shape
     d = wh.shape[-1]
     qu, qv, k, v, lengths, l = _pad_args(qu, qv, k, v, lengths, tq)
@@ -419,7 +438,8 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
     hb, nb = _block_sizes(h, b, l, tq, dh, d, qu.dtype.itemsize, bwd=False)
     in_specs, vm = _common_specs(b, h, hb, nb, l, tq, dh, d)
     kern = functools.partial(_fwd_kernel, scale=scale, d2=d // 2,
-                             l_valid=l_orig, rate=rate)
+                             l_valid=l_orig, rate=rate,
+                             probs_bf16=probs_bf16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // nb, h // hb, l // tq),
@@ -436,7 +456,8 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
     return out[:, :, :l_orig, :]
 
 
-def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g):
+def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
+              probs_bf16=False):
     b, h, l_orig, dh = qu.shape
     d = wh.shape[-1]
     qu, qv, k, v, lengths, l = _pad_args(qu, qv, k, v, lengths, tq)
@@ -451,7 +472,8 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g):
     in_specs.append(pl.BlockSpec((nb, hb, tq, dh),
                                  lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm))
     kern = functools.partial(_bwd_kernel, scale=scale, d2=d // 2,
-                             l_valid=l_orig, rate=rate)
+                             l_valid=l_orig, rate=rate,
+                             probs_bf16=probs_bf16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // nb, h // hb, l // tq),
@@ -489,24 +511,26 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g):
 # Public entry point with custom VJP.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _fused(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _fused(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
+           probs_bf16=False):
     return _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
-                     interpret)
+                     interpret, probs_bf16)
 
 
-def _fused_fwd(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret):
+def _fused_fwd(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
+               probs_bf16=False):
     out = _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
-                    interpret)
+                    interpret, probs_bf16)
     # seed is traced (changes every train step without recompiling); the
     # identical dropout mask is regenerated in the backward from it.
     return out, (qu, qv, k, v, wh, lengths, seed)
 
 
-def _fused_bwd(scale, rate, tq, interpret, res, g):
+def _fused_bwd(scale, rate, tq, interpret, probs_bf16, res, g):
     qu, qv, k, v, wh, lengths, seed = res
     dqu, dqv, dk, dv, dwh = _bwd_call(qu, qv, k, v, wh, lengths, seed, scale,
-                                      rate, tq, interpret, g)
+                                      rate, tq, interpret, g, probs_bf16)
     return dqu, dqv, dk, dv, dwh, None, None
 
 
@@ -524,7 +548,8 @@ def _auto_tq(l: int) -> int:
 def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
                          dropout_rate: float = 0.0,
                          seed: Optional[int] = None,
-                         tq: Optional[int] = None, interpret: bool = False):
+                         tq: Optional[int] = None, interpret: bool = False,
+                         probs_bf16: bool = False):
     """Fused shift-free relative attention.
 
     qu = q + content_bias, qv = q + position_bias: (B, H, L, dh);
@@ -544,7 +569,7 @@ def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
         # the qu/qv gradients.
         s = jnp.asarray(scale, qu.dtype)
         return _fused(qu * s, qv * s, k, v, wh, lengths, seed, 1.0,
-                      dropout_rate, tq, interpret)
+                      dropout_rate, tq, interpret, probs_bf16)
     return sincos_attention_xla(qu, qv, k, v, wh, lengths, scale,
                                 dropout_rate, seed)
 

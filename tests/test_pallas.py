@@ -229,6 +229,31 @@ class TestSincosAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
 
+    def test_probs_bf16_close(self):
+        # Flag-gated bf16 probability arithmetic: softmax error ~1e-2
+        # relative (bf16 IO scale), gradients still finite and close.
+        from conformer_tpu.ops.pallas.sincos_attention import (
+            rel_attention_sincos, sincos_attention_xla)
+        qu, qv, k, v, K, wh, lengths, mk = self._case(L=64, seed=4)
+        scale = 1 / np.sqrt(qu.shape[-1])
+        want = sincos_attention_xla(qu, qv, k, v, wh, lengths, scale)
+        got = rel_attention_sincos(qu, qv, k, v, wh, lengths, scale,
+                                   tq=32, interpret=True, probs_bf16=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-2)
+        g = mk(*qu.shape)
+
+        def loss(qu):
+            return jnp.sum(rel_attention_sincos(
+                qu, qv, k, v, wh, lengths, scale, tq=32, interpret=True,
+                probs_bf16=True) * g)
+
+        gr = jax.grad(loss)(qu)
+        gx = jax.grad(lambda qu: jnp.sum(sincos_attention_xla(
+            qu, qv, k, v, wh, lengths, scale) * g))(qu)
+        assert np.isfinite(np.asarray(gr)).all()
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gx), atol=5e-2)
+
     def test_fused_backward_parity(self):
         from conformer_tpu.ops.pallas.sincos_attention import (
             prep_pos_kernel, rel_attention_sincos, sincos_attention_xla)

@@ -69,9 +69,10 @@ def main():
         lengths = jnp.full((B,), L, jnp.int32)
         g = mk(B, H, L, dh)
 
+        probs_bf16 = os.environ.get("BENCH_PROBS", "") == "bf16"
         xla_f = jax.jit(functools.partial(rel_attention_xla, scale=scale))
         pl_f = jax.jit(lambda qu, qv, k, v, wh, ln: rel_attention_sincos(
-            qu, qv, k, v, wh, ln, scale))
+            qu, qv, k, v, wh, ln, scale, probs_bf16=probs_bf16))
 
         def xla_loss(qu, qv, k, v, p):
             return jnp.sum(rel_attention_xla(qu, qv, k, v, p, lengths,
@@ -79,8 +80,8 @@ def main():
 
         def pl_loss(qu, qv, k, v, wh, rate=0.0, seed=None):
             return jnp.sum(rel_attention_sincos(
-                qu, qv, k, v, wh, lengths, scale, rate,
-                seed).astype(jnp.float32) * g)
+                qu, qv, k, v, wh, lengths, scale, rate, seed,
+                probs_bf16=probs_bf16).astype(jnp.float32) * g)
 
         def pl_loss_drop(qu, qv, k, v, wh, seed):
             return pl_loss(qu, qv, k, v, wh, rate=0.1, seed=seed)
