@@ -30,6 +30,10 @@ def __getattr__(name):
         from conformer_tpu.models.conformer import Conformer
 
         return Conformer
+    if name == "Transducer":
+        from conformer_tpu.models.transducer import Transducer
+
+        return Transducer
     if name == "InferencePipeline":
         from conformer_tpu.decode.pipeline import InferencePipeline
 

@@ -123,6 +123,13 @@ class ModelConfig:
     # convolution.py:59-70). NOT checkpoint-compatible with the reference;
     # use for from-scratch training.
     subsample_impl: str = "conv2d"
+    # Transducer (RNN-T) head (models/transducer.py) — a WORKING
+    # implementation of what the reference ships as a dead stub
+    # (model/modules/transducer.py:4-9). Shares the Conformer encoder.
+    pred_embed_dim: int = 320
+    pred_hidden_dim: int = 320
+    pred_layers: int = 1
+    joint_dim: int = 320
 
     @staticmethod
     def small(vocab_size: int = 370) -> "ModelConfig":

@@ -121,6 +121,53 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_transducer_train_step(cfg: Config, tx: optax.GradientTransformation,
+                               frontend: Optional[MelFrontend] = None,
+                               donate: bool = True) -> Callable:
+    """RNN-T train step: audio -> mel -> SpecAugment -> Transducer lattice ->
+    rnnt loss -> Adam, one fused XLA program (models/transducer.py,
+    ops/rnnt.py). Same TrainState/checkpoint machinery as the CTC path.
+    The reference has no working counterpart (its Transducer is a dead
+    stub, model/modules/transducer.py:4-9)."""
+    from conformer_tpu.models.transducer import Transducer
+    from conformer_tpu.ops.rnnt import rnnt_loss_from_logits
+
+    frontend = frontend or MelFrontend(cfg.audio)
+    model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                       deterministic=False)
+
+    def step(state: TrainState, audio, audio_lengths, tokens, token_lengths,
+             rng):
+        mels = frontend(audio)
+        mel_lengths = frontend.frame_lengths(audio_lengths)
+        aug_rng, dropout_rng = jax.random.split(
+            jax.random.fold_in(rng, state.step))
+        mels = spec_augment(aug_rng, mels, cfg.augment, mel_lengths)
+
+        def loss_fn(params, batch_stats):
+            (lattice, enc_lengths), updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                mels, mel_lengths, tokens, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
+            loss = rnnt_loss_from_logits(lattice, tokens, enc_lengths,
+                                         token_lengths)
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   "audio_seconds": jnp.sum(audio_lengths)
+                   / cfg.audio.sample_rate}
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
 def make_eval_step(cfg: Config, frontend: Optional[MelFrontend] = None,
                    unk_id: Optional[int] = None) -> Callable:
     """-> jitted step(state, audio, audio_lengths, tokens, token_lengths) ->
