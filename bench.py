@@ -43,9 +43,10 @@ def main() -> None:
     from conformer_tpu.train.steps import init_variables, make_train_step
 
     mode = os.environ.get("BENCH_MODE", "train")
-    # Batch 48 is the best measured single-chip operating point (sweep:
-    # b32 2866 -> b48 2966 -> adaptive-tq 3159 audio-s/s, remat off, unrolled).
-    batch_size = int(os.environ.get("BENCH_BATCH", "48"))
+    # Batch 56 is the best measured single-chip operating point (sweep at
+    # end of r2: b48 3374 -> b56 3439 -> b64 3404 audio-s/s, remat off,
+    # unrolled, hash dropout).
+    batch_size = int(os.environ.get("BENCH_BATCH", "56"))
     audio_s = float(os.environ.get("BENCH_AUDIO_S", "8.0"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
