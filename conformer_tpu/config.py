@@ -66,6 +66,11 @@ class ModelConfig:
     reference: model/conformer.py:12-19) are available as `ModelConfig.small()`.
     """
 
+    # Model family: 'ctc' (Conformer encoder + LSTM decoder + CTC loss,
+    # the reference's architecture) or 'transducer' (same encoder + RNN-T
+    # prediction/joint nets + RNN-T loss — a WORKING version of the
+    # reference's dead stub; models/transducer.py).
+    arch: str = "ctc"
     vocab_size: int = 370
     n_mel_channels: int = 80
     n_blocks: int = 17

@@ -41,10 +41,17 @@ def build_models(cfg: Config) -> Tuple[Conformer, Conformer]:
 
 def init_variables(cfg: Config, rng: jax.Array, mel_frames: int = 256):
     """Initialize params/batch_stats with a dummy batch (shape-only)."""
-    model = Conformer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
-                      deterministic=True)
     mels = jnp.zeros((1, mel_frames, cfg.model.n_mel_channels), jnp.float32)
     lengths = jnp.full((1,), mel_frames, jnp.int32)
+    if getattr(cfg.model, "arch", "ctc") == "transducer":
+        from conformer_tpu.models.transducer import Transducer
+
+        model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                           deterministic=True)
+        labels = jnp.zeros((1, 4), jnp.int32)
+        return model.init({"params": rng}, mels, lengths, labels)
+    model = Conformer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                      deterministic=True)
     return model.init({"params": rng}, mels, lengths)
 
 
@@ -52,7 +59,9 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                     frontend: Optional[MelFrontend] = None,
                     donate: bool = True) -> Callable:
     """-> jitted step(state, audio, audio_lengths, tokens, token_lengths, rng)
-    -> (state, metrics dict)."""
+    -> (state, metrics dict). Dispatches on cfg.model.arch."""
+    if getattr(cfg.model, "arch", "ctc") == "transducer":
+        return make_transducer_train_step(cfg, tx, frontend, donate)
     frontend = frontend or MelFrontend(cfg.audio)
     model, _ = build_models(cfg)
 
@@ -168,10 +177,47 @@ def make_transducer_train_step(cfg: Config, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def make_transducer_eval_step(cfg: Config,
+                              frontend: Optional[MelFrontend] = None
+                              ) -> Callable:
+    """RNN-T eval: loss + frame-synchronous greedy decode, one jitted
+    program; output keys match the CTC eval step's contract
+    (loss/tokens/counts/lengths) so Trainer.validate works unchanged."""
+    from conformer_tpu.models.transducer import Transducer
+    from conformer_tpu.ops.rnnt import (rnnt_greedy_decode,
+                                        rnnt_loss_from_logits)
+
+    frontend = frontend or MelFrontend(cfg.audio)
+    model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                       deterministic=True)
+
+    def step(state: TrainState, audio, audio_lengths, tokens, token_lengths):
+        mels = frontend(audio)
+        mel_lengths = frontend.frame_lengths(audio_lengths)
+        bound = model.bind({"params": state.params,
+                            "batch_stats": state.batch_stats})
+        enc, enc_lengths = bound.encode(mels, mel_lengths)
+        pred = bound.prediction(tokens)
+        lattice = bound.joint(enc[:, :, None, :], pred[:, None, :, :])
+        loss = rnnt_loss_from_logits(lattice, tokens, enc_lengths,
+                                     token_lengths)
+        buf, counts = rnnt_greedy_decode(
+            bound.joint_logits, enc, enc_lengths, bound.predict_step,
+            bound.predict_init(enc.shape[0]), max_symbols=4,
+            max_len=cfg.data.max_tokens)
+        return {"loss": loss, "tokens": buf, "counts": counts,
+                "lengths": enc_lengths}
+
+    return jax.jit(step)
+
+
 def make_eval_step(cfg: Config, frontend: Optional[MelFrontend] = None,
                    unk_id: Optional[int] = None) -> Callable:
     """-> jitted step(state, audio, audio_lengths, tokens, token_lengths) ->
-    metrics + collapsed greedy tokens (device-side; text assembly on host)."""
+    metrics + collapsed greedy tokens (device-side; text assembly on host).
+    Dispatches on cfg.model.arch."""
+    if getattr(cfg.model, "arch", "ctc") == "transducer":
+        return make_transducer_eval_step(cfg, frontend)
     frontend = frontend or MelFrontend(cfg.audio)
     _, model = build_models(cfg)
 
