@@ -92,7 +92,9 @@ def rnnt_alpha_final(lp_blank: jnp.ndarray, lp_emit: jnp.ndarray,
 
 def rnnt_loss_from_logits(logits: jnp.ndarray, labels: jnp.ndarray,
                           t_lengths: jnp.ndarray, u_lengths: jnp.ndarray,
-                          blank_id: int = 0) -> jnp.ndarray:
+                          blank_id: int = 0,
+                          row_mask: Optional[jnp.ndarray] = None
+                          ) -> jnp.ndarray:
     """Mean RNN-T negative log-likelihood from the full joint lattice.
 
     logits: (B, T, U+1, V); labels: (B, U) int32; t_lengths/u_lengths: (B,).
@@ -106,8 +108,13 @@ def rnnt_loss_from_logits(logits: jnp.ndarray, labels: jnp.ndarray,
         lp[:, :, :-1, :], jnp.broadcast_to(
             emit_idx, (*lp.shape[:2], labels.shape[1], 1)), axis=-1)[..., 0]
     ll = rnnt_alpha_final(lp_blank, lp_emit, t_lengths, u_lengths)
-    per_seq = -ll
-    return jnp.mean(per_seq / jnp.maximum(u_lengths.astype(jnp.float32), 1.0))
+    per_seq = -ll / jnp.maximum(u_lengths.astype(jnp.float32), 1.0)
+    if row_mask is not None:
+        # Dummy remainder-padding rows (empty transcripts) must not dilute
+        # the batch mean — same convention as ops/ctc.py:ctc_loss.
+        w = row_mask.astype(jnp.float32)
+        return jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.mean(per_seq)
 
 
 def rnnt_greedy_decode(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,

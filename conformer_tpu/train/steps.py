@@ -159,7 +159,8 @@ def make_transducer_train_step(cfg: Config, tx: optax.GradientTransformation,
                 mels, mel_lengths, tokens, mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng})
             loss = rnnt_loss_from_logits(lattice, tokens, enc_lengths,
-                                         token_lengths)
+                                         token_lengths,
+                                         row_mask=token_lengths > 0)
             return loss, updates["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -200,7 +201,8 @@ def make_transducer_eval_step(cfg: Config,
         pred = bound.prediction(tokens)
         lattice = bound.joint(enc[:, :, None, :], pred[:, None, :, :])
         loss = rnnt_loss_from_logits(lattice, tokens, enc_lengths,
-                                     token_lengths)
+                                     token_lengths,
+                                     row_mask=token_lengths > 0)
         buf, counts = rnnt_greedy_decode(
             bound.joint_logits, enc, enc_lengths, bound.predict_step,
             bound.predict_init(enc.shape[0]), max_symbols=4,

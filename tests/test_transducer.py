@@ -203,3 +203,20 @@ class TestTransducerTrainStep:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestRowMask:
+    def test_dummy_rows_excluded_from_mean(self):
+        rng = np.random.default_rng(9)
+        b, t, u, v = 3, 5, 3, 6
+        logits = jnp.asarray(rng.standard_normal((b, t, u + 1, v))
+                             .astype(np.float32))
+        labels = jnp.asarray(rng.integers(1, v, (b, u)).astype(np.int32))
+        t_len = jnp.asarray([5, 4, 1])
+        u_len = jnp.asarray([3, 2, 0])   # row 2 is a dummy padding row
+        mask = u_len > 0
+        masked = float(rnnt_loss_from_logits(logits, labels, t_len, u_len,
+                                             row_mask=mask))
+        only_real = float(rnnt_loss_from_logits(
+            logits[:2], labels[:2], t_len[:2], u_len[:2]))
+        np.testing.assert_allclose(masked, only_real, rtol=1e-6)
