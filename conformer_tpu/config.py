@@ -135,6 +135,12 @@ class ModelConfig:
     pred_hidden_dim: int = 320
     pred_layers: int = 1
     joint_dim: int = 320
+    # 'scan' (default): lattice-free loss from the additive joint factors —
+    # the (B,T,U+1,V) logit lattice never materializes (ops/rnnt.py::
+    # rnnt_loss_scan), required at production batch/length. 'lattice':
+    # materialize the full joint lattice (simple reference path, identical
+    # numerics; fine at toy scale).
+    rnnt_loss_impl: str = "scan"
 
     @staticmethod
     def small(vocab_size: int = 370) -> "ModelConfig":

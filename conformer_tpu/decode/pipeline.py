@@ -55,14 +55,46 @@ def _gather_pairs_across_hosts(refs: List[str], hyps: List[str]
     return all_refs, all_hyps
 
 
+def _device_lm_kwargs(cfg: Config, tokenizer: GraphemeTokenizer) -> dict:
+    """Kwargs for on-device token-level LM fusion from a token-level ARPA
+    (HBM-resident hashed tables, lm/device_table.py); empty when
+    cfg.decode.device_lm_path is unset."""
+    if not cfg.decode.device_lm_path:
+        return {}
+    import numpy as _np
+
+    from conformer_tpu.lm.device_table import DeviceNgramTable
+
+    table = DeviceNgramTable.from_arpa(cfg.decode.device_lm_path)
+    tok2lm = _np.array(
+        [table.vocab.get(tok_str, -1)
+         for tok_str in tokenizer.vocab], _np.int32)
+    return dict(
+        lm_tables=table.device_arrays(),
+        tok2lm=jax.numpy.asarray(tok2lm),
+        lm_alpha=float(cfg.decode.alpha),
+        lm_beta=float(cfg.decode.beta),
+        delim_id=tokenizer.delim_id,
+        lm_bos_id=int(table.bos_id),
+        lm_unk_logp=float(table.unk_logp),
+        lm_order=int(table.order),
+        lm_n_probes=int(table.n_probes))
+
+
 class InferencePipeline:
     """Restores a checkpoint and transcribes batches.
 
-    decode='greedy' uses the on-device collapse; decode='beam' uses the
-    host CTC beam search with optional n-gram LM shallow fusion
-    (conformer_tpu.decode.beam_search); decode='beam_device' runs the
-    no-LM prefix beam search entirely on-device
-    (conformer_tpu.ops.beam_search_device).
+    CTC (cfg.model.arch='ctc'): decode='greedy' uses the on-device collapse;
+    decode='beam' uses the host CTC beam search with optional word-level
+    n-gram LM shallow fusion (conformer_tpu.decode.beam_search);
+    decode='beam_device' runs the prefix beam search entirely on-device with
+    optional token-level LM fusion (conformer_tpu.ops.beam_search_device).
+
+    Transducer (cfg.model.arch='transducer'): decode='greedy' runs the
+    frame-synchronous greedy decode; decode='beam' or 'beam_device' both run
+    the on-device RNN-T beam search (ops/rnnt.py::rnnt_beam_search) with
+    optional token-level LM fusion via cfg.decode.device_lm_path (word-level
+    host LM fusion does not apply — there are no framewise CTC posteriors).
     """
 
     def __init__(self, cfg: Config, tokenizer: GraphemeTokenizer,
@@ -72,6 +104,7 @@ class InferencePipeline:
         self.cfg = cfg
         self.tok = tokenizer
         self.decode = decode
+        arch = getattr(cfg.model, "arch", "ctc")
 
         tx = make_optimizer(cfg.optim)
         variables = init_variables(cfg, jax.random.PRNGKey(0))
@@ -88,42 +121,36 @@ class InferencePipeline:
         else:
             print(f"[infer] WARNING: no checkpoint in {ckpt_dir}; random weights")
         self.state = jax.device_put(state)
-        self.eval_step = make_eval_step(cfg, unk_id=tokenizer.unk_id)
 
         self._beam = None
+        self._device_beam = None
+        if arch == "transducer":
+            if decode in ("beam", "beam_device"):
+                if decode == "beam" and cfg.decode.lm_path:
+                    print("[infer] NOTE: transducer beam search fuses a "
+                          "token-level device LM (decode.device_lm_path); "
+                          "decode.lm_path (word-level host LM) is ignored")
+                from conformer_tpu.train.steps import make_transducer_eval_step
+
+                self.eval_step = make_transducer_eval_step(
+                    cfg, decode="beam", unk_id=tokenizer.unk_id,
+                    lm_kwargs=_device_lm_kwargs(cfg, tokenizer))
+            else:
+                self.eval_step = make_eval_step(cfg, unk_id=tokenizer.unk_id)
+            return
+        self.eval_step = make_eval_step(cfg, unk_id=tokenizer.unk_id)
+
         if decode == "beam":
             from conformer_tpu.decode.beam_search import BeamSearchDecoder
 
             self._beam = BeamSearchDecoder(tokenizer, cfg.decode)
-        self._device_beam = None
         if decode == "beam_device":
             import functools
 
             from conformer_tpu.ops.beam_search_device import (
                 ctc_beam_search_device, ctc_beam_search_device_sharded)
 
-            # Optional on-device LM fusion from a token-level ARPA
-            # (HBM-resident hashed tables, lm/device_table.py).
-            lm_kwargs = {}
-            if cfg.decode.device_lm_path:
-                import numpy as _np
-
-                from conformer_tpu.lm.device_table import DeviceNgramTable
-
-                table = DeviceNgramTable.from_arpa(cfg.decode.device_lm_path)
-                tok2lm = _np.array(
-                    [table.vocab.get(tok_str, -1)
-                     for tok_str in tokenizer.vocab], _np.int32)
-                lm_kwargs = dict(
-                    lm_tables=table.device_arrays(),
-                    tok2lm=jax.numpy.asarray(tok2lm),
-                    lm_alpha=float(cfg.decode.alpha),
-                    lm_beta=float(cfg.decode.beta),
-                    delim_id=tokenizer.delim_id,
-                    lm_bos_id=int(table.bos_id),
-                    lm_unk_logp=float(table.unk_logp),
-                    lm_order=int(table.order),
-                    lm_n_probes=int(table.n_probes))
+            lm_kwargs = _device_lm_kwargs(cfg, tokenizer)
 
             # Honors cfg.decode.beam_width exactly (the reference op point is
             # 190, processing/lm.py:12); widths are static shapes, memory is

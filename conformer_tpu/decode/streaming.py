@@ -62,6 +62,9 @@ class StreamingTranscriber:
 
         if decode not in ("greedy", "beam"):
             raise ValueError(f"decode must be greedy|beam, got {decode!r}")
+        self.arch = getattr(cfg.model, "arch", "ctc")
+        if self.arch == "transducer" and decode != "greedy":
+            raise ValueError("streaming transducer supports decode='greedy'")
         self.decode = decode
         self.cfg = cfg
         self.tok = tokenizer
@@ -74,30 +77,61 @@ class StreamingTranscriber:
             raise ValueError("chunk_s too small for the subsampling stride")
 
         frontend = MelFrontend(cfg.audio)
-        _, model = build_models(cfg)
-
-        def forward(variables, audio, length):
-            mels = frontend(audio)
-            mel_lengths = frontend.frame_lengths(length)
-            (logits, out_lengths), _ = model.apply(variables, mels,
-                                                   mel_lengths, mutable=[])
-            if decode == "beam":
-                out = jax.nn.log_softmax(
-                    logits.astype(jnp.float32), axis=-1)
-            else:
-                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return out, out_lengths
-
-        self._forward = jax.jit(forward)
         self._variables = variables
         self._jnp = jnp
-
         self._stream = None
-        if decode == "beam":
-            from conformer_tpu.decode.beam_search import BeamSearchDecoder
+        self._rnnt_carry = None
 
-            self._stream = BeamSearchDecoder(
-                tokenizer, decode_cfg or DecodeConfig()).stream()
+        if self.arch == "transducer":
+            # RNN-T streaming: the encoder sees the chunk + left context like
+            # CTC, but the label history carries EXACTLY across chunks via
+            # the prediction-network state (ops/rnnt.py start_frames /
+            # return_carry) — RNN-T's natural streaming advantage over the
+            # CTC collapse-state approximation.
+            from conformer_tpu.models.transducer import Transducer
+            from conformer_tpu.ops.rnnt import rnnt_greedy_decode
+
+            model = Transducer(cfg.model,
+                               compute_dtype=cfg.optim.compute_dtype,
+                               deterministic=True)
+            max_per_chunk = max(self.chunk // stride * 4, 8)
+
+            def forward_t(variables, audio, length, start, state, pred):
+                bound = model.bind(variables)
+                mels = frontend(audio)
+                mel_lengths = frontend.frame_lengths(length)
+                enc, enc_lengths = bound.encode(mels, mel_lengths)
+                buf, count, carry = rnnt_greedy_decode(
+                    bound.joint_logits, enc, enc_lengths, bound.predict_step,
+                    (state, pred), max_symbols=4, max_len=max_per_chunk,
+                    start_frames=start, return_carry=True)
+                return buf, count, carry
+
+            self._forward_t = jax.jit(forward_t)
+            self._rnnt_carry = model.bind(variables).predict_init(1)
+        else:
+            _, model = build_models(cfg)
+
+            def forward(variables, audio, length):
+                mels = frontend(audio)
+                mel_lengths = frontend.frame_lengths(length)
+                (logits, out_lengths), _ = model.apply(variables, mels,
+                                                       mel_lengths,
+                                                       mutable=[])
+                if decode == "beam":
+                    out = jax.nn.log_softmax(
+                        logits.astype(jnp.float32), axis=-1)
+                else:
+                    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return out, out_lengths
+
+            self._forward = jax.jit(forward)
+
+            if decode == "beam":
+                from conformer_tpu.decode.beam_search import BeamSearchDecoder
+
+                self._stream = BeamSearchDecoder(
+                    tokenizer, decode_cfg or DecodeConfig()).stream()
 
         self._buffer = np.zeros((0,), np.float32)   # unprocessed audio
         self._context = np.zeros((0,), np.float32)  # already-emitted audio
@@ -118,12 +152,21 @@ class StreamingTranscriber:
         window = self.ctx + self.chunk
         padded = np.zeros((1, max(len(audio), window)), np.float32)
         padded[0, : len(audio)] = audio
+        start = self._sub_frames(emit_from_sample) if emit_from_sample else 0
+        if self.arch == "transducer":
+            state, pred = self._rnnt_carry
+            buf, count, self._rnnt_carry = self._forward_t(
+                self._variables, padded, np.asarray([len(audio)], np.int32),
+                np.asarray([start], np.int32), state, pred)
+            ids = np.asarray(buf)[0][: int(np.asarray(count)[0])]
+            pieces = [self.tok.vocab[int(c)] for c in ids
+                      if int(c) not in (self.tok.pad_id, self.tok.unk_id)]
+            return "".join(pieces)
         out, out_len = self._forward(
             self._variables, padded,
             np.asarray([len(audio)], np.int32))
         out = np.asarray(out)[0]
         n = int(np.asarray(out_len)[0])
-        start = self._sub_frames(emit_from_sample) if emit_from_sample else 0
         if self._stream is not None:
             self._stream.feed(out[start:n])
             return ""

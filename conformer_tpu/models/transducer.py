@@ -85,22 +85,35 @@ class PredictionNetwork(nn.Module):
 
 
 class JointNetwork(nn.Module):
-    """Additive joint: tanh(W_e enc + W_p pred) -> vocab logits."""
+    """Additive joint: tanh(W_e enc + W_p pred) -> vocab logits.
+
+    The additivity is the key structural fact the memory-efficient loss
+    exploits (ops/rnnt.py::rnnt_loss_scan): W_e enc and W_p pred are each
+    computed ONCE ((B,T,J) and (B,U+1,J)) and only the cheap
+    tanh -> vocab-projection runs per lattice cell, so the full
+    (B,T,U+1,V) logit lattice never materializes.
+    """
 
     vocab_size: int
     joint_dim: int = 320
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.enc_proj = nn.Dense(self.joint_dim, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="enc_proj")
+        self.pred_proj = nn.Dense(self.joint_dim, dtype=self.dtype,
+                                  param_dtype=jnp.float32, name="pred_proj")
+        self.out = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                            param_dtype=jnp.float32, name="out")
+
+    def factors(self, enc: jnp.ndarray, pred: jnp.ndarray):
+        """-> (W_e enc (..., J), W_p pred (..., J)): the additive halves."""
+        return self.enc_proj(enc), self.pred_proj(pred)
+
     def __call__(self, enc: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
         """enc: (..., D), pred: (..., P) broadcast-compatible -> (..., V)."""
-        e = nn.Dense(self.joint_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="enc_proj")(enc)
-        p = nn.Dense(self.joint_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="pred_proj")(pred)
-        x = jnp.tanh(e + p)
-        return nn.Dense(self.vocab_size, dtype=jnp.float32,
-                        param_dtype=jnp.float32, name="out")(x)
+        e, p = self.enc_proj(enc), self.pred_proj(pred)
+        return self.out(jnp.tanh(e + p))
 
 
 class Transducer(nn.Module):
@@ -133,6 +146,16 @@ class Transducer(nn.Module):
 
     def encode(self, mels, mel_lengths):
         return self.encoder(mels, mel_lengths)
+
+    def forward_factors(self, mels: jnp.ndarray, mel_lengths: jnp.ndarray,
+                        labels: jnp.ndarray):
+        """-> ((e (B, T', J), p (B, U+1, J)), enc_lengths): the additive
+        joint factors for the memory-efficient lattice-free loss
+        (ops/rnnt.py::rnnt_loss_scan); pair with the `out` projection params
+        from this module's variables."""
+        enc, enc_lengths = self.encoder(mels, mel_lengths)
+        pred = self.prediction(labels)
+        return self.joint.factors(enc, pred), enc_lengths
 
     def joint_logits(self, enc_t, pred):
         return self.joint(enc_t, pred)

@@ -107,20 +107,261 @@ def rnnt_loss_from_logits(logits: jnp.ndarray, labels: jnp.ndarray,
     lp_emit = jnp.take_along_axis(
         lp[:, :, :-1, :], jnp.broadcast_to(
             emit_idx, (*lp.shape[:2], labels.shape[1], 1)), axis=-1)[..., 0]
+    # Dummy remainder-padding rows (empty transcripts) must not dilute the
+    # batch mean — same convention as ops/ctc.py:ctc_loss.
+    return _nll_from_planes(lp_blank, lp_emit, t_lengths, u_lengths,
+                            row_mask)
+
+
+def _tree_concat(a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+
+
+def _tree_gather(tree, idx):
+    return jax.tree_util.tree_map(lambda x: x[idx], tree)
+
+
+def _merge_topk(score, h1, h2, clen, k_out):
+    """Merge duplicate hypotheses (same rolling hashes + length) by
+    log-sum-exp, then keep the top ``k_out`` -> (gather idx, merged scores).
+
+    Same device merge scheme as the CTC prefix search
+    (ops/beam_search_device.py): sort on h1, segment-logsumexp over runs
+    where (h1, h2, len) all match. A missed merge from an h1 sort tie is
+    score-conservative; a false merge needs a simultaneous 2x32-bit
+    collision.
+    """
+    from conformer_tpu.ops.beam_search_device import _segment_logsumexp
+
+    n = score.shape[0]
+    order = jnp.argsort(h1)
+
+    def same(x):
+        s = x[order]
+        return s[1:] == s[:-1]
+
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), ~(same(h1) & same(h2) & same(clen))])
+    seg = jnp.cumsum(boundary) - 1
+    seg_score = _segment_logsumexp(score[order], seg, n)
+    head = jnp.where(boundary, seg_score[seg], NEG)
+    top_s, top_pos = jax.lax.top_k(head, k_out)
+    sel = order[top_pos]
+    return sel, jnp.where(top_s > NEG / 2, top_s, NEG)
+
+
+_M1 = jnp.uint32(1000003)
+_M2 = jnp.uint32(2654435761)
+_LOG10_TO_LN = 2.302585092994046
+
+
+def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
+                     pred_step_fn, pred_init, beam_width: int = 8,
+                     top_k: int = 4, max_symbols: int = 4,
+                     max_len: Optional[int] = None, blank_id: int = 0,
+                     unk_id: Optional[int] = None, length_norm: bool = False,
+                     lm_tables=None, tok2lm: Optional[jnp.ndarray] = None,
+                     lm_alpha: float = 0.0, lm_beta: float = 0.0,
+                     delim_id: Optional[int] = None, lm_bos_id: int = -1,
+                     lm_unk_logp: float = -99.0, lm_order: int = 0,
+                     lm_n_probes: int = 8,
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched time-synchronous RNN-T beam search, fully on-device.
+
+    New capability — the reference's Transducer is a dead stub and its only
+    beam search is host Python over CTC posteriors (reference:
+    processing/lm.py:62-75). One ``lax.scan`` over frames, ``vmap`` over the
+    batch; static shapes throughout.
+
+    Per frame, up to ``max_symbols`` expansion rounds run: each round the
+    top-``top_k`` non-blank extensions of every live hypothesis compete for
+    the ``beam_width`` active slots, while blank extensions retire
+    hypotheses into the next frame's pool. Distinct alignments of the same
+    label sequence are merged exactly by log-sum-exp (hash-keyed segments,
+    see ``_merge_topk``), so a hypothesis' final score is the true
+    alignment-marginal log P(y | x) restricted to the explored set — the
+    device analogue of the lattice sum the loss computes.
+
+    Optional token-level n-gram LM shallow fusion reuses the HBM-resident
+    hashed ARPA tables (conformer_tpu.lm.device_table): emissions add
+    ``lm_alpha * ln P_lm(tok | ctx)`` (+ ``lm_beta`` per word delimiter).
+
+    joint_fn(enc_t (N, D), pred (N, P)) -> (N, V) logits; pred_step_fn /
+    pred_init as in :func:`rnnt_greedy_decode`. Returns (prefixes
+    (B, W, U), counts (B, W), scores (B, W)), best first; `scores` are the
+    un-normalized log-probabilities (``length_norm`` only changes ranking).
+    """
+    b, t, d = enc.shape
+    w = beam_width
+    u = max_len or t * max_symbols
+    use_lm = lm_tables is not None and lm_order >= 2
+    m_ctx = max(lm_order - 1, 1)
+
+    def decode_one(enc_1, n, state0, pred0):
+        kk = top_k
+
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (w,) + x.shape), state0)
+        pred = jnp.broadcast_to(pred0, (w,) + pred0.shape)
+        lm_ctx0 = jnp.full((w, m_ctx), -1, jnp.int32)
+        lm_len0 = jnp.zeros((w,), jnp.int32)
+        if use_lm and lm_bos_id >= 0:
+            lm_ctx0 = lm_ctx0.at[:, -1].set(lm_bos_id)
+            lm_len0 = jnp.ones((w,), jnp.int32)
+        init = (
+            jnp.full((w,), NEG).at[0].set(0.0),     # score
+            jnp.zeros((w, u), jnp.int32),           # token buffer
+            jnp.zeros((w,), jnp.int32),             # emitted count
+            jnp.zeros((w,), jnp.uint32),            # h1
+            jnp.zeros((w,), jnp.uint32),            # h2
+            lm_ctx0, lm_len0, state, pred)
+
+        def frame_step(carry, inputs):
+            enc_t, ti = inputs
+            active_frame = ti < n
+
+            act = carry
+            # Finished pool (hyps that consumed this frame): starts empty.
+            fin = (jnp.full((w,), NEG),) + carry[1:]
+
+            for s in range(max_symbols + 1):
+                (a_sc, a_buf, a_cnt, a_h1, a_h2, a_ctx, a_cl, a_st,
+                 a_pr) = act
+                logits = joint_fn(
+                    jnp.broadcast_to(enc_t, (w, enc_t.shape[-1])), a_pr)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+
+                # -- blank extensions retire into the finished pool.
+                cat = _tree_concat(fin, (a_sc + logp[:, blank_id],) + act[1:])
+                sel, msc = _merge_topk(cat[0], cat[3], cat[4], cat[2], w)
+                fin = (msc,) + _tree_gather(cat[1:], sel)
+                if s == max_symbols:
+                    break
+
+                # -- non-blank extensions stay active within the frame.
+                masked = logp.at[:, blank_id].set(NEG)
+                if unk_id is not None:
+                    masked = masked.at[:, unk_id].set(NEG)
+                cand_lp, cand_tok = jax.lax.top_k(masked, kk)   # (W, KK)
+                e_sc = a_sc[:, None] + cand_lp
+                if use_lm:
+                    from conformer_tpu.lm.device_table import score_tokens
+
+                    lm_tok = tok2lm[cand_tok]                   # (W, KK)
+                    lm10 = score_tokens(
+                        lm_tables,
+                        jnp.broadcast_to(a_ctx[:, None, :], (w, kk, m_ctx)),
+                        jnp.broadcast_to(a_cl[:, None], (w, kk)),
+                        lm_tok, lm_unk_logp, lm_n_probes)
+                    delta = lm_alpha * _LOG10_TO_LN * lm10
+                    if delim_id is not None and lm_beta:
+                        delta = delta + jnp.where(
+                            cand_tok == delim_id, lm_beta, 0.0)
+                    e_sc = e_sc + delta
+                e_sc = jnp.where(a_cnt[:, None] >= u, NEG, e_sc)
+                parent = jnp.repeat(jnp.arange(w), kk)
+                tok = cand_tok.reshape(-1)
+                e_sc = e_sc.reshape(-1)
+                tu = tok.astype(jnp.uint32) + 1
+                e_h1 = a_h1[parent] * _M1 + tu
+                e_h2 = a_h2[parent] * _M2 + tu
+                e_cnt = a_cnt[parent] + 1
+                sel, msc = _merge_topk(e_sc, e_h1, e_h2, e_cnt, w)
+                p, tk = parent[sel], tok[sel]
+                new_buf = jnp.where(
+                    jnp.arange(u)[None, :] == a_cnt[p][:, None],
+                    tk[:, None], a_buf[p])
+                new_st, new_pr = pred_step_fn(_tree_gather(a_st, p), tk)
+                if use_lm:
+                    shifted = jnp.concatenate(
+                        [a_ctx[p][:, 1:],
+                         tok2lm[tk][:, None].astype(jnp.int32)], 1)
+                    new_ctx = shifted
+                    new_cl = jnp.minimum(a_cl[p] + 1, m_ctx)
+                else:
+                    new_ctx, new_cl = a_ctx[p], a_cl[p]
+                act = (msc, new_buf, a_cnt[p] + 1, e_h1[sel], e_h2[sel],
+                       new_ctx, new_cl, new_st, new_pr)
+
+            return jax.tree_util.tree_map(
+                lambda nv, ov: jnp.where(active_frame, nv, ov), fin,
+                carry), None
+
+        final, _ = jax.lax.scan(
+            frame_step, init,
+            (enc_1, jnp.arange(t, dtype=jnp.int32)))
+        score, buf, cnt = final[0], final[1], final[2]
+        rank = (score / jnp.maximum(cnt.astype(jnp.float32), 1.0)
+                if length_norm else score)
+        order = jnp.argsort(-rank)
+        return buf[order], cnt[order], score[order]
+
+    state0, pred0 = pred_init
+    return jax.vmap(decode_one)(enc, enc_lengths.astype(jnp.int32),
+                                state0, pred0)
+
+
+def _nll_from_planes(lp_blank, lp_emit, t_lengths, u_lengths, row_mask):
+    """(B,T,U+1)/(B,T,U) planes -> mean per-sequence NLL (shared
+    normalization: -ll / max(U, 1), dummy rows excluded via row_mask)."""
     ll = rnnt_alpha_final(lp_blank, lp_emit, t_lengths, u_lengths)
     per_seq = -ll / jnp.maximum(u_lengths.astype(jnp.float32), 1.0)
     if row_mask is not None:
-        # Dummy remainder-padding rows (empty transcripts) must not dilute
-        # the batch mean — same convention as ops/ctc.py:ctc_loss.
         w = row_mask.astype(jnp.float32)
         return jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
     return jnp.mean(per_seq)
 
 
+def rnnt_loss_scan(e: jnp.ndarray, p: jnp.ndarray, out_kernel: jnp.ndarray,
+                   out_bias: jnp.ndarray, labels: jnp.ndarray,
+                   t_lengths: jnp.ndarray, u_lengths: jnp.ndarray,
+                   blank_id: int = 0,
+                   row_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Lattice-free RNN-T loss from the ADDITIVE joint factors.
+
+    The classic RNN-T memory trap is the (B, T, U+1, V) logit lattice —
+    ~1.7 GB at the production operating point (B=56, T'=199, U~100, V=370,
+    fp32) before autodiff residuals double it. Because the joint is additive
+    (models/transducer.py::JointNetwork), this loss takes the two projected
+    factors e = W_e·enc (B, T, J) and p = W_p·pred (B, U+1, J) and runs ONE
+    ``lax.scan`` over frames: each step computes tanh(e_t + p) -> vocab
+    logits (B, U+1, V), log-softmaxes, and keeps ONLY the blank/emit planes
+    (B, U+1). ``jax.checkpoint`` on the step makes the backward recompute
+    the per-frame joint instead of saving (T, B, U+1, ·) residuals, so peak
+    memory is O(B·(T+U)·J + B·T·U) — the lattice never exists.
+
+    Numerics are IDENTICAL to rnnt_loss_from_logits on the same model
+    (tanh in the factors' dtype, fp32 vocab projection + softmax — matching
+    JointNetwork.__call__; parity-tested in tests/test_transducer.py).
+
+    e/p: joint factors; out_kernel (J, V) / out_bias (V,): the `out` Dense
+    params (fp32); labels (B, U) int32; t_lengths/u_lengths (B,).
+    """
+    b, t, j = e.shape
+    u1 = p.shape[1]
+
+    def frame(_, e_t):
+        x = jnp.tanh(e_t[:, None, :] + p)                     # (B, U+1, J)
+        logits = x.astype(jnp.float32) @ out_kernel + out_bias
+        lp = jax.nn.log_softmax(logits, -1)                   # (B, U+1, V)
+        lpb = lp[..., blank_id]
+        lpe = jnp.take_along_axis(
+            lp[:, :-1, :], labels[:, :, None].astype(jnp.int32),
+            axis=-1)[..., 0]                                  # (B, U)
+        return None, (lpb, lpe)
+
+    _, (lpb, lpe) = jax.lax.scan(jax.checkpoint(frame), None,
+                                 jnp.moveaxis(e, 1, 0))
+    return _nll_from_planes(jnp.moveaxis(lpb, 0, 1), jnp.moveaxis(lpe, 0, 1),
+                            t_lengths, u_lengths, row_mask)
+
+
 def rnnt_greedy_decode(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                        pred_step_fn, pred_init, max_symbols: int = 4,
-                       max_len: Optional[int] = None, blank_id: int = 0
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       max_len: Optional[int] = None, blank_id: int = 0,
+                       start_frames: Optional[jnp.ndarray] = None,
+                       return_carry: bool = False):
     """Batched time-synchronous greedy decode, jittable (static shapes).
 
     joint_fn(enc_t (B, D), pred (B, P)) -> (B, V) logits;
@@ -128,14 +369,22 @@ def rnnt_greedy_decode(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
     prediction network by one emitted token; pred_init = (state0, pred0).
     At each frame up to `max_symbols` non-blank symbols may be emitted
     (standard greedy cap). Returns (tokens (B, T*max_symbols), counts (B,)).
+
+    Streaming hooks: `start_frames` ((B,) int32) skips leading frames (the
+    left-context half of a chunked window); `return_carry=True` additionally
+    returns the final (state, pred) so the label history carries EXACTLY
+    across chunk boundaries (decode/streaming.py) — the property CTC
+    streaming can only approximate with its collapse-state carry.
     """
     b, t, _ = enc.shape
     u = (max_len or t * max_symbols)
+    if start_frames is None:
+        start_frames = jnp.zeros((b,), jnp.int32)
 
     def frame_step(carry, inputs):
         state, pred, buf, count = carry
         enc_t, ti = inputs
-        active0 = ti < enc_lengths
+        active0 = (ti >= start_frames) & (ti < enc_lengths)
 
         def sym_step(c, _):
             state, pred, buf, count, alive = c
@@ -167,4 +416,6 @@ def rnnt_greedy_decode(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
     (state, pred, buf, count), _ = jax.lax.scan(
         frame_step, (state0, pred0, buf, count),
         (jnp.moveaxis(enc, 1, 0), jnp.arange(t, dtype=jnp.int32)))
+    if return_carry:
+        return buf, count, (state, pred)
     return buf, count

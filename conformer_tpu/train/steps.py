@@ -139,11 +139,14 @@ def make_transducer_train_step(cfg: Config, tx: optax.GradientTransformation,
     The reference has no working counterpart (its Transducer is a dead
     stub, model/modules/transducer.py:4-9)."""
     from conformer_tpu.models.transducer import Transducer
-    from conformer_tpu.ops.rnnt import rnnt_loss_from_logits
+    from conformer_tpu.ops.rnnt import rnnt_loss_from_logits, rnnt_loss_scan
 
     frontend = frontend or MelFrontend(cfg.audio)
     model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
                        deterministic=False)
+    loss_impl = getattr(cfg.model, "rnnt_loss_impl", "scan")
+    if loss_impl not in ("scan", "lattice"):
+        raise ValueError(f"rnnt_loss_impl must be scan|lattice, got {loss_impl!r}")
 
     def step(state: TrainState, audio, audio_lengths, tokens, token_lengths,
              rng):
@@ -154,13 +157,25 @@ def make_transducer_train_step(cfg: Config, tx: optax.GradientTransformation,
         mels = spec_augment(aug_rng, mels, cfg.augment, mel_lengths)
 
         def loss_fn(params, batch_stats):
-            (lattice, enc_lengths), updates = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                mels, mel_lengths, tokens, mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng})
-            loss = rnnt_loss_from_logits(lattice, tokens, enc_lengths,
-                                         token_lengths,
-                                         row_mask=token_lengths > 0)
+            variables = {"params": params, "batch_stats": batch_stats}
+            if loss_impl == "scan":
+                # Lattice-free: additive joint factors + frame scan — the
+                # (B,T,U+1,V) lattice never materializes (ops/rnnt.py).
+                ((e, p), enc_lengths), updates = model.apply(
+                    variables, mels, mel_lengths, tokens,
+                    method=Transducer.forward_factors,
+                    mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+                out = params["joint"]["out"]
+                loss = rnnt_loss_scan(e, p, out["kernel"], out["bias"],
+                                      tokens, enc_lengths, token_lengths,
+                                      row_mask=token_lengths > 0)
+            else:
+                (lattice, enc_lengths), updates = model.apply(
+                    variables, mels, mel_lengths, tokens,
+                    mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+                loss = rnnt_loss_from_logits(lattice, tokens, enc_lengths,
+                                             token_lengths,
+                                             row_mask=token_lengths > 0)
             return loss, updates["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -179,15 +194,26 @@ def make_transducer_train_step(cfg: Config, tx: optax.GradientTransformation,
 
 
 def make_transducer_eval_step(cfg: Config,
-                              frontend: Optional[MelFrontend] = None
-                              ) -> Callable:
-    """RNN-T eval: loss + frame-synchronous greedy decode, one jitted
-    program; output keys match the CTC eval step's contract
-    (loss/tokens/counts/lengths) so Trainer.validate works unchanged."""
-    from conformer_tpu.models.transducer import Transducer
-    from conformer_tpu.ops.rnnt import (rnnt_greedy_decode,
-                                        rnnt_loss_from_logits)
+                              frontend: Optional[MelFrontend] = None,
+                              decode: str = "greedy",
+                              unk_id: Optional[int] = None,
+                              lm_kwargs: Optional[dict] = None) -> Callable:
+    """RNN-T eval: loss + on-device decode, one jitted program; output keys
+    match the CTC eval step's contract (loss/tokens/counts/lengths) so
+    Trainer.validate and InferencePipeline work unchanged.
 
+    decode='greedy' runs the frame-synchronous greedy decode;
+    decode='beam' runs the device RNN-T beam search (ops/rnnt.py::
+    rnnt_beam_search) at cfg.decode.beam_width, with optional token-level
+    n-gram LM shallow fusion via `lm_kwargs` (the DeviceNgramTable kwargs,
+    see decode/pipeline.py) — the best beam comes back through the same
+    tokens/counts keys."""
+    from conformer_tpu.models.transducer import Transducer
+    from conformer_tpu.ops.rnnt import (rnnt_beam_search, rnnt_greedy_decode,
+                                        rnnt_loss_scan)
+
+    if decode not in ("greedy", "beam"):
+        raise ValueError(f"transducer decode must be greedy|beam, got {decode!r}")
     frontend = frontend or MelFrontend(cfg.audio)
     model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
                        deterministic=True)
@@ -199,10 +225,21 @@ def make_transducer_eval_step(cfg: Config,
                             "batch_stats": state.batch_stats})
         enc, enc_lengths = bound.encode(mels, mel_lengths)
         pred = bound.prediction(tokens)
-        lattice = bound.joint(enc[:, :, None, :], pred[:, None, :, :])
-        loss = rnnt_loss_from_logits(lattice, tokens, enc_lengths,
-                                     token_lengths,
-                                     row_mask=token_lengths > 0)
+        e, p = bound.joint.factors(enc, pred)
+        out = state.params["joint"]["out"]
+        loss = rnnt_loss_scan(e, p, out["kernel"], out["bias"], tokens,
+                              enc_lengths, token_lengths,
+                              row_mask=token_lengths > 0)
+        if decode == "beam":
+            prefixes, plens, scores = rnnt_beam_search(
+                bound.joint_logits, enc, enc_lengths, bound.predict_step,
+                bound.predict_init(enc.shape[0]),
+                beam_width=cfg.decode.beam_width, top_k=8, max_symbols=4,
+                max_len=cfg.data.max_tokens, unk_id=unk_id,
+                **(lm_kwargs or {}))
+            return {"loss": loss, "tokens": prefixes[:, 0],
+                    "counts": plens[:, 0], "scores": scores[:, 0],
+                    "lengths": enc_lengths}
         buf, counts = rnnt_greedy_decode(
             bound.joint_logits, enc, enc_lengths, bound.predict_step,
             bound.predict_init(enc.shape[0]), max_symbols=4,

@@ -48,6 +48,57 @@ def _offline_text(cfg, tok, variables, audio):
                                      int(np.asarray(counts)[0]))
 
 
+@pytest.fixture(scope="module")
+def setup_transducer():
+    import jax
+
+    from conformer_tpu.train.steps import init_variables
+
+    tok = load_tokenizer("vi")
+    cfg = Config().override(**{
+        "model.arch": "transducer",
+        "model.n_blocks": 2, "model.d_model": 64, "model.n_heads": 2,
+        "model.kernel_size": 7, "model.pred_embed_dim": 32,
+        "model.pred_hidden_dim": 32, "model.joint_dim": 32,
+        "model.dropout_rate": 0.0, "model.use_remat": False,
+        "model.use_scan_layers": False, "model.vocab_size": tok.vocab_size,
+        "optim.compute_dtype": "float32"})
+    variables = init_variables(cfg, jax.random.PRNGKey(0))
+    return cfg, tok, variables
+
+
+def _offline_transducer_text(cfg, tok, variables, audio, pad_to=0):
+    import jax
+    import jax.numpy as jnp
+
+    from conformer_tpu.audio.mel import MelFrontend
+    from conformer_tpu.models.transducer import Transducer
+    from conformer_tpu.ops.rnnt import rnnt_greedy_decode
+
+    model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                       deterministic=True)
+    fe = MelFrontend(cfg.audio)
+
+    @jax.jit
+    def run(variables, audio, length):
+        bound = model.bind(variables)
+        mels = fe(audio)
+        enc, enc_len = bound.encode(mels, fe.frame_lengths(length))
+        # max_len matches the streaming per-window cap (chunk_s=2.0 at
+        # stride 640 -> 50 frames * 4 symbols) so a random-init model that
+        # emits near-max tokens truncates identically in both paths.
+        return rnnt_greedy_decode(
+            bound.joint_logits, enc, enc_len, bound.predict_step,
+            bound.predict_init(1), max_symbols=4, max_len=200)
+
+    padded = np.zeros((1, max(len(audio), pad_to)), np.float32)
+    padded[0, : len(audio)] = audio
+    buf, count = run(variables, jnp.asarray(padded),
+                     np.asarray([len(audio)], np.int32))
+    return tok.collapsed_ids_to_text(np.asarray(buf)[0],
+                                     int(np.asarray(count)[0]))
+
+
 class TestStreaming:
     def test_single_chunk_matches_offline(self, setup):
         from conformer_tpu.decode.streaming import StreamingTranscriber
@@ -123,6 +174,50 @@ class TestStreaming:
 
         texts = {run(b) for b in (1000, 7777, len(audio))}
         assert len(texts) == 1
+
+    def test_transducer_single_chunk_matches_offline(self, setup_transducer):
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup_transducer
+        audio = _audio(1.5, seed=5)
+        # Offline reference runs on the same padded window shape the
+        # streaming path compiles (6s = ctx 4s + chunk 2s): a random-init
+        # model has near-tied logits, and XLA's shape-dependent fusion can
+        # flip an argmax at the 1e-7 level otherwise (padding invariance of
+        # the encoder itself is covered by tests/test_model.py).
+        want = _offline_transducer_text(cfg, tok, variables, audio,
+                                        pad_to=6 * SR)
+
+        st = StreamingTranscriber(cfg, tok, variables, chunk_s=2.0,
+                                  left_context_s=4.0)
+        st.feed(audio)
+        st.finish()
+        assert st.text == want
+
+    def test_transducer_block_invariance_and_state_carry(self,
+                                                         setup_transducer):
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup_transducer
+        audio = _audio(3.3, seed=6)
+
+        def run(block):
+            st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                      left_context_s=2.0)
+            for i in range(0, len(audio), block):
+                st.feed(audio[i: i + block])
+            st.finish()
+            return st.text
+
+        texts = {run(b) for b in (1000, 7777, len(audio))}
+        assert len(texts) == 1
+
+    def test_transducer_rejects_beam(self, setup_transducer):
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup_transducer
+        with pytest.raises(ValueError):
+            StreamingTranscriber(cfg, tok, variables, decode="beam")
 
     def test_incremental_emission_accumulates(self, setup):
         from conformer_tpu.decode.streaming import StreamingTranscriber

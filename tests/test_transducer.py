@@ -12,7 +12,8 @@ import pytest
 
 from conformer_tpu.config import ModelConfig
 from conformer_tpu.models.transducer import Transducer
-from conformer_tpu.ops.rnnt import (rnnt_alpha_final, rnnt_greedy_decode,
+from conformer_tpu.ops.rnnt import (rnnt_alpha_final, rnnt_beam_search,
+                                    rnnt_greedy_decode,
                                     rnnt_loss_from_logits)
 
 
@@ -203,6 +204,426 @@ class TestTransducerTrainStep:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestScanLossParity:
+    """rnnt_loss_scan (lattice-free, from additive joint factors) must match
+    rnnt_loss_from_logits (full lattice) to float tolerance — values AND
+    gradients — since both describe the same joint network."""
+
+    def _setup(self):
+        rng = np.random.default_rng(4)
+        b, t, u, j, v = 3, 7, 4, 16, 9
+        e = jnp.asarray(rng.standard_normal((b, t, j)).astype(np.float32))
+        p = jnp.asarray(rng.standard_normal((b, u + 1, j)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((j, v)) * 0.5).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal((v,)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(1, v, (b, u)).astype(np.int32))
+        t_len = jnp.asarray([7, 5, 2])
+        u_len = jnp.asarray([4, 2, 0])
+        return e, p, w, bias, labels, t_len, u_len
+
+    @staticmethod
+    def _lattice_loss(e, p, w, bias, labels, t_len, u_len, row_mask=None):
+        logits = (jnp.tanh(e[:, :, None, :] + p[:, None, :, :])
+                  .astype(jnp.float32) @ w + bias)
+        return rnnt_loss_from_logits(logits, labels, t_len, u_len,
+                                     row_mask=row_mask)
+
+    def test_value_parity(self):
+        from conformer_tpu.ops.rnnt import rnnt_loss_scan
+
+        e, p, w, bias, labels, t_len, u_len = self._setup()
+        want = float(self._lattice_loss(e, p, w, bias, labels, t_len, u_len,
+                                        row_mask=u_len > 0))
+        got = float(rnnt_loss_scan(e, p, w, bias, labels, t_len, u_len,
+                                   row_mask=u_len > 0))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_grad_parity(self):
+        from conformer_tpu.ops.rnnt import rnnt_loss_scan
+
+        e, p, w, bias, labels, t_len, u_len = self._setup()
+        g_want = jax.grad(
+            lambda e_, p_, w_: self._lattice_loss(
+                e_, p_, w_, bias, labels, t_len, u_len), argnums=(0, 1, 2))(
+            e, p, w)
+        g_got = jax.grad(
+            lambda e_, p_, w_: rnnt_loss_scan(
+                e_, p_, w_, bias, labels, t_len, u_len), argnums=(0, 1, 2))(
+            e, p, w)
+        for a, b_ in zip(g_got, g_want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_train_step_impls_agree(self):
+        from conformer_tpu.config import Config
+        from conformer_tpu.train.state import TrainState, make_optimizer
+        from conformer_tpu.train.steps import make_transducer_train_step
+
+        base = Config().override(**{
+            "model.arch": "transducer",
+            "model.n_blocks": 2, "model.d_model": 64, "model.n_heads": 2,
+            "model.kernel_size": 7, "model.vocab_size": 12,
+            "model.pred_embed_dim": 32, "model.pred_hidden_dim": 32,
+            "model.joint_dim": 32, "model.use_scan_layers": False,
+            "model.use_remat": False, "model.dropout_rate": 0.0,
+            "optim.compute_dtype": "float32", "augment.enabled": False})
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(rng.standard_normal((2, 8000))
+                            .astype(np.float32) * 0.1)
+        audio_lengths = jnp.asarray([8000, 6000], jnp.int32)
+        tokens = jnp.asarray(rng.integers(1, 12, (2, 4)).astype(np.int32))
+        token_lengths = jnp.asarray([4, 2], jnp.int32)
+
+        losses = {}
+        for impl in ("scan", "lattice"):
+            cfg = base.override(**{"model.rnnt_loss_impl": impl})
+            from conformer_tpu.train.steps import init_variables
+
+            variables = init_variables(cfg, jax.random.PRNGKey(0))
+            tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+            state = TrainState.create(variables["params"],
+                                      variables.get("batch_stats", {}), tx)
+            step = make_transducer_train_step(cfg, tx, donate=False)
+            state, m = step(state, audio, audio_lengths, tokens,
+                            token_lengths, jax.random.PRNGKey(1))
+            _, m2 = step(state, audio, audio_lengths, tokens, token_lengths,
+                         jax.random.PRNGKey(1))
+            losses[impl] = (float(m["loss"]), float(m2["loss"]))
+        np.testing.assert_allclose(losses["scan"], losses["lattice"],
+                                   rtol=1e-4)
+
+
+class TestRnntBeamSearch:
+    """The beam search must be EXACT when the beam is wide enough to hold
+    every reachable prefix: its top score then equals the true
+    alignment-marginal log P(y|x) maximized over all label sequences."""
+
+    def _tiny_joint(self, seed, t, v, h=5):
+        """A stateless random 'model': joint(enc_t, pred) = tanh-MLP logits;
+        pred_step returns a hash-free deterministic state update so that
+        equal prefixes give equal pred vectors (the property the merge
+        relies on)."""
+        rng = np.random.default_rng(seed)
+        w1 = jnp.asarray(rng.standard_normal((8 + h, v)).astype(np.float32))
+        emb = jnp.asarray(rng.standard_normal((v, h)).astype(np.float32))
+        enc = jnp.asarray(rng.standard_normal((1, t, 8)).astype(np.float32))
+
+        def joint_fn(enc_t, pred):
+            return jnp.tanh(jnp.concatenate([enc_t, pred], -1)) @ w1 * 2.0
+
+        def pred_step_fn(state, tok):
+            new = jnp.tanh(state * 0.7 + emb[tok])
+            return new, new
+
+        state0 = jnp.zeros((1, h), jnp.float32)
+        return joint_fn, pred_step_fn, (state0, state0), enc
+
+    def _exhaustive_best(self, joint_fn, pred_step_fn, pred_init, enc,
+                         max_u, blank_id=0):
+        """Enumerate every label sequence up to length max_u and score it by
+        the full alignment-marginal forward DP."""
+        t = enc.shape[1]
+        v = int(joint_fn(enc[:, 0], pred_init[1]).shape[-1])
+        toks = [tok for tok in range(v) if tok != blank_id]
+
+        def seq_ll(y):
+            # teacher-forced pred outputs for prefix positions 0..len(y)
+            state, pred = pred_init
+            preds = [pred[0]]
+            for tok in y:
+                state, pred = pred_step_fn(state, jnp.asarray([tok]))
+                preds.append(pred[0])
+            preds = jnp.stack(preds)                        # (U+1, H)
+            u1 = preds.shape[0]
+            logits = joint_fn(
+                jnp.broadcast_to(enc[0][:, None, :], (t, u1, enc.shape[-1])),
+                jnp.broadcast_to(preds[None, :, :],
+                                 (t, u1, preds.shape[-1])))  # (T, U+1, V)
+            lp = jax.nn.log_softmax(logits, -1)
+            lpb = lp[None, ..., blank_id]                   # (1, T, U+1)
+            if y:
+                idx = jnp.asarray(y)[None, None, :, None]
+                lpe = jnp.take_along_axis(
+                    lp[None, :, :-1, :],
+                    jnp.broadcast_to(idx, (1, t, len(y), 1)), -1)[..., 0]
+            else:
+                lpe = jnp.zeros((1, t, 0), jnp.float32)
+            return float(rnnt_alpha_final(
+                lpb, lpe, jnp.asarray([t]), jnp.asarray([len(y)]))[0])
+
+        import itertools
+        best, best_y = -np.inf, []
+        for u in range(max_u + 1):
+            for y in itertools.product(toks, repeat=u):
+                ll = seq_ll(list(y))
+                if ll > best:
+                    best, best_y = ll, list(y)
+        return best, best_y
+
+    def test_exact_when_unpruned(self):
+        t, v, max_u = 3, 4, 3
+        joint_fn, pred_step_fn, pred_init, enc = self._tiny_joint(7, t, v)
+        want_ll, want_y = self._exhaustive_best(
+            joint_fn, pred_step_fn, pred_init, enc, max_u)
+        # 3 non-blank tokens, max_len 3 -> <=40 distinct prefixes; width 64
+        # holds them all, so nothing is ever pruned.
+        bufs, counts, scores = rnnt_beam_search(
+            joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
+            beam_width=64, top_k=3, max_symbols=max_u, max_len=max_u)
+        got_y = list(np.asarray(bufs[0, 0][: int(counts[0, 0])]))
+        assert got_y == want_y, (got_y, want_y)
+        np.testing.assert_allclose(float(scores[0, 0]), want_ll,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_score_never_exceeds_marginal(self):
+        # With a narrow beam the top score is a lower bound on the best
+        # exhaustive marginal (pruning can only lose mass).
+        t, v, max_u = 3, 4, 3
+        joint_fn, pred_step_fn, pred_init, enc = self._tiny_joint(11, t, v)
+        want_ll, _ = self._exhaustive_best(
+            joint_fn, pred_step_fn, pred_init, enc, max_u)
+        _, _, scores = rnnt_beam_search(
+            joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
+            beam_width=2, top_k=2, max_symbols=max_u, max_len=max_u)
+        assert float(scores[0, 0]) <= want_ll + 1e-5
+
+    def test_beam_matches_training_labels_after_overfit(self):
+        cfg = ModelConfig.tiny(vocab_size=12)
+        cfg = type(cfg)(**{**cfg.__dict__, "pred_embed_dim": 32,
+                           "pred_hidden_dim": 32, "joint_dim": 32})
+        model = Transducer(cfg, deterministic=True)
+        rng = np.random.default_rng(3)
+        b, tt, u = 2, 61, 5
+        mels = jnp.asarray(rng.standard_normal((b, tt, cfg.n_mel_channels))
+                           .astype(np.float32))
+        mel_lengths = jnp.asarray([61, 45])
+        labels = jnp.asarray(rng.integers(1, 12, (b, u)).astype(np.int32))
+        u_len = jnp.asarray([5, 3])
+        variables = model.init(jax.random.PRNGKey(0), mels, mel_lengths,
+                               labels)
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def train_step(params, opt):
+            def loss_fn(p):
+                (logits, enc_len), _ = model.apply(
+                    {**rest, "params": p}, mels, mel_lengths, labels,
+                    mutable=[])
+                return rnnt_loss_from_logits(logits, labels, enc_len, u_len)
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(g, opt, params)
+            return optax.apply_updates(params, updates), opt, loss
+
+        for _ in range(150):
+            params, opt, loss = train_step(params, opt)
+        assert float(loss) < 0.2
+
+        bound = model.bind({**rest, "params": params})
+        enc, enc_len = bound.encode(mels, mel_lengths)
+        # max_symbols=5: this overfit toy degenerately front-loads several
+        # emissions into frame 0, so a smaller per-frame cap would exclude
+        # the dominant alignment (verified: the restricted marginal then
+        # drops by ~e^-5 and other sequences win — correctly).
+        bufs, counts, scores = rnnt_beam_search(
+            bound.joint_logits, enc, enc_len, bound.predict_step,
+            bound.predict_init(enc.shape[0]), beam_width=4, top_k=4,
+            max_symbols=5, max_len=8)
+        for i in range(b):
+            got = list(np.asarray(bufs[i, 0][: int(counts[i, 0])]))
+            want = list(np.asarray(labels[i][: int(u_len[i])]))
+            assert got == want, (i, got, want)
+        # scores sorted descending, finite for live beams
+        s = np.asarray(scores)
+        assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+class TestRnntBeamLmFusion:
+    def test_exact_fusion_when_unpruned(self, tmp_path):
+        """With an unpruned beam, the fused top score must equal
+        max_y [ log P_ac(y|x) + alpha * ln10 * sum_i log10 P_lm(y_i|ctx) ],
+        verified against the Python ARPA scorer."""
+        import jax
+
+        from conformer_tpu.lm.device_table import DeviceNgramTable
+        from conformer_tpu.lm.ngram import PyNgramLM, build_arpa
+
+        rng = np.random.default_rng(0)
+        words = ["A", "B", "C"]
+        corpus = tmp_path / "corpus.txt"
+        corpus.write_text("\n".join(
+            " ".join(rng.choice(words, rng.integers(2, 6)))
+            for _ in range(300)), encoding="utf8")
+        arpa = str(tmp_path / "lm.arpa")
+        build_arpa(str(corpus), arpa, order=3)
+        table = DeviceNgramTable.from_arpa(arpa)
+        py = PyNgramLM(arpa)
+
+        helper = TestRnntBeamSearch()
+        t, v, max_u = 3, 4, 3
+        joint_fn, pred_step_fn, pred_init, enc = helper._tiny_joint(5, t, v)
+        # model tokens 1..3 <-> LM words A..C
+        tok2lm = np.full((v,), -1, np.int32)
+        for i, word in enumerate(words):
+            tok2lm[i + 1] = table.vocab[word]
+        alpha = 0.7
+        m_ctx = table.order - 1
+
+        def lm_ln(y):
+            total, ctx = 0.0, [table.bos_id]
+            for tok in y:
+                lm_id = int(tok2lm[tok])
+                total += py.score_id(ctx[-m_ctx:], lm_id)
+                ctx.append(lm_id)
+            return alpha * 2.302585092994046 * total
+
+        import itertools
+
+        from conformer_tpu.ops.rnnt import rnnt_alpha_final
+
+        def ac_ll(y):
+            state, pred = pred_init
+            preds = [pred[0]]
+            for tok in y:
+                state, pred = pred_step_fn(state, jnp.asarray([tok]))
+                preds.append(pred[0])
+            preds = jnp.stack(preds)
+            u1 = preds.shape[0]
+            logits = joint_fn(
+                jnp.broadcast_to(enc[0][:, None, :], (t, u1, enc.shape[-1])),
+                jnp.broadcast_to(preds[None, :, :], (t, u1, preds.shape[-1])))
+            lp = jax.nn.log_softmax(logits, -1)
+            lpb = lp[None, ..., 0]
+            if y:
+                idx = jnp.asarray(y)[None, None, :, None]
+                lpe = jnp.take_along_axis(
+                    lp[None, :, :-1, :],
+                    jnp.broadcast_to(idx, (1, t, len(y), 1)), -1)[..., 0]
+            else:
+                lpe = jnp.zeros((1, t, 0), jnp.float32)
+            return float(rnnt_alpha_final(
+                lpb, lpe, jnp.asarray([t]), jnp.asarray([len(y)]))[0])
+
+        best, best_y = -np.inf, []
+        for u in range(max_u + 1):
+            for y in itertools.product([1, 2, 3], repeat=u):
+                s = ac_ll(list(y)) + lm_ln(list(y))
+                if s > best:
+                    best, best_y = s, list(y)
+
+        bufs, counts, scores = rnnt_beam_search(
+            joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
+            beam_width=64, top_k=3, max_symbols=max_u, max_len=max_u,
+            lm_tables=table.device_arrays(), tok2lm=jnp.asarray(tok2lm),
+            lm_alpha=alpha, lm_bos_id=int(table.bos_id),
+            lm_unk_logp=float(table.unk_logp), lm_order=int(table.order),
+            lm_n_probes=int(table.n_probes))
+        got_y = list(np.asarray(bufs[0, 0][: int(counts[0, 0])]))
+        assert got_y == best_y, (got_y, best_y)
+        np.testing.assert_allclose(float(scores[0, 0]), best,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_alpha_zero_matches_no_lm(self, tmp_path):
+        from conformer_tpu.lm.device_table import DeviceNgramTable
+        from conformer_tpu.lm.ngram import build_arpa
+
+        rng = np.random.default_rng(1)
+        corpus = tmp_path / "c.txt"
+        corpus.write_text("\n".join(
+            " ".join(rng.choice(["A", "B", "C"], 4)) for _ in range(100)),
+            encoding="utf8")
+        arpa = str(tmp_path / "lm.arpa")
+        build_arpa(str(corpus), arpa, order=2)
+        table = DeviceNgramTable.from_arpa(arpa)
+
+        helper = TestRnntBeamSearch()
+        t, v, max_u = 3, 4, 3
+        joint_fn, pred_step_fn, pred_init, enc = helper._tiny_joint(9, t, v)
+        tok2lm = np.full((v,), -1, np.int32)
+        for i, word in enumerate(["A", "B", "C"]):
+            tok2lm[i + 1] = table.vocab[word]
+
+        base = rnnt_beam_search(
+            joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
+            beam_width=8, top_k=3, max_symbols=max_u, max_len=max_u)
+        fused = rnnt_beam_search(
+            joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
+            beam_width=8, top_k=3, max_symbols=max_u, max_len=max_u,
+            lm_tables=table.device_arrays(), tok2lm=jnp.asarray(tok2lm),
+            lm_alpha=0.0, lm_bos_id=int(table.bos_id),
+            lm_unk_logp=float(table.unk_logp), lm_order=int(table.order),
+            lm_n_probes=int(table.n_probes))
+        np.testing.assert_allclose(np.asarray(base[2]), np.asarray(fused[2]),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(base[0]),
+                                      np.asarray(fused[0]))
+
+
+class TestTransducerEvalAndPipeline:
+    def _cfg(self, vocab):
+        from conformer_tpu.config import Config
+
+        return Config().override(**{
+            "model.arch": "transducer",
+            "model.n_blocks": 2, "model.d_model": 64, "model.n_heads": 2,
+            "model.kernel_size": 7, "model.vocab_size": vocab,
+            "model.pred_embed_dim": 32, "model.pred_hidden_dim": 32,
+            "model.joint_dim": 32, "model.use_scan_layers": False,
+            "model.use_remat": False, "model.dropout_rate": 0.0,
+            "optim.compute_dtype": "float32", "augment.enabled": False,
+            "decode.beam_width": 4, "data.max_tokens": 16})
+
+    def test_eval_step_beam_contract(self):
+        from conformer_tpu.train.state import TrainState, make_optimizer
+        from conformer_tpu.train.steps import (init_variables,
+                                               make_transducer_eval_step)
+
+        cfg = self._cfg(12)
+        variables = init_variables(cfg, jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        state = TrainState.create(variables["params"],
+                                  variables.get("batch_stats", {}), tx)
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(rng.standard_normal((2, 8000))
+                            .astype(np.float32) * 0.1)
+        audio_lengths = jnp.asarray([8000, 6000], jnp.int32)
+        tokens = jnp.asarray(rng.integers(1, 12, (2, 4)).astype(np.int32))
+        token_lengths = jnp.asarray([4, 2], jnp.int32)
+
+        for decode in ("greedy", "beam"):
+            step = make_transducer_eval_step(cfg, decode=decode)
+            out = step(state, audio, audio_lengths, tokens, token_lengths)
+            assert np.isfinite(float(out["loss"]))
+            assert out["tokens"].ndim == 2 and out["counts"].shape == (2,)
+            n = int(np.asarray(out["counts"])[0])
+            assert 0 <= n <= cfg.data.max_tokens
+
+        with pytest.raises(ValueError):
+            make_transducer_eval_step(cfg, decode="nope")
+
+    def test_pipeline_dispatch(self, tmp_path):
+        from conformer_tpu.decode.pipeline import InferencePipeline
+        from conformer_tpu.text.tokenizer import load_tokenizer
+
+        tok = load_tokenizer("vi")
+        cfg = self._cfg(tok.vocab_size).override(**{
+            "train.checkpoint_dir": str(tmp_path)})
+        for decode in ("greedy", "beam", "beam_device"):
+            pipe = InferencePipeline(cfg, tok, decode=decode)
+            assert pipe._beam is None and pipe._device_beam is None
+            audio = np.random.default_rng(1).standard_normal(
+                (2, 8000)).astype(np.float32) * 0.1
+            from conformer_tpu.data.dataset import Batch
+
+            texts = pipe.transcribe_batch(Batch(
+                audio, np.asarray([8000, 6000], np.int32),
+                np.zeros((2, 1), np.int32), np.zeros((2,), np.int32)))
+            assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
 
 
 class TestRowMask:
