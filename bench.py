@@ -92,6 +92,14 @@ def main() -> None:
     # step on TPU; the hardware RNG implementation is dramatically cheaper.
     jax.config.update("jax_default_prng_impl",
                       os.environ.get("BENCH_PRNG", "rbg"))
+    if mode in ("transducer", "transducer_infer", "transducer_beam"):
+        # RNN-T modes (new capability — the reference's Transducer is a dead
+        # stub): same Conformer encoder + prediction/joint heads, lattice-
+        # free scan loss (ops/rnnt.py::rnnt_loss_scan) for training.
+        # U defaults to 96 tokens (~realistic grapheme count for 8s).
+        overrides["model.arch"] = "transducer"
+        overrides["data.max_tokens"] = int(os.environ.get("BENCH_TOKENS",
+                                                          "96"))
     if overrides:
         cfg = cfg.override(**overrides)
     num_samples = int(audio_s * cfg.audio.sample_rate)
@@ -102,6 +110,11 @@ def main() -> None:
 
     if mode == "infer":
         _bench_infer(cfg, variables, batch_size, audio_s, num_samples, steps)
+        return
+    if mode in ("transducer_infer", "transducer_beam"):
+        _bench_transducer_decode(cfg, variables, batch_size, audio_s,
+                                 num_samples, steps,
+                                 beam=mode == "transducer_beam")
         return
     if mode == "beam":
         _bench_beam(cfg, variables, batch_size, audio_s, num_samples)
@@ -136,6 +149,16 @@ def main() -> None:
 
     audio_seconds = batch_size * audio_s * steps
     value = audio_seconds / dt
+
+    if mode == "transducer":
+        # No CTC baseline applies; record the measurement standalone.
+        print(json.dumps({
+            "metric": "transducer_train_throughput_audio_seconds_per_s_per_chip",
+            "value": round(value, 2),
+            "unit": "audio-s/s",
+            "vs_baseline": 1.0,
+        }))
+        return
 
     root = os.path.dirname(os.path.abspath(__file__))
     baseline_path = os.path.join(root, "BENCH_BASELINE.json")
@@ -210,6 +233,64 @@ def _bench_infer(cfg, variables, batch_size, audio_s, num_samples, steps):
         "metric": "greedy_decode_rtf_per_chip",
         "value": round(rtf, 6),
         "unit": "rtf (wall-s per audio-s, batched)",
+        "vs_baseline": 1.0,
+    }))
+
+
+def _bench_transducer_decode(cfg, variables, batch_size, audio_s,
+                             num_samples, steps, beam: bool):
+    """RNN-T decode RTF: audio -> mel -> encoder -> frame-synchronous greedy
+    (or device beam search, width BENCH_WIDTH) in one jitted program."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conformer_tpu.audio.mel import MelFrontend
+    from conformer_tpu.data.dataset import synthetic_batch
+    from conformer_tpu.models.transducer import Transducer
+    from conformer_tpu.ops.rnnt import rnnt_beam_search, rnnt_greedy_decode
+
+    width = int(_os.environ.get("BENCH_WIDTH", "8"))
+    model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                       deterministic=True)
+    frontend = MelFrontend(cfg.audio)
+
+    @jax.jit
+    def infer(variables, audio, lengths):
+        bound = model.bind(variables)
+        mels = frontend(audio)
+        enc, enc_lengths = bound.encode(mels, frontend.frame_lengths(lengths))
+        if beam:
+            return rnnt_beam_search(
+                bound.joint_logits, enc, enc_lengths, bound.predict_step,
+                bound.predict_init(enc.shape[0]), beam_width=width, top_k=8,
+                max_symbols=4, max_len=cfg.data.max_tokens)
+        return rnnt_greedy_decode(
+            bound.joint_logits, enc, enc_lengths, bound.predict_step,
+            bound.predict_init(enc.shape[0]), max_symbols=4,
+            max_len=cfg.data.max_tokens)
+
+    b = synthetic_batch(batch_size, num_samples, cfg.model.vocab_size, seed=0)
+    audio = jax.device_put(b.audio)
+    lengths = jax.device_put(jnp.full((batch_size,), num_samples, jnp.int32))
+    for _ in range(2):
+        out = infer(variables, audio, lengths)
+    jax.block_until_ready(out)
+    t0 = _time.perf_counter()
+    for _ in range(steps):
+        out = infer(variables, audio, lengths)
+    jax.block_until_ready(out)
+    dt = _time.perf_counter() - t0
+    rtf = dt / (batch_size * audio_s * steps)
+    print(_json.dumps({
+        "metric": ("transducer_beam_decode_rtf_per_chip" if beam
+                   else "transducer_greedy_decode_rtf_per_chip"),
+        "value": round(rtf, 6),
+        "unit": (f"rtf (device RNN-T beam width {width}, batched)" if beam
+                 else "rtf (frame-sync greedy, batched)"),
         "vs_baseline": 1.0,
     }))
 

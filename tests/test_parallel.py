@@ -97,6 +97,26 @@ class TestDataParallel:
         assert cls and cls[0] != P()
 
 
+class TestTransducerParallel:
+    def _cfg(self):
+        return tiny_cfg(**{
+            "model.arch": "transducer", "model.pred_embed_dim": 32,
+            "model.pred_hidden_dim": 32, "model.joint_dim": 32})
+
+    def test_transducer_dp_tp_matches_single_device(self):
+        # The shared encoder keeps its TP partition rules (same `encoder/`
+        # param paths); the prediction/joint heads replicate. The RNN-T scan
+        # loss must be sharding-invariant like the CTC path.
+        cfg = self._cfg()
+        losses_1, state_1 = run_step(cfg, mesh=None)
+        mesh = make_mesh(dp=4, tp=2)
+        losses_m, state_m = run_step(cfg, mesh=mesh, tp=True)
+        np.testing.assert_allclose(losses_1, losses_m, rtol=2e-4)
+        p1 = jax.tree_util.tree_leaves(state_1.params)[0]
+        pm = jax.tree_util.tree_leaves(state_m.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(pm), atol=1e-5)
+
+
 class TestBatchNormGlobal:
     def test_bn_stats_are_global_under_dp(self):
         # Under GSPMD, BatchNorm batch statistics reduce over the GLOBAL

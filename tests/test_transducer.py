@@ -135,11 +135,15 @@ class TestTransducerModel:
             updates, opt = tx.update(g, opt, params)
             return optax.apply_updates(params, updates), opt, loss
 
-        losses = []
-        for _ in range(150):
+        # Train to a loss TARGET, not a fixed step count: XLA CPU reduction
+        # order varies with the host's thread availability, so a fixed-step
+        # trajectory lands at slightly different parameters run-to-run.
+        loss = None
+        for i in range(400):
             params, opt, loss = train_step(params, opt)
-            losses.append(float(loss))
-        assert losses[-1] < 0.15, losses[-1]
+            if i >= 100 and float(loss) < 0.08:
+                break
+        assert float(loss) < 0.15, float(loss)
 
         # Greedy decode with the trained params.
         bound = model.bind({**rest, "params": params})
@@ -420,9 +424,13 @@ class TestRnntBeamSearch:
             updates, opt = tx.update(g, opt, params)
             return optax.apply_updates(params, updates), opt, loss
 
-        for _ in range(150):
+        # Loss-target training (see test_overfit_and_greedy_decode note).
+        loss = None
+        for i in range(400):
             params, opt, loss = train_step(params, opt)
-        assert float(loss) < 0.2
+            if i >= 100 and float(loss) < 0.08:
+                break
+        assert float(loss) < 0.2, float(loss)
 
         bound = model.bind({**rest, "params": params})
         enc, enc_len = bound.encode(mels, mel_lengths)
