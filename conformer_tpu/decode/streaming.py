@@ -21,11 +21,14 @@ chunk advance is a multiple of the total subsampling stride so emitted
 frames align exactly across chunks.
 
 ``decode="beam"`` replaces the greedy collapse with a stateful beam+LM
-search (decode/beam_search.py::BeamStream): the beam list persists across
-chunks, so the search over the streamed log-probs is exactly offline prefix
-beam search — the only approximation remains the encoder's finite left
-context. Beam hypotheses are revisable, so ``feed`` returns "" in beam mode
-and the live hypothesis is read from ``.text``.
+search: the beam list persists across chunks, so the search over the
+streamed frames is exactly the offline search — the only approximation
+remains the encoder's finite left context. Beam hypotheses are revisable,
+so ``feed`` returns "" in beam mode and the live hypothesis is read from
+``.text``. CTC carries the prefix-beam list (decode/beam_search.py::
+BeamStream, host); the transducer carries the full device beam tuple
+(scores, buffers, hashes, prediction states — ops/rnnt.py init_beams/
+return_beams), including any token-level device-LM context.
 """
 
 from __future__ import annotations
@@ -63,8 +66,6 @@ class StreamingTranscriber:
         if decode not in ("greedy", "beam"):
             raise ValueError(f"decode must be greedy|beam, got {decode!r}")
         self.arch = getattr(cfg.model, "arch", "ctc")
-        if self.arch == "transducer" and decode != "greedy":
-            raise ValueError("streaming transducer supports decode='greedy'")
         self.decode = decode
         self.cfg = cfg
         self.tok = tokenizer
@@ -85,30 +86,62 @@ class StreamingTranscriber:
         if self.arch == "transducer":
             # RNN-T streaming: the encoder sees the chunk + left context like
             # CTC, but the label history carries EXACTLY across chunks via
-            # the prediction-network state (ops/rnnt.py start_frames /
-            # return_carry) — RNN-T's natural streaming advantage over the
-            # CTC collapse-state approximation.
+            # the prediction-network state (greedy: ops/rnnt.py
+            # start_frames/return_carry) or the full beam tuple (beam:
+            # init_beams/return_beams) — RNN-T's natural streaming advantage
+            # over the CTC collapse-state approximation.
             from conformer_tpu.models.transducer import Transducer
-            from conformer_tpu.ops.rnnt import rnnt_greedy_decode
+            from conformer_tpu.ops.rnnt import (rnnt_beam_search,
+                                                rnnt_greedy_decode)
 
             model = Transducer(cfg.model,
                                compute_dtype=cfg.optim.compute_dtype,
                                deterministic=True)
             max_per_chunk = max(self.chunk // stride * 4, 8)
 
-            def forward_t(variables, audio, length, start, state, pred):
-                bound = model.bind(variables)
-                mels = frontend(audio)
-                mel_lengths = frontend.frame_lengths(length)
-                enc, enc_lengths = bound.encode(mels, mel_lengths)
-                buf, count, carry = rnnt_greedy_decode(
-                    bound.joint_logits, enc, enc_lengths, bound.predict_step,
-                    (state, pred), max_symbols=4, max_len=max_per_chunk,
-                    start_frames=start, return_carry=True)
-                return buf, count, carry
+            if decode == "beam":
+                import dataclasses
 
-            self._forward_t = jax.jit(forward_t)
-            self._rnnt_carry = model.bind(variables).predict_init(1)
+                from conformer_tpu.decode.pipeline import _device_lm_kwargs
+
+                dcfg = decode_cfg or cfg.decode
+                cfg_dec = dataclasses.replace(cfg, decode=dcfg)
+                lm_kwargs = _device_lm_kwargs(cfg_dec, tokenizer)
+                beam_kw = dict(beam_width=dcfg.beam_width, top_k=8,
+                               max_symbols=4, max_len=cfg.data.max_tokens,
+                               unk_id=tokenizer.unk_id, **lm_kwargs)
+
+                def beam_win(variables, audio, length, start, beams):
+                    bound = model.bind(variables)
+                    mels = frontend(audio)
+                    enc, enc_lengths = bound.encode(
+                        mels, frontend.frame_lengths(length))
+                    return rnnt_beam_search(
+                        bound.joint_logits, enc, enc_lengths,
+                        bound.predict_step, bound.predict_init(1),
+                        start_frames=start, init_beams=beams,
+                        return_beams=True, **beam_kw)
+
+                # One jitted fn: beams=None (fresh) and beams=<tuple>
+                # (resume) trace as two cached specializations.
+                self._beam_win = jax.jit(beam_win)
+                self._rnnt_beams = None
+                self._beam_best = None
+            else:
+                def forward_t(variables, audio, length, start, state, pred):
+                    bound = model.bind(variables)
+                    mels = frontend(audio)
+                    mel_lengths = frontend.frame_lengths(length)
+                    enc, enc_lengths = bound.encode(mels, mel_lengths)
+                    buf, count, carry = rnnt_greedy_decode(
+                        bound.joint_logits, enc, enc_lengths,
+                        bound.predict_step, (state, pred), max_symbols=4,
+                        max_len=max_per_chunk, start_frames=start,
+                        return_carry=True)
+                    return buf, count, carry
+
+                self._forward_t = jax.jit(forward_t)
+                self._rnnt_carry = model.bind(variables).predict_init(1)
         else:
             _, model = build_models(cfg)
 
@@ -154,6 +187,14 @@ class StreamingTranscriber:
         padded[0, : len(audio)] = audio
         start = self._sub_frames(emit_from_sample) if emit_from_sample else 0
         if self.arch == "transducer":
+            if self.decode == "beam":
+                prefixes, plens, _, self._rnnt_beams = self._beam_win(
+                    self._variables, padded,
+                    np.asarray([len(audio)], np.int32),
+                    np.asarray([start], np.int32), self._rnnt_beams)
+                self._beam_best = (np.asarray(prefixes)[0, 0],
+                                   int(np.asarray(plens)[0, 0]))
+                return ""
             state, pred = self._rnnt_carry
             buf, count, self._rnnt_carry = self._forward_t(
                 self._variables, padded, np.asarray([len(audio)], np.int32),
@@ -220,7 +261,8 @@ class StreamingTranscriber:
             if piece:
                 self._pieces.append(piece)
                 emitted = piece
-        if self._stream is not None:
+        if self._stream is not None or getattr(self, "_beam_best", None) \
+                is not None:
             return self.text
         return emitted
 
@@ -231,5 +273,9 @@ class StreamingTranscriber:
         current best hypothesis (revisable until finish())."""
         if self._stream is not None:
             return self._stream.text()
+        best = getattr(self, "_beam_best", None)
+        if best is not None:
+            ids, n = best
+            return self.tok.collapsed_ids_to_text(ids, n)
         raw = "".join(self._pieces).replace(self.tok.delim_token, " ")
         return self.tok.spec_decode(raw).strip()

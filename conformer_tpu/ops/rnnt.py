@@ -166,7 +166,8 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                      delim_id: Optional[int] = None, lm_bos_id: int = -1,
                      lm_unk_logp: float = -99.0, lm_order: int = 0,
                      lm_n_probes: int = 8,
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                     start_frames: Optional[jnp.ndarray] = None,
+                     init_beams=None, return_beams: bool = False):
     """Batched time-synchronous RNN-T beam search, fully on-device.
 
     New capability — the reference's Transducer is a dead stub and its only
@@ -191,35 +192,47 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
     pred_init as in :func:`rnnt_greedy_decode`. Returns (prefixes
     (B, W, U), counts (B, W), scores (B, W)), best first; `scores` are the
     un-normalized log-probabilities (``length_norm`` only changes ranking).
+
+    Streaming hooks (decode/streaming.py): `start_frames` ((B,) int32)
+    skips leading (left-context) frames; `init_beams` resumes from the raw
+    beam tuple of a previous call and `return_beams=True` appends it to the
+    outputs — the beam list then persists across chunks, so the search over
+    streamed encoder frames is exactly the offline search up to the
+    encoder's finite left context.
     """
     b, t, d = enc.shape
     w = beam_width
     u = max_len or t * max_symbols
     use_lm = lm_tables is not None and lm_order >= 2
     m_ctx = max(lm_order - 1, 1)
+    if start_frames is None:
+        start_frames = jnp.zeros((b,), jnp.int32)
 
-    def decode_one(enc_1, n, state0, pred0):
+    def decode_one(enc_1, n, start, state0, pred0, carry_in):
         kk = top_k
 
-        state = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (w,) + x.shape), state0)
-        pred = jnp.broadcast_to(pred0, (w,) + pred0.shape)
-        lm_ctx0 = jnp.full((w, m_ctx), -1, jnp.int32)
-        lm_len0 = jnp.zeros((w,), jnp.int32)
-        if use_lm and lm_bos_id >= 0:
-            lm_ctx0 = lm_ctx0.at[:, -1].set(lm_bos_id)
-            lm_len0 = jnp.ones((w,), jnp.int32)
-        init = (
-            jnp.full((w,), NEG).at[0].set(0.0),     # score
-            jnp.zeros((w, u), jnp.int32),           # token buffer
-            jnp.zeros((w,), jnp.int32),             # emitted count
-            jnp.zeros((w,), jnp.uint32),            # h1
-            jnp.zeros((w,), jnp.uint32),            # h2
-            lm_ctx0, lm_len0, state, pred)
+        if carry_in is not None:
+            init = carry_in
+        else:
+            state = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (w,) + x.shape), state0)
+            pred = jnp.broadcast_to(pred0, (w,) + pred0.shape)
+            lm_ctx0 = jnp.full((w, m_ctx), -1, jnp.int32)
+            lm_len0 = jnp.zeros((w,), jnp.int32)
+            if use_lm and lm_bos_id >= 0:
+                lm_ctx0 = lm_ctx0.at[:, -1].set(lm_bos_id)
+                lm_len0 = jnp.ones((w,), jnp.int32)
+            init = (
+                jnp.full((w,), NEG).at[0].set(0.0),     # score
+                jnp.zeros((w, u), jnp.int32),           # token buffer
+                jnp.zeros((w,), jnp.int32),             # emitted count
+                jnp.zeros((w,), jnp.uint32),            # h1
+                jnp.zeros((w,), jnp.uint32),            # h2
+                lm_ctx0, lm_len0, state, pred)
 
         def frame_step(carry, inputs):
             enc_t, ti = inputs
-            active_frame = ti < n
+            active_frame = (ti >= start) & (ti < n)
 
             act = carry
             # Finished pool (hyps that consumed this frame): starts empty.
@@ -295,11 +308,19 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
         rank = (score / jnp.maximum(cnt.astype(jnp.float32), 1.0)
                 if length_norm else score)
         order = jnp.argsort(-rank)
+        if return_beams:
+            return buf[order], cnt[order], score[order], final
         return buf[order], cnt[order], score[order]
 
     state0, pred0 = pred_init
+    if init_beams is None:
+        return jax.vmap(
+            lambda e_, n_, s_, st_, p_: decode_one(e_, n_, s_, st_, p_, None)
+        )(enc, enc_lengths.astype(jnp.int32), start_frames.astype(jnp.int32),
+          state0, pred0)
     return jax.vmap(decode_one)(enc, enc_lengths.astype(jnp.int32),
-                                state0, pred0)
+                                start_frames.astype(jnp.int32),
+                                state0, pred0, init_beams)
 
 
 def _nll_from_planes(lp_blank, lp_emit, t_lengths, u_lengths, row_mask):

@@ -212,12 +212,68 @@ class TestStreaming:
         texts = {run(b) for b in (1000, 7777, len(audio))}
         assert len(texts) == 1
 
-    def test_transducer_rejects_beam(self, setup_transducer):
+    def test_transducer_beam_single_chunk_matches_offline(
+            self, setup_transducer):
+        import jax
+        import jax.numpy as jnp
+
+        from conformer_tpu.audio.mel import MelFrontend
+        from conformer_tpu.config import DecodeConfig
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+        from conformer_tpu.models.transducer import Transducer
+        from conformer_tpu.ops.rnnt import rnnt_beam_search
+
+        cfg, tok, variables = setup_transducer
+        audio = _audio(1.5, seed=7)
+        dcfg = DecodeConfig(beam_width=4)
+
+        # Offline beam on the same padded window shape (6s = ctx 4 + chunk 2).
+        model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                           deterministic=True)
+        fe = MelFrontend(cfg.audio)
+
+        @jax.jit
+        def offline(variables, audio_, length):
+            bound = model.bind(variables)
+            enc, enc_len = bound.encode(fe(audio_),
+                                        fe.frame_lengths(length))
+            return rnnt_beam_search(
+                bound.joint_logits, enc, enc_len, bound.predict_step,
+                bound.predict_init(1), beam_width=4, top_k=8,
+                max_symbols=4, max_len=cfg.data.max_tokens,
+                unk_id=tok.unk_id)
+
+        padded = np.zeros((1, 6 * SR), np.float32)
+        padded[0, : len(audio)] = audio
+        prefixes, plens, _ = offline(variables, jnp.asarray(padded),
+                                     np.asarray([len(audio)], np.int32))
+        want = tok.collapsed_ids_to_text(np.asarray(prefixes)[0, 0],
+                                         int(np.asarray(plens)[0, 0]))
+
+        st = StreamingTranscriber(cfg, tok, variables, chunk_s=2.0,
+                                  left_context_s=4.0, decode="beam",
+                                  decode_cfg=dcfg)
+        assert st.feed(audio) == ""  # beam hypotheses are revisable
+        assert st.finish() == want
+        assert st.text == want
+
+    def test_transducer_beam_block_invariance(self, setup_transducer):
+        from conformer_tpu.config import DecodeConfig
         from conformer_tpu.decode.streaming import StreamingTranscriber
 
         cfg, tok, variables = setup_transducer
-        with pytest.raises(ValueError):
-            StreamingTranscriber(cfg, tok, variables, decode="beam")
+        audio = _audio(3.3, seed=8)
+
+        def run(block):
+            st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                      left_context_s=2.0, decode="beam",
+                                      decode_cfg=DecodeConfig(beam_width=4))
+            for i in range(0, len(audio), block):
+                st.feed(audio[i: i + block])
+            return st.finish()
+
+        texts = {run(b) for b in (1000, 7777, len(audio))}
+        assert len(texts) == 1
 
     def test_incremental_emission_accumulates(self, setup):
         from conformer_tpu.decode.streaming import StreamingTranscriber
