@@ -92,7 +92,8 @@ def main() -> None:
     # step on TPU; the hardware RNG implementation is dramatically cheaper.
     jax.config.update("jax_default_prng_impl",
                       os.environ.get("BENCH_PRNG", "rbg"))
-    if mode in ("transducer", "transducer_infer", "transducer_beam"):
+    if mode in ("transducer", "transducer_infer", "transducer_beam",
+                "transducer_stream"):
         # RNN-T modes (new capability — the reference's Transducer is a dead
         # stub): same Conformer encoder + prediction/joint heads, lattice-
         # free scan loss (ops/rnnt.py::rnnt_loss_scan) for training.
@@ -119,7 +120,7 @@ def main() -> None:
     if mode == "beam":
         _bench_beam(cfg, variables, batch_size, audio_s, num_samples)
         return
-    if mode == "stream":
+    if mode in ("stream", "transducer_stream"):
         _bench_stream(cfg, variables)
         return
 
@@ -322,8 +323,11 @@ def _bench_stream(cfg, variables):
         st2.feed(audio[i: i + block])
     st2.finish()
     dt = _time.perf_counter() - t0
+    arch = getattr(cfg.model, "arch", "ctc")
     print(_json.dumps({
-        "metric": "streaming_decode_rtf_per_chip",
+        "metric": ("transducer_streaming_decode_rtf_per_chip"
+                   if arch == "transducer"
+                   else "streaming_decode_rtf_per_chip"),
         "value": round(dt / total_s, 6),
         "unit": "rtf (2s chunks + 6s left ctx, batch 1, greedy)",
         "vs_baseline": 1.0,

@@ -39,7 +39,31 @@ def export_model(cfg: Config, variables, out_dir: str,
     from jax import export as jax_export
 
     os.makedirs(out_dir, exist_ok=True)
-    forward = make_forward(cfg)
+    arch = getattr(cfg.model, "arch", "ctc")
+    if arch == "transducer":
+        # RNN-T: the frame-synchronous greedy decode is itself jittable, so
+        # the exported function is the COMPLETE transcription pipeline
+        # audio -> (token ids, counts) — more deployment-ready than the
+        # CTC bundle's logits (no decode loop needed host-side).
+        from conformer_tpu.audio.mel import MelFrontend
+        from conformer_tpu.models.transducer import Transducer
+        from conformer_tpu.ops.rnnt import rnnt_greedy_decode
+
+        model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                           deterministic=True)
+        frontend = MelFrontend(cfg.audio)
+
+        def forward(variables, audio, lengths):
+            bound = model.bind(variables)
+            mels = frontend(audio)
+            enc, enc_lengths = bound.encode(
+                mels, frontend.frame_lengths(lengths))
+            return rnnt_greedy_decode(
+                bound.joint_logits, enc, enc_lengths, bound.predict_step,
+                bound.predict_init(enc.shape[0]), max_symbols=4,
+                max_len=cfg.data.max_tokens)
+    else:
+        forward = make_forward(cfg)
     sr = cfg.audio.sample_rate
     files = []
     for seconds in audio_seconds:
@@ -61,6 +85,11 @@ def export_model(cfg: Config, variables, out_dir: str,
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({
             "framework": "conformer_tpu", "version": __version__,
+            "arch": arch,
+            # CTC artifacts return (logits, lengths); transducer artifacts
+            # return (token ids, counts) — greedy decode baked in.
+            "outputs": ("tokens_counts" if arch == "transducer"
+                        else "logits_lengths"),
             "batch_size": batch_size,
             "audio_seconds": list(audio_seconds),
             "sample_rate": sr,

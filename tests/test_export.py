@@ -43,6 +43,46 @@ class TestExport:
         np.testing.assert_allclose(np.asarray(logits), np.asarray(want_logits),
                                    atol=1e-4)
 
+    def test_transducer_roundtrip_bakes_greedy_decode(self, tmp_path):
+        # Transducer artifacts are the COMPLETE pipeline: audio -> token
+        # ids + counts (greedy decode inside the exported function).
+        import json
+
+        from conformer_tpu.export import ExportedModel, export_model
+        from conformer_tpu.train.steps import (init_variables,
+                                               make_transducer_eval_step)
+        from conformer_tpu.train.state import TrainState, make_optimizer
+
+        cfg = tiny_cfg().override(**{
+            "model.arch": "transducer", "model.pred_embed_dim": 32,
+            "model.pred_hidden_dim": 32, "model.joint_dim": 32,
+            "data.max_tokens": 16})
+        variables = init_variables(cfg, jax.random.PRNGKey(0))
+        out = str(tmp_path / "exported_t")
+        export_model(cfg, variables, out, batch_size=2, audio_seconds=(1.0,))
+        with open(f"{out}/meta.json") as f:
+            assert json.load(f)["outputs"] == "tokens_counts"
+
+        model = ExportedModel(out)
+        audio = np.random.default_rng(1).standard_normal(
+            (2, 16000)).astype(np.float32) * 0.05
+        lengths = np.array([16000, 12000], np.int32)
+        tokens, counts = model(audio, lengths)
+
+        # Live-model reference via the eval step (same greedy decode).
+        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        state = TrainState.create(variables["params"],
+                                  variables.get("batch_stats", {}), tx)
+        step = make_transducer_eval_step(cfg)
+        want = step(state, jnp.asarray(audio), jnp.asarray(lengths),
+                    jnp.zeros((2, 1), jnp.int32), jnp.zeros((2,), jnp.int32))
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      np.asarray(want["counts"]))
+        got_t, want_t = np.asarray(tokens), np.asarray(want["tokens"])
+        for i in range(2):
+            n = int(np.asarray(counts)[i])
+            np.testing.assert_array_equal(got_t[i, :n], want_t[i, :n])
+
     def test_too_long_audio_rejected(self, tmp_path):
         from conformer_tpu.export import ExportedModel, export_model
         from conformer_tpu.train.steps import init_variables
