@@ -267,11 +267,14 @@ def _bench_transducer_decode(cfg, variables, batch_size, audio_s,
         if beam:
             return rnnt_beam_search(
                 bound.joint_logits, enc, enc_lengths, bound.predict_step,
-                bound.predict_init(enc.shape[0]), beam_width=width, top_k=8,
-                max_symbols=4, max_len=cfg.data.max_tokens)
+                bound.predict_init(enc.shape[0]), beam_width=width,
+                top_k=cfg.decode.rnnt_top_k,
+                max_symbols=cfg.decode.rnnt_max_symbols,
+                max_len=cfg.data.max_tokens)
         return rnnt_greedy_decode(
             bound.joint_logits, enc, enc_lengths, bound.predict_step,
-            bound.predict_init(enc.shape[0]), max_symbols=4,
+            bound.predict_init(enc.shape[0]),
+            max_symbols=cfg.decode.rnnt_max_symbols,
             max_len=cfg.data.max_tokens)
 
     b = synthetic_batch(batch_size, num_samples, cfg.model.vocab_size, seed=0)

@@ -224,6 +224,12 @@ class DecodeConfig:
     hotwords: Tuple[str, ...] = ()
     hotword_weight: float = 9.0
     token_min_logp: float = -5.0
+    # RNN-T decode (model.arch='transducer'): per-frame emission cap for
+    # greedy/beam, expansion fan-out per hypothesis, and whether beam
+    # ranking divides scores by emitted length (ops/rnnt.py).
+    rnnt_max_symbols: int = 4
+    rnnt_top_k: int = 8
+    rnnt_length_norm: bool = False
 
 
 @dataclass

@@ -107,8 +107,10 @@ class StreamingTranscriber:
                 dcfg = decode_cfg or cfg.decode
                 cfg_dec = dataclasses.replace(cfg, decode=dcfg)
                 lm_kwargs = _device_lm_kwargs(cfg_dec, tokenizer)
-                beam_kw = dict(beam_width=dcfg.beam_width, top_k=8,
-                               max_symbols=4, max_len=cfg.data.max_tokens,
+                beam_kw = dict(beam_width=dcfg.beam_width,
+                               top_k=dcfg.rnnt_top_k,
+                               max_symbols=dcfg.rnnt_max_symbols,
+                               max_len=cfg.data.max_tokens,
                                unk_id=tokenizer.unk_id, **lm_kwargs)
 
                 def beam_win(variables, audio, length, start, beams):
@@ -135,7 +137,8 @@ class StreamingTranscriber:
                     enc, enc_lengths = bound.encode(mels, mel_lengths)
                     buf, count, carry = rnnt_greedy_decode(
                         bound.joint_logits, enc, enc_lengths,
-                        bound.predict_step, (state, pred), max_symbols=4,
+                        bound.predict_step, (state, pred),
+                        max_symbols=cfg.decode.rnnt_max_symbols,
                         max_len=max_per_chunk, start_frames=start,
                         return_carry=True)
                     return buf, count, carry

@@ -60,7 +60,8 @@ def export_model(cfg: Config, variables, out_dir: str,
                 mels, frontend.frame_lengths(lengths))
             return rnnt_greedy_decode(
                 bound.joint_logits, enc, enc_lengths, bound.predict_step,
-                bound.predict_init(enc.shape[0]), max_symbols=4,
+                bound.predict_init(enc.shape[0]),
+                max_symbols=cfg.decode.rnnt_max_symbols,
                 max_len=cfg.data.max_tokens)
     else:
         forward = make_forward(cfg)

@@ -202,12 +202,15 @@ def init_wav2vec2_state(cfg: Config, rng: jax.Array,
 
 def transfer_encoder(pretrained_params: Dict, ctc_params: Dict,
                      method: str = "wav2vec2") -> Dict:
-    """Copy pretrained encoder weights into a Conformer CTC param tree.
+    """Copy pretrained encoder weights into a supervised param tree.
 
     wav2vec2 tree: {subsample, input_proj, blocks|block_i, ...} at top level;
-    BYOL tree: {encoder: {...}} (whole ConformerEncoder). The CTC tree is
-    {encoder: {subsample, input_proj, blocks|block_i, ...}, decoder: ...}.
-    Only matching names with matching shapes transfer; returns a new tree.
+    BYOL tree: {encoder: {...}} (whole ConformerEncoder). The supervised
+    tree is {encoder: {subsample, input_proj, blocks|block_i, ...}, ...} —
+    both the CTC Conformer and the Transducer qualify (the RNN-T shares the
+    same ConformerEncoder under the same 'encoder' key; its prediction/
+    joint heads stay freshly initialized). Only matching names with
+    matching shapes transfer; returns a new tree.
     """
     src = pretrained_params.get("encoder", pretrained_params) \
         if method == "byol" else pretrained_params

@@ -234,15 +234,19 @@ def make_transducer_eval_step(cfg: Config,
             prefixes, plens, scores = rnnt_beam_search(
                 bound.joint_logits, enc, enc_lengths, bound.predict_step,
                 bound.predict_init(enc.shape[0]),
-                beam_width=cfg.decode.beam_width, top_k=8, max_symbols=4,
+                beam_width=cfg.decode.beam_width,
+                top_k=cfg.decode.rnnt_top_k,
+                max_symbols=cfg.decode.rnnt_max_symbols,
                 max_len=cfg.data.max_tokens, unk_id=unk_id,
+                length_norm=cfg.decode.rnnt_length_norm,
                 **(lm_kwargs or {}))
             return {"loss": loss, "tokens": prefixes[:, 0],
                     "counts": plens[:, 0], "scores": scores[:, 0],
                     "lengths": enc_lengths}
         buf, counts = rnnt_greedy_decode(
             bound.joint_logits, enc, enc_lengths, bound.predict_step,
-            bound.predict_init(enc.shape[0]), max_symbols=4,
+            bound.predict_init(enc.shape[0]),
+            max_symbols=cfg.decode.rnnt_max_symbols,
             max_len=cfg.data.max_tokens)
         return {"loss": loss, "tokens": buf, "counts": counts,
                 "lengths": enc_lengths}

@@ -166,3 +166,34 @@ class TestTransfer:
              "batch_stats": variables.get("batch_stats", {})},
             mels, jnp.array([64]), mutable=[])
         assert logits.shape[0] == 1
+
+    def test_transfer_into_transducer(self):
+        # The RNN-T shares the ConformerEncoder under the same 'encoder'
+        # param key, so pretrain -> transducer fine-tune works unchanged.
+        from conformer_tpu.models.transducer import Transducer
+        from conformer_tpu.train.pretrain import (init_wav2vec2_state,
+                                                  transfer_encoder)
+        from conformer_tpu.train.state import make_optimizer
+        cfg = tiny_cfg("wav2vec2")
+        over = {"model.pred_embed_dim": 32, "model.pred_hidden_dim": 32,
+                "model.joint_dim": 32}
+        cfg = cfg.override(**over)
+        tx = make_optimizer(cfg.optim)
+        pre_state = init_wav2vec2_state(cfg, jax.random.PRNGKey(0), tx, 64)
+
+        model = Transducer(cfg.model, deterministic=True)
+        mels = jnp.zeros((1, 64, 80))
+        labels = jnp.zeros((1, 4), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(9), mels, jnp.array([64]),
+                               labels)
+        new_params = transfer_encoder(pre_state.params, variables["params"],
+                                      method="wav2vec2")
+        a = jax.tree_util.tree_leaves(new_params["encoder"]["subsample"])
+        b = jax.tree_util.tree_leaves(pre_state.params["subsample"])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        (lattice, _), _ = model.apply(
+            {"params": new_params,
+             "batch_stats": variables.get("batch_stats", {})},
+            mels, jnp.array([64]), labels, mutable=[])
+        assert np.isfinite(np.asarray(lattice)).all()
