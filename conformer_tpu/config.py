@@ -192,6 +192,12 @@ class DataConfig:
     # Static-shape length bucketing (TPU necessity; reference pads per-batch to
     # the max which would retrigger XLA compilation every step).
     bucket_boundaries_s: Tuple[float, ...] = (2.0, 4.0, 8.0, 12.0, 16.0, 24.0)
+    # Optional per-bucket train batch sizes (1:1 with bucket_boundaries_s;
+    # the last entry repeats for the implicit max_audio_s bucket). Long
+    # buckets peak at smaller batches on a fixed HBM budget — measured 8s
+    # peak b56 vs 24s peak b32 (docs/PERFORMANCE.md). Empty = use
+    # batch_size for every bucket.
+    bucket_batch_sizes: Tuple[int, ...] = ()
     max_audio_s: float = 24.0
     max_tokens: int = 256
     # Training only: the last partial batch per bucket is dropped when True.

@@ -117,6 +117,25 @@ class BucketedLoader:
         self.max_samples = int(cfg.max_audio_s * sr)
         if not self.boundaries or self.boundaries[-1] < self.max_samples:
             self.boundaries.append(self.max_samples)
+        # Per-bucket batch sizes: long buckets peak at smaller batches than
+        # short ones on a fixed HBM budget (measured: 8s peaks at b56, 24s
+        # at b32 — docs/PERFORMANCE.md), so a single global batch size
+        # either OOMs the long bucket or underfills the short one. When
+        # cfg.bucket_batch_sizes is set it maps 1:1 onto bucket boundaries
+        # (the last entry repeats for the implicit max_audio_s bucket);
+        # an explicit `batch_size` argument (eval callers) overrides it.
+        if cfg.bucket_batch_sizes and batch_size is None:
+            sizes = list(cfg.bucket_batch_sizes)
+            if len(sizes) not in (len(cfg.bucket_boundaries_s),
+                                  len(self.boundaries)):
+                raise ValueError(
+                    f"bucket_batch_sizes has {len(sizes)} entries for "
+                    f"{len(self.boundaries)} buckets")
+            while len(sizes) < len(self.boundaries):
+                sizes.append(sizes[-1])
+            self.batch_sizes = sizes
+        else:
+            self.batch_sizes = [self.batch_size] * len(self.boundaries)
 
     def _bucket_for(self, n_samples: int) -> int:
         for i, b in enumerate(self.boundaries):
@@ -194,7 +213,7 @@ class BucketedLoader:
                 continue
             bucket = self._bucket_for(len(item[0]))
             pending.setdefault(bucket, []).append(item)
-            if len(pending[bucket]) == self.batch_size:
+            if len(pending[bucket]) == self.batch_sizes[bucket]:
                 yield self._make_batch(pending.pop(bucket), bucket)
         if not self.drop_remainder:
             for bucket, items in pending.items():
@@ -202,7 +221,7 @@ class BucketedLoader:
                     # Pad the batch dimension too — shapes must stay static.
                     # Dummy rows have empty transcripts (token_length 0) and
                     # are excluded from CTC loss and eval metrics.
-                    while len(items) < self.batch_size:
+                    while len(items) < self.batch_sizes[bucket]:
                         items.append((np.zeros(1, np.float32), ""))
                     yield self._make_batch(items, bucket)
 

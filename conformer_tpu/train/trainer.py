@@ -123,7 +123,14 @@ class Trainer:
         max_samples = int(cfg.data.max_audio_s * sr)
         if not boundaries or boundaries[-1] < max_samples:
             boundaries.append(max_samples)
-        bs = cfg.data.batch_size
+        # Mirror BucketedLoader's per-bucket batch sizes so warmup compiles
+        # the ACTUAL shapes training will hit.
+        if cfg.data.bucket_batch_sizes:
+            sizes = list(cfg.data.bucket_batch_sizes)
+            while len(sizes) < len(boundaries):
+                sizes.append(sizes[-1])
+        else:
+            sizes = [cfg.data.batch_size] * len(boundaries)
 
         state_abs = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state)
@@ -133,7 +140,7 @@ class Trainer:
 
         def work():
             done = 0
-            for n in boundaries:
+            for n, bs in zip(boundaries, sizes):
                 args = (state_abs,
                         sds((bs, n), np.float32), sds((bs,), np.int32),
                         sds((bs, cfg.data.max_tokens), np.int32),

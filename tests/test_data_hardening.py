@@ -181,6 +181,52 @@ class TestThreadedLoading:
         assert rows == 7
 
 
+class TestBucketBatchSizes:
+    def test_per_bucket_sizes(self):
+        tok = load_tokenizer("vi")
+        items = _utts(8, seconds=1.0) + _utts(6, seconds=3.0)
+        cfg = _data_cfg(**{"data.bucket_boundaries_s": [2.0, 4.0],
+                           "data.max_audio_s": 4.0,
+                           "data.bucket_batch_sizes": [4, 2]})
+        loader = BucketedLoader(_ArrayDataset(items), tok, cfg,
+                                training=True)
+        sizes = {}
+        for batch in loader.epoch(0):
+            sizes.setdefault(batch.audio.shape[1], []).append(
+                batch.audio.shape[0])
+        # 1s utterances -> 2s bucket at batch 4; 3s -> 4s bucket at batch 2.
+        assert sizes[2 * SR] == [4, 4]
+        assert sizes[4 * SR] == [2, 2, 2]
+
+    def test_last_entry_repeats_for_implicit_bucket(self):
+        tok = load_tokenizer("vi")
+        # max_audio_s appends an implicit 6s bucket; the 2-entry size list
+        # must stretch to cover it.
+        cfg = _data_cfg(**{"data.bucket_boundaries_s": [2.0, 4.0],
+                           "data.max_audio_s": 6.0,
+                           "data.bucket_batch_sizes": [4, 2]})
+        loader = BucketedLoader(_ArrayDataset(_utts(2, seconds=5.0)), tok,
+                                cfg, training=True)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 1 and batches[0].audio.shape == (2, 6 * SR)
+
+    def test_explicit_batch_size_overrides(self):
+        tok = load_tokenizer("vi")
+        cfg = _data_cfg(**{"data.bucket_batch_sizes": [4]})
+        loader = BucketedLoader(_ArrayDataset(_utts(6)), tok, cfg,
+                                training=False, batch_size=3)
+        batches = list(loader.epoch(0))
+        assert [b.audio.shape[0] for b in batches] == [3, 3]
+
+    def test_size_count_mismatch_raises(self):
+        tok = load_tokenizer("vi")
+        cfg = _data_cfg(**{"data.bucket_boundaries_s": [2.0, 4.0],
+                           "data.max_audio_s": 4.0,
+                           "data.bucket_batch_sizes": [4, 2, 2, 2]})
+        with pytest.raises(ValueError, match="bucket_batch_sizes"):
+            BucketedLoader(_ArrayDataset(_utts(2)), tok, cfg, training=True)
+
+
 class TestConfigKnobs:
     def test_mel_scale_htk_is_live(self):
         from conformer_tpu.audio.mel import mel_filterbank
