@@ -120,6 +120,9 @@ def main() -> None:
     if mode == "beam":
         _bench_beam(cfg, variables, batch_size, audio_s, num_samples)
         return
+    if mode == "beam_device":
+        _bench_beam_device(cfg, variables, batch_size, audio_s, num_samples)
+        return
     if mode in ("stream", "transducer_stream"):
         _bench_stream(cfg, variables)
         return
@@ -403,6 +406,83 @@ def _bench_beam(cfg, variables, batch_size, audio_s, num_samples):
         "unit": ("rtf (fwd+beam190+5gramLM, batched, "
                  f"decode_only_rtf={t_dec / total_audio:.5f}, "
                  f"native={native})"),
+        "vs_baseline": 1.0,
+    }))
+
+
+def _bench_beam_device(cfg, variables, batch_size, audio_s, num_samples):
+    """FULLY on-device beam+word-LM decode RTF at the reference operating
+    point (beam 190, alpha 2.1, beta 9.2, 5-gram word LM): forward +
+    log-softmax + prefix beam search + word-level LM fusion in ONE XLA
+    program — no host round-trip per utterance (the reference's entire
+    decode is sequential host Python, processing/lm.py:62-75). Hotwords
+    stay host-only (BENCH_MODE=beam covers them)."""
+    import json as _json
+    import os as _os
+    import tempfile
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from conformer_tpu.lm.device_table import (DeviceNgramTable,
+                                               DeviceWordVocab)
+    from conformer_tpu.lm.ngram import build_arpa
+    from conformer_tpu.ops.beam_search_device import ctc_beam_search_device
+    from conformer_tpu.data.dataset import synthetic_batch
+    from conformer_tpu.text.tokenizer import load_tokenizer
+    from conformer_tpu.train.steps import make_forward
+
+    tok = load_tokenizer("vi")
+    root = tempfile.mkdtemp(prefix="bench_beam_dev_")
+    corpus = _os.path.join(root, "corpus.txt")
+    rng = np.random.default_rng(0)
+    words = ["XIN", "CHÀO", "BẠN", "CẢM", "ƠN", "TẠM", "BIỆT", "LỖI",
+             "KHÔNG", "CÓ", "GÌ", "ĐÂU", "NHÉ", "ANH", "EM", "TÔI"]
+    with open(corpus, "w", encoding="utf8") as f:
+        for _ in range(2000):
+            f.write(" ".join(rng.choice(words, rng.integers(3, 9))) + "\n")
+    arpa = _os.path.join(root, "lm.arpa")
+    build_arpa(corpus, arpa, 5)
+    table = DeviceNgramTable.from_arpa(arpa)
+    wv = DeviceWordVocab.build(tok.vocab, table.vocab)
+    width = int(_os.environ.get("BENCH_WIDTH", "190"))
+
+    forward = make_forward(cfg)
+
+    @jax.jit
+    def decode(variables, audio, lengths):
+        logits, out_lengths = forward(variables, audio, lengths)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return ctc_beam_search_device(
+            lp, out_lengths, beam_width=width, top_k=8,
+            blank_id=tok.pad_id, unk_id=tok.unk_id,
+            max_len=cfg.data.max_tokens,
+            lm_tables=table.device_arrays(),
+            word_arrays=wv.device_arrays(), wv_n_probes=int(wv.n_probes),
+            lm_alpha=2.1, lm_beta=9.2, delim_id=tok.delim_id,
+            lm_bos_id=int(table.bos_id), lm_unk_logp=float(table.unk_logp),
+            lm_order=int(table.order), lm_n_probes=int(table.n_probes))
+
+    b = synthetic_batch(batch_size, num_samples, cfg.model.vocab_size, seed=0)
+    audio = jax.device_put(b.audio)
+    lengths = jax.device_put(jnp.full((batch_size,), num_samples, jnp.int32))
+    out = decode(variables, audio, lengths)  # compile
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = _time.perf_counter()
+    for _ in range(reps):
+        out = decode(variables, audio, lengths)
+    jax.block_until_ready(out)
+    dt = (_time.perf_counter() - t0) / reps
+
+    total_audio = batch_size * audio_s
+    print(_json.dumps({
+        "metric": "beam_device_wordlm_decode_rtf_per_chip",
+        "value": round(dt / total_audio, 6),
+        "unit": (f"rtf (on-device fwd+beam{width}+5gram word LM, "
+                 "one XLA program, batched)"),
         "vs_baseline": 1.0,
     }))
 

@@ -55,30 +55,61 @@ def _gather_pairs_across_hosts(refs: List[str], hyps: List[str]
     return all_refs, all_hyps
 
 
-def _device_lm_kwargs(cfg: Config, tokenizer: GraphemeTokenizer) -> dict:
-    """Kwargs for on-device token-level LM fusion from a token-level ARPA
-    (HBM-resident hashed tables, lm/device_table.py); empty when
-    cfg.decode.device_lm_path is unset."""
-    if not cfg.decode.device_lm_path:
-        return {}
+def _device_lm_kwargs(cfg: Config, tokenizer: GraphemeTokenizer,
+                      word_fallback: bool = False) -> dict:
+    """Kwargs for on-device LM fusion (HBM-resident hashed tables,
+    lm/device_table.py).
+
+    cfg.decode.device_lm_path (a token-level ARPA) selects token-level
+    fusion. Otherwise, with ``word_fallback`` (the CTC beam_device path),
+    cfg.decode.lm_path — the host decoder's WORD-level ARPA, the reference
+    operating point (reference: processing/lm.py:10-15) — is compiled into
+    word-level device fusion: rolling character hashes complete words at
+    delimiter emissions (ops/beam_search_device.py). Empty when no LM is
+    configured."""
     import numpy as _np
 
     from conformer_tpu.lm.device_table import DeviceNgramTable
 
-    table = DeviceNgramTable.from_arpa(cfg.decode.device_lm_path)
-    tok2lm = _np.array(
-        [table.vocab.get(tok_str, -1)
-         for tok_str in tokenizer.vocab], _np.int32)
-    return dict(
-        lm_tables=table.device_arrays(),
-        tok2lm=jax.numpy.asarray(tok2lm),
+    common = dict(
         lm_alpha=float(cfg.decode.alpha),
         lm_beta=float(cfg.decode.beta),
-        delim_id=tokenizer.delim_id,
-        lm_bos_id=int(table.bos_id),
-        lm_unk_logp=float(table.unk_logp),
-        lm_order=int(table.order),
-        lm_n_probes=int(table.n_probes))
+        delim_id=tokenizer.delim_id)
+    if cfg.decode.device_lm_path:
+        table = DeviceNgramTable.from_arpa(cfg.decode.device_lm_path)
+        tok2lm = _np.array(
+            [table.vocab.get(tok_str, -1)
+             for tok_str in tokenizer.vocab], _np.int32)
+        return dict(
+            common,
+            lm_tables=table.device_arrays(),
+            tok2lm=jax.numpy.asarray(tok2lm),
+            lm_bos_id=int(table.bos_id),
+            lm_unk_logp=float(table.unk_logp),
+            lm_order=int(table.order),
+            lm_n_probes=int(table.n_probes))
+    if word_fallback and cfg.decode.lm_path:
+        from conformer_tpu.lm.device_table import (DeviceHotwords,
+                                                   DeviceWordVocab)
+
+        table = DeviceNgramTable.from_arpa(cfg.decode.lm_path)
+        wv = DeviceWordVocab.build(tokenizer.vocab, table.vocab)
+        kwargs = dict(
+            common,
+            lm_tables=table.device_arrays(),
+            word_arrays=wv.device_arrays(),
+            wv_n_probes=int(wv.n_probes),
+            lm_bos_id=int(table.bos_id),
+            lm_unk_logp=float(table.unk_logp),
+            lm_order=int(table.order),
+            lm_n_probes=int(table.n_probes))
+        if cfg.decode.hotwords and cfg.decode.hotword_weight:
+            hot = DeviceHotwords.build(cfg.decode.hotwords)
+            kwargs.update(hot_arrays=hot.device_arrays(),
+                          hot_n_probes=int(hot.n_probes),
+                          hot_weight=float(cfg.decode.hotword_weight))
+        return kwargs
+    return {}
 
 
 class InferencePipeline:
@@ -88,7 +119,9 @@ class InferencePipeline:
     decode='beam' uses the host CTC beam search with optional word-level
     n-gram LM shallow fusion (conformer_tpu.decode.beam_search);
     decode='beam_device' runs the prefix beam search entirely on-device with
-    optional token-level LM fusion (conformer_tpu.ops.beam_search_device).
+    optional LM fusion (conformer_tpu.ops.beam_search_device): token-level
+    from cfg.decode.device_lm_path, else word-level from cfg.decode.lm_path
+    (the host decoder's ARPA — hotword boosting remains host-only).
 
     Transducer (cfg.model.arch='transducer'): decode='greedy' runs the
     frame-synchronous greedy decode; decode='beam' or 'beam_device' both run
@@ -150,7 +183,7 @@ class InferencePipeline:
             from conformer_tpu.ops.beam_search_device import (
                 ctc_beam_search_device, ctc_beam_search_device_sharded)
 
-            lm_kwargs = _device_lm_kwargs(cfg, tokenizer)
+            lm_kwargs = _device_lm_kwargs(cfg, tokenizer, word_fallback=True)
 
             # Honors cfg.decode.beam_width exactly (the reference op point is
             # 190, processing/lm.py:12); widths are static shapes, memory is
@@ -174,8 +207,10 @@ class InferencePipeline:
                                                    out["lengths"])
             prefixes = np.asarray(jax.device_get(prefixes))
             plens = np.asarray(jax.device_get(plens))
+            # strip: a top beam may legitimately end in a delimiter (the
+            # host renders those with no trailing space, beam_search.py).
             return [self.tok.spec_decode(self.tok.collapsed_ids_to_text(
-                        prefixes[i, 0], int(plens[i, 0])))
+                        prefixes[i, 0], int(plens[i, 0]))).strip()
                     for i in range(prefixes.shape[0])]
         if self._beam is not None:
             log_probs = np.asarray(jax.device_get(out["log_probs"]))

@@ -100,6 +100,201 @@ class DeviceNgramTable:
 
 
 # ---------------------------------------------------------------------------
+# Word-level fusion: character-rolling-hash word vocabulary.
+# ---------------------------------------------------------------------------
+
+# Polynomial rolling hash over unicode code points: H(s) = sum ord(s_i) *
+# MULT^(n-1-i) mod 2^32. Unlike FNV it is affine in the running state
+# (H(xy) = H(x) * MULT^|y| + H(y)), so the beam search can fold a whole
+# TOKEN's characters into the per-beam partial-word hash with one multiply
+# and one add of precomputed per-token constants. Two independent multipliers
+# give a 64-bit effective key (a false word match needs a simultaneous
+# 2x32-bit collision).
+_POLY1 = np.uint32(1000003)
+_POLY2 = np.uint32(2654435761)
+
+
+def _poly_hash_np(s: str, mult: np.uint32) -> np.uint32:
+    h = np.uint32(0)
+    for ch in s:
+        h = np.uint32((int(h) * int(mult) + ord(ch)) & 0xFFFFFFFF)
+    return h
+
+
+def _poly_consts_np(s: str, mult: np.uint32) -> Tuple[np.uint32, np.uint32]:
+    """(A, B) with fold(h) = h * A + B for appending token string `s`."""
+    a = np.uint32(1)
+    for _ in s:
+        a = np.uint32((int(a) * int(mult)) & 0xFFFFFFFF)
+    return a, _poly_hash_np(s, mult)
+
+
+@dataclass
+class DeviceWordVocab:
+    """Maps partial-word character hashes -> word-level LM ids, on device.
+
+    The host beam search completes a word by string lookup in the LM vocab
+    (decode/beam_search.py:_word_bonus); the device search instead carries two
+    rolling character hashes per beam and probes this open-addressing table at
+    word boundaries. `tok_a*/tok_b*` fold token id c's characters into a
+    running hash h as h * tok_a[c] + tok_b[c], matching _poly_hash_np of the
+    concatenated string exactly. Slots with id < 0 are empty; both 32-bit keys
+    must match for a hit.
+
+    No reference counterpart: the reference's word-level LM runs on the host
+    (reference: processing/lm.py:62-75).
+    """
+
+    tok_a1: np.ndarray   # (V,) uint32
+    tok_b1: np.ndarray   # (V,) uint32
+    tok_a2: np.ndarray   # (V,) uint32
+    tok_b2: np.ndarray   # (V,) uint32
+    keys1: np.ndarray    # (S,) uint32
+    keys2: np.ndarray    # (S,) uint32
+    ids: np.ndarray      # (S,) int32, -1 = empty
+    n_probes: int
+
+    @classmethod
+    def build(cls, token_strings: Sequence[str], word_vocab: dict,
+              slots_per_entry: float = 2.0) -> "DeviceWordVocab":
+        v = len(token_strings)
+        tok_a1 = np.zeros((v,), np.uint32)
+        tok_b1 = np.zeros((v,), np.uint32)
+        tok_a2 = np.zeros((v,), np.uint32)
+        tok_b2 = np.zeros((v,), np.uint32)
+        for i, s in enumerate(token_strings):
+            tok_a1[i], tok_b1[i] = _poly_consts_np(s, _POLY1)
+            tok_a2[i], tok_b2[i] = _poly_consts_np(s, _POLY2)
+
+        words = [(w, wid) for w, wid in word_vocab.items()
+                 if w not in ("<s>", "</s>", "<unk>")]
+        n_slots = 1 << int(np.ceil(np.log2(
+            max(len(words) * slots_per_entry, 64))))
+        keys1 = np.zeros((n_slots,), np.uint32)
+        keys2 = np.zeros((n_slots,), np.uint32)
+        ids = np.full((n_slots,), -1, np.int32)
+        mask = n_slots - 1
+        max_disp = 0
+        for w, wid in words:
+            h1 = _poly_hash_np(w, _POLY1)
+            h2 = _poly_hash_np(w, _POLY2)
+            slot = int(h1) & mask
+            for disp in range(n_slots):
+                if ids[slot] < 0:
+                    keys1[slot], keys2[slot], ids[slot] = h1, h2, wid
+                    max_disp = max(max_disp, disp)
+                    break
+                if keys1[slot] == h1 and keys2[slot] == h2:
+                    break  # duplicate spelling: first writer wins
+                slot = (slot + 1) & mask
+        return cls(tok_a1=tok_a1, tok_b1=tok_b1, tok_a2=tok_a2,
+                   tok_b2=tok_b2, keys1=keys1, keys2=keys2, ids=ids,
+                   n_probes=max(max_disp + 1, _PROBES))
+
+    def device_arrays(self):
+        import jax.numpy as jnp
+
+        return tuple(jnp.asarray(a) for a in (
+            self.tok_a1, self.tok_b1, self.tok_a2, self.tok_b2,
+            self.keys1, self.keys2, self.ids))
+
+
+# Hotword phrases: spans of up to _HOT_SPAN completed words, matched by
+# folding the words' character-hash pairs with FNV (full 32-bit values).
+_HOT_SPAN = 4
+
+
+def _fold_word_seq_np(values: Sequence[int]) -> np.uint32:
+    h = _FNV_BASIS
+    for v in values:
+        h = np.uint32((int(h) ^ int(v)) & 0xFFFFFFFF)
+        h = np.uint32((int(h) * int(_FNV_PRIME)) & 0xFFFFFFFF)
+    return h
+
+
+@dataclass
+class DeviceHotwords:
+    """Hotword phrase fingerprints for on-device boosting.
+
+    The host decoder boosts a completed word when any suffix of the text
+    (span <= 4 words) equals a hotword phrase (decode/beam_search.py:
+    _word_bonus). On device, each beam carries the character-hash pairs of
+    its last completed words; at a word boundary the search folds the
+    last-k hashes (k = 1..4) and probes this table. Spelling-exact: OOV
+    words hash by their characters, not LM ids.
+    """
+
+    keys1: np.ndarray   # (S,) uint32
+    keys2: np.ndarray   # (S,) uint32
+    ids: np.ndarray     # (S,) int32 (1 = present, -1 = empty)
+    n_probes: int
+
+    @classmethod
+    def build(cls, hotwords: Sequence[str],
+              slots_per_entry: float = 4.0) -> "DeviceHotwords":
+        phrases = []
+        for h in hotwords:
+            ws = h.upper().split()
+            if 1 <= len(ws) <= _HOT_SPAN:
+                phrases.append(ws)
+        n_slots = 1 << int(np.ceil(np.log2(
+            max(len(phrases) * slots_per_entry, 16))))
+        keys1 = np.zeros((n_slots,), np.uint32)
+        keys2 = np.zeros((n_slots,), np.uint32)
+        ids = np.full((n_slots,), -1, np.int32)
+        mask = n_slots - 1
+        max_disp = 0
+        for ws in phrases:
+            fp1 = _fold_word_seq_np([_poly_hash_np(w, _POLY1) for w in ws])
+            fp2 = _fold_word_seq_np([_poly_hash_np(w, _POLY2) for w in ws])
+            slot = int(fp1) & mask
+            for disp in range(n_slots):
+                if ids[slot] < 0:
+                    keys1[slot], keys2[slot], ids[slot] = fp1, fp2, 1
+                    max_disp = max(max_disp, disp)
+                    break
+                if keys1[slot] == fp1 and keys2[slot] == fp2:
+                    break
+                slot = (slot + 1) & mask
+        return cls(keys1=keys1, keys2=keys2, ids=ids,
+                   n_probes=max(max_disp + 1, _PROBES))
+
+    def device_arrays(self):
+        import jax.numpy as jnp
+
+        return (jnp.asarray(self.keys1), jnp.asarray(self.keys2),
+                jnp.asarray(self.ids))
+
+
+def lookup_pair(keys1, keys2, ids, h1, h2, n_probes: int = _PROBES):
+    """Open-addressing lookup keyed by (h1, h2) 32-bit pairs -> int value
+    (-1 = miss). Slots with ids < 0 are empty; both keys must match."""
+    import jax.numpy as jnp
+
+    mask = np.uint32(keys1.shape[0] - 1)
+    out = jnp.full(h1.shape, -1, jnp.int32)
+    found = jnp.zeros(h1.shape, bool)
+    slot = h1 & mask
+    for _ in range(n_probes):
+        hit = ((keys1[slot] == h1) & (keys2[slot] == h2)
+               & (ids[slot] >= 0) & ~found)
+        out = jnp.where(hit, ids[slot], out)
+        found = found | hit
+        slot = (slot + np.uint32(1)) & mask
+    return out
+
+
+def lookup_word_ids(word_arrays, h1, h2, n_probes: int = _PROBES):
+    """(..., ) rolling hashes -> word LM ids (-1 when not in the LM vocab).
+
+    word_arrays = DeviceWordVocab.device_arrays(); open addressing keyed by
+    h1 with both 32-bit keys verified per slot.
+    """
+    return lookup_pair(word_arrays[4], word_arrays[5], word_arrays[6],
+                       h1, h2, n_probes)
+
+
+# ---------------------------------------------------------------------------
 # jnp scorer.
 # ---------------------------------------------------------------------------
 

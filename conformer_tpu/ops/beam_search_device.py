@@ -53,6 +53,16 @@ class BeamState(NamedTuple):
     p_nb: jnp.ndarray       # (W,) f32 log prob of nonblank-ending paths
     lm_ctx: jnp.ndarray     # (W, order-1) int32 LM ids, right-aligned
     lm_len: jnp.ndarray     # (W,) int32 valid context length
+    # Word-level fusion only: rolling character hashes + token count of the
+    # current partial word (lm/device_table.py:DeviceWordVocab).
+    wf1: jnp.ndarray        # (W,) uint32
+    wf2: jnp.ndarray        # (W,) uint32
+    wn: jnp.ndarray         # (W,) int32
+    # Hotword boosting only: character-hash pairs of the last completed
+    # words (most recent last) + completed-word count (capped).
+    rw1: jnp.ndarray        # (W, 3) uint32
+    rw2: jnp.ndarray        # (W, 3) uint32
+    rcount: jnp.ndarray     # (W,) int32
 
 
 def _logaddexp(a, b):
@@ -89,6 +99,11 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                            lm_n_probes: int = 8,
                            lm_axis_name=None,
                            lm_n_slots_global: int = 0,
+                           word_arrays=None,
+                           wv_n_probes: int = 8,
+                           hot_arrays=None,
+                           hot_n_probes: int = 8,
+                           hot_weight: float = 0.0,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(B, T, V) log-softmax -> (prefixes (B, W, U), plens (B, W),
     scores (B, W)), best beam first.
@@ -97,23 +112,41 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
     (default T). `unk_id` tokens are never emitted (reference greedy drops
     <UNK>, processor.py:309).
 
-    LM fusion (optional): `lm_tables` = DeviceNgramTable.device_arrays(),
-    `tok2lm` (V,) int32 mapping token ids -> LM ids (-1 = OOV), `lm_alpha`
-    the fusion weight on ln-scale LM scores, `lm_beta` a per-word bonus
-    applied when `delim_id` is emitted; `lm_order`/`lm_n_probes` are static
-    table properties.
+    Token-level LM fusion (optional): `lm_tables` =
+    DeviceNgramTable.device_arrays(), `tok2lm` (V,) int32 mapping token ids
+    -> LM ids (-1 = OOV), `lm_alpha` the fusion weight on ln-scale LM
+    scores, `lm_beta` a per-word bonus applied when `delim_id` is emitted;
+    `lm_order`/`lm_n_probes` are static table properties.
+
+    Word-level LM fusion (optional, the host decoder's operating point —
+    decode/beam_search.py:_word_bonus): pass `word_arrays` =
+    DeviceWordVocab.device_arrays() and `lm_tables` built from the
+    WORD-level ARPA. Each beam carries rolling character hashes of its
+    partial word; when `delim_id` completes a non-empty word the word id is
+    probed from the hash table and scored against the word n-gram with
+    exact backoff, adding alpha * ln10 * log10 P(word | ctx) + beta.
+    Trailing partial words are scored into the final ranking exactly like
+    the host finalize (beam_search.py:finalize_py).
+
+    Hotword boosting (word mode only): pass `hot_arrays` =
+    DeviceHotwords.device_arrays() and `hot_weight` (the config's
+    hotword_weight; the ln10 conversion is applied here). Each beam keeps
+    the character-hash pairs of its last completed words; when a word
+    completes, suffix spans of 1..4 words are folded and probed — a hit
+    adds hot_weight * ln10, matching the host's _word_bonus.
     """
     b, t, v = log_probs.shape
     u = max_len or t
     k = min(top_k, v - 1)
     w = beam_width
-    use_lm = lm_tables is not None and lm_order >= 2
+    word_mode = word_arrays is not None and lm_tables is not None
+    use_lm = lm_tables is not None and lm_order >= 2 and not word_mode
     m_ctx = max(lm_order - 1, 1)
 
     def decode_one(lp: jnp.ndarray, n: jnp.ndarray):
         lm_ctx0 = jnp.full((w, m_ctx), -1, jnp.int32)
         lm_len0 = jnp.zeros((w,), jnp.int32)
-        if use_lm and lm_bos_id >= 0:
+        if (use_lm or word_mode) and lm_bos_id >= 0:
             lm_ctx0 = lm_ctx0.at[:, -1].set(lm_bos_id)
             lm_len0 = jnp.ones((w,), jnp.int32)
         init = BeamState(
@@ -126,7 +159,51 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             p_nb=jnp.full((w,), NEG),
             lm_ctx=lm_ctx0,
             lm_len=lm_len0,
+            wf1=jnp.zeros((w,), jnp.uint32),
+            wf2=jnp.zeros((w,), jnp.uint32),
+            wn=jnp.zeros((w,), jnp.int32),
+            rw1=jnp.zeros((w, 3), jnp.uint32),
+            rw2=jnp.zeros((w, 3), jnp.uint32),
+            rcount=jnp.zeros((w,), jnp.int32),
         )
+
+        def word_lm_delta(state: BeamState):
+            """Per-beam (W,) LM + hotword contribution of completing the
+            current partial word, and the completed word's LM id (-1 =
+            OOV) — host semantics: decode/beam_search.py:_word_bonus."""
+            from conformer_tpu.lm.device_table import (_FNV_BASIS,
+                                                       _FNV_PRIME,
+                                                       lookup_pair,
+                                                       lookup_word_ids,
+                                                       score_tokens)
+
+            wid = lookup_word_ids(word_arrays, state.wf1, state.wf2,
+                                  wv_n_probes)
+            lm10 = score_tokens(lm_tables, state.lm_ctx, state.lm_len, wid,
+                                lm_unk_logp, lm_n_probes,
+                                lm_axis_name, lm_n_slots_global)
+            delta = lm_alpha * _LOG10_TO_LN * lm10 + lm_beta
+            if hot_arrays is not None and hot_weight:
+                # Fold the last-k completed-word hashes (k = 1..4, the
+                # current word last) and probe the hotword phrase table.
+                basis = jnp.uint32(_FNV_BASIS)
+                prime = jnp.uint32(_FNV_PRIME)
+                any_hit = jnp.zeros((w,), bool)
+                for span in range(1, 5):
+                    fp1 = jnp.full((w,), basis)
+                    fp2 = jnp.full((w,), basis)
+                    for j in range(3 - (span - 1), 3):
+                        fp1 = (fp1 ^ state.rw1[:, j]) * prime
+                        fp2 = (fp2 ^ state.rw2[:, j]) * prime
+                    fp1 = (fp1 ^ state.wf1) * prime
+                    fp2 = (fp2 ^ state.wf2) * prime
+                    hit = lookup_pair(hot_arrays[0], hot_arrays[1],
+                                      hot_arrays[2], fp1, fp2,
+                                      hot_n_probes) >= 0
+                    any_hit = any_hit | (hit & (state.rcount >= span - 1))
+                delta = delta + jnp.where(
+                    any_hit, hot_weight * _LOG10_TO_LN, 0.0)
+            return delta, wid
 
         def step(state: BeamState, inputs):
             frame, t_idx = inputs
@@ -141,13 +218,33 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
 
             # -- keep candidates (same prefix): blank mass + repeat mass.
             is_rep = state.last[:, None] == cand_tok[None, :]  # (W, K)
+            if delim_id is not None:
+                # Delimiter runs normalize to ONE token: re-emitting the
+                # delimiter merges into the same prefix (total + lp) instead
+                # of appending. This is exactly the host decoder's TEXT
+                # keying (decode/beam_search.py:_Beam.key — a second delim
+                # with an empty partial lands on the same key), which
+                # token-keyed prefixes cannot otherwise express; without it
+                # a large word bonus makes "early delim + cheap re-emit"
+                # beams surface as double-space texts the host never emits.
+                is_rep = is_rep & (cand_tok[None, :] != delim_id)
             rep_lp = jnp.max(jnp.where(is_rep, cand_lp[None, :], NEG), axis=1)
             keep_pb = total + lp_blank
             keep_pnb = state.p_nb + rep_lp
+            if delim_id is not None:
+                keep_pnb = _logaddexp(
+                    keep_pnb,
+                    jnp.where(state.last == delim_id,
+                              total + frame[delim_id], NEG))
 
             # -- extend candidates (append c): (W*K,)
             base = jnp.where(is_rep, state.p_b[:, None], total[:, None])
             ext_scores = base + cand_lp[None, :]                # (W, K)
+            if delim_id is not None:
+                # Delim-after-delim never appends (normalized above).
+                ext_scores = jnp.where(
+                    (state.last[:, None] == delim_id)
+                    & (cand_tok[None, :] == delim_id), NEG, ext_scores)
             if use_lm:
                 # Shallow fusion: alpha * ln P_lm(c | ctx) folded into the
                 # emission mass (+ beta per word boundary). Exact backoff
@@ -167,6 +264,15 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                     lm_delta = lm_delta + jnp.where(
                         cand_tok[None, :] == delim_id, lm_beta, 0.0)
                 ext_scores = ext_scores + lm_delta
+            wid_done = None
+            if word_mode:
+                # Word-level fusion: the LM fires only when the delimiter
+                # completes a non-empty partial word (exactly the host's
+                # step_py delim branch, decode/beam_search.py).
+                w_delta, wid_done = word_lm_delta(state)      # (W,), (W,)
+                ext_scores = ext_scores + jnp.where(
+                    (cand_tok[None, :] == delim_id) & (state.wn[:, None] > 0),
+                    w_delta[:, None], 0.0)
             ext_pnb = ext_scores.reshape(-1)
             buffer_full = (state.plen[:, None] >= u) | (ext_pnb.reshape(w, k) <= NEG / 2)
             ext_pnb = jnp.where(buffer_full.reshape(-1), NEG, ext_pnb)
@@ -209,6 +315,10 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             parent = c_parent[sel]
             tok = c_tok[sel]
             is_ext = tok >= 0
+            new_wf1, new_wf2 = state.wf1[parent], state.wf2[parent]
+            new_wn = state.wn[parent]
+            new_rw1, new_rw2 = state.rw1[parent], state.rw2[parent]
+            new_rcount = state.rcount[parent]
             if use_lm:
                 new_tok_lm = tok2lm[jnp.maximum(tok, 0)]
                 shifted = jnp.concatenate(
@@ -218,6 +328,45 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 new_len = jnp.where(
                     is_ext, jnp.minimum(state.lm_len[parent] + 1, m_ctx),
                     state.lm_len[parent])
+            elif word_mode:
+                tok_safe = jnp.maximum(tok, 0)
+                is_delim = is_ext & (tok == delim_id)
+                grow = is_ext & ~is_delim
+                # Fold the token's characters into the rolling word hashes
+                # (affine update; lm/device_table.py:DeviceWordVocab).
+                a1, b1 = word_arrays[0][tok_safe], word_arrays[1][tok_safe]
+                a2, b2 = word_arrays[2][tok_safe], word_arrays[3][tok_safe]
+                zero = jnp.uint32(0)
+                new_wf1 = jnp.where(
+                    grow, new_wf1 * a1 + b1,
+                    jnp.where(is_delim, zero, new_wf1))
+                new_wf2 = jnp.where(
+                    grow, new_wf2 * a2 + b2,
+                    jnp.where(is_delim, zero, new_wf2))
+                new_wn = jnp.where(grow, new_wn + 1,
+                                   jnp.where(is_delim, 0, new_wn))
+                # Word completed: shift its LM id into the word context.
+                completed = is_delim & (state.wn[parent] > 0)
+                shifted = jnp.concatenate(
+                    [state.lm_ctx[parent][:, 1:],
+                     wid_done[parent][:, None]], 1)
+                new_ctx = jnp.where(completed[:, None], shifted,
+                                    state.lm_ctx[parent])
+                new_len = jnp.where(
+                    completed, jnp.minimum(state.lm_len[parent] + 1, m_ctx),
+                    state.lm_len[parent])
+                if hot_arrays is not None:
+                    # Shift the completed word's char hashes into the
+                    # hotword ring (most recent last).
+                    r1 = jnp.concatenate(
+                        [new_rw1[:, 1:], state.wf1[parent][:, None]], 1)
+                    r2 = jnp.concatenate(
+                        [new_rw2[:, 1:], state.wf2[parent][:, None]], 1)
+                    new_rw1 = jnp.where(completed[:, None], r1, new_rw1)
+                    new_rw2 = jnp.where(completed[:, None], r2, new_rw2)
+                    new_rcount = jnp.where(
+                        completed, jnp.minimum(new_rcount + 1, 3),
+                        new_rcount)
             else:
                 new_ctx = state.lm_ctx[parent]
                 new_len = state.lm_len[parent]
@@ -232,7 +381,9 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 h1=c_h1[sel], h2=c_h2[sel],
                 p_b=jnp.where(alive, seg_pb[sel_seg], NEG),
                 p_nb=jnp.where(alive, seg_pnb[sel_seg], NEG),
-                lm_ctx=new_ctx, lm_len=new_len)
+                lm_ctx=new_ctx, lm_len=new_len,
+                wf1=new_wf1, wf2=new_wf2, wn=new_wn,
+                rw1=new_rw1, rw2=new_rw2, rcount=new_rcount)
 
             new_state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(
@@ -243,6 +394,11 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
         final, _ = jax.lax.scan(step, init,
                                 (lp, jnp.arange(t, dtype=jnp.int32)))
         score = _logaddexp(final.p_b, final.p_nb)
+        if word_mode:
+            # Score the trailing partial word into the final ranking, like
+            # the host finalize (decode/beam_search.py:finalize_py).
+            w_delta, _ = word_lm_delta(final)
+            score = score + jnp.where(final.wn > 0, w_delta, 0.0)
         order = jnp.argsort(-score)
         return final.prefixes[order], final.plen[order], score[order]
 
@@ -256,7 +412,8 @@ ctc_beam_search_device_jit = jax.jit(
     static_argnames=("beam_width", "top_k", "blank_id", "unk_id", "max_len",
                      "lm_alpha", "lm_beta", "delim_id", "lm_bos_id",
                      "lm_unk_logp", "lm_order", "lm_n_probes",
-                     "lm_axis_name", "lm_n_slots_global"))
+                     "lm_axis_name", "lm_n_slots_global", "wv_n_probes",
+                     "hot_n_probes", "hot_weight"))
 
 
 def ctc_beam_search_device_sharded(log_probs, lengths=None, mesh=None,
