@@ -126,8 +126,8 @@ class InferencePipeline:
     Transducer (cfg.model.arch='transducer'): decode='greedy' runs the
     frame-synchronous greedy decode; decode='beam' or 'beam_device' both run
     the on-device RNN-T beam search (ops/rnnt.py::rnnt_beam_search) with
-    optional token-level LM fusion via cfg.decode.device_lm_path (word-level
-    host LM fusion does not apply — there are no framewise CTC posteriors).
+    LM fusion as above: token-level from cfg.decode.device_lm_path, else
+    word-level (+hotwords) from cfg.decode.lm_path.
     """
 
     def __init__(self, cfg: Config, tokenizer: GraphemeTokenizer,
@@ -159,15 +159,12 @@ class InferencePipeline:
         self._device_beam = None
         if arch == "transducer":
             if decode in ("beam", "beam_device"):
-                if decode == "beam" and cfg.decode.lm_path:
-                    print("[infer] NOTE: transducer beam search fuses a "
-                          "token-level device LM (decode.device_lm_path); "
-                          "decode.lm_path (word-level host LM) is ignored")
                 from conformer_tpu.train.steps import make_transducer_eval_step
 
                 self.eval_step = make_transducer_eval_step(
                     cfg, decode="beam", unk_id=tokenizer.unk_id,
-                    lm_kwargs=_device_lm_kwargs(cfg, tokenizer))
+                    lm_kwargs=_device_lm_kwargs(cfg, tokenizer,
+                                                word_fallback=True))
             else:
                 self.eval_step = make_eval_step(cfg, unk_id=tokenizer.unk_id)
             return

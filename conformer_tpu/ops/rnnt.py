@@ -166,6 +166,9 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                      delim_id: Optional[int] = None, lm_bos_id: int = -1,
                      lm_unk_logp: float = -99.0, lm_order: int = 0,
                      lm_n_probes: int = 8,
+                     word_arrays=None, wv_n_probes: int = 8,
+                     hot_arrays=None, hot_n_probes: int = 8,
+                     hot_weight: float = 0.0,
                      start_frames: Optional[jnp.ndarray] = None,
                      init_beams=None, return_beams: bool = False):
     """Batched time-synchronous RNN-T beam search, fully on-device.
@@ -188,6 +191,22 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
     hashed ARPA tables (conformer_tpu.lm.device_table): emissions add
     ``lm_alpha * ln P_lm(tok | ctx)`` (+ ``lm_beta`` per word delimiter).
 
+    Optional WORD-level fusion (pass `word_arrays` =
+    DeviceWordVocab.device_arrays() and `lm_tables` from the word-level
+    ARPA — the same machinery as the CTC search,
+    ops/beam_search_device.py): each hypothesis carries rolling character
+    hashes of its partial word; a delimiter emission completes the word,
+    probes its LM id and adds ``lm_alpha * ln10 * log10 P(word | ctx) +
+    lm_beta`` (+ hotword phrase boosts via `hot_arrays`/`hot_weight`).
+    Delimiter emissions with an EMPTY partial word (leading or repeated
+    delimiters) are suppressed in word mode — RNN-T emissions are final
+    output tokens, and a large word bonus would otherwise reward
+    "early delimiter + repeat" alignments that render as double spaces
+    (see the delim-run normalization note in ops/beam_search_device.py).
+    Trailing partial words are scored into the returned ranking; the raw
+    beam carry (`return_beams`) stays unadjusted so streaming resume is
+    exact.
+
     joint_fn(enc_t (N, D), pred (N, P)) -> (N, V) logits; pred_step_fn /
     pred_init as in :func:`rnnt_greedy_decode`. Returns (prefixes
     (B, W, U), counts (B, W), scores (B, W)), best first; `scores` are the
@@ -203,10 +222,43 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
     b, t, d = enc.shape
     w = beam_width
     u = max_len or t * max_symbols
-    use_lm = lm_tables is not None and lm_order >= 2
+    word_mode = word_arrays is not None and lm_tables is not None
+    use_lm = lm_tables is not None and lm_order >= 2 and not word_mode
     m_ctx = max(lm_order - 1, 1)
     if start_frames is None:
         start_frames = jnp.zeros((b,), jnp.int32)
+
+    def word_delta_fn(ctx, cl, wf1, wf2, rw1, rw2, rcount):
+        """(W,) LM + hotword contribution of completing the partial word,
+        and its LM id — same semantics as the CTC search
+        (ops/beam_search_device.py:word_lm_delta)."""
+        from conformer_tpu.lm.device_table import (_FNV_BASIS, _FNV_PRIME,
+                                                   lookup_pair,
+                                                   lookup_word_ids,
+                                                   score_tokens)
+
+        wid = lookup_word_ids(word_arrays, wf1, wf2, wv_n_probes)
+        lm10 = score_tokens(lm_tables, ctx, cl, wid, lm_unk_logp,
+                            lm_n_probes)
+        delta = lm_alpha * _LOG10_TO_LN * lm10 + lm_beta
+        if hot_arrays is not None and hot_weight:
+            basis = jnp.uint32(_FNV_BASIS)
+            prime = jnp.uint32(_FNV_PRIME)
+            any_hit = jnp.zeros(wf1.shape, bool)
+            for span in range(1, 5):
+                fp1 = jnp.full(wf1.shape, basis)
+                fp2 = jnp.full(wf1.shape, basis)
+                for j in range(3 - (span - 1), 3):
+                    fp1 = (fp1 ^ rw1[:, j]) * prime
+                    fp2 = (fp2 ^ rw2[:, j]) * prime
+                fp1 = (fp1 ^ wf1) * prime
+                fp2 = (fp2 ^ wf2) * prime
+                hit = lookup_pair(hot_arrays[0], hot_arrays[1],
+                                  hot_arrays[2], fp1, fp2, hot_n_probes) >= 0
+                any_hit = any_hit | (hit & (rcount >= span - 1))
+            delta = delta + jnp.where(any_hit, hot_weight * _LOG10_TO_LN,
+                                      0.0)
+        return delta, wid
 
     def decode_one(enc_1, n, start, state0, pred0, carry_in):
         kk = top_k
@@ -219,7 +271,7 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
             pred = jnp.broadcast_to(pred0, (w,) + pred0.shape)
             lm_ctx0 = jnp.full((w, m_ctx), -1, jnp.int32)
             lm_len0 = jnp.zeros((w,), jnp.int32)
-            if use_lm and lm_bos_id >= 0:
+            if (use_lm or word_mode) and lm_bos_id >= 0:
                 lm_ctx0 = lm_ctx0.at[:, -1].set(lm_bos_id)
                 lm_len0 = jnp.ones((w,), jnp.int32)
             init = (
@@ -228,7 +280,14 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                 jnp.zeros((w,), jnp.int32),             # emitted count
                 jnp.zeros((w,), jnp.uint32),            # h1
                 jnp.zeros((w,), jnp.uint32),            # h2
-                lm_ctx0, lm_len0, state, pred)
+                lm_ctx0, lm_len0,
+                jnp.zeros((w,), jnp.uint32),            # wf1 (word mode)
+                jnp.zeros((w,), jnp.uint32),            # wf2
+                jnp.zeros((w,), jnp.int32),             # wn
+                jnp.zeros((w, 3), jnp.uint32),          # rw1 (hotwords)
+                jnp.zeros((w, 3), jnp.uint32),          # rw2
+                jnp.zeros((w,), jnp.int32),             # rcount
+                state, pred)
 
         def frame_step(carry, inputs):
             enc_t, ti = inputs
@@ -239,8 +298,8 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
             fin = (jnp.full((w,), NEG),) + carry[1:]
 
             for s in range(max_symbols + 1):
-                (a_sc, a_buf, a_cnt, a_h1, a_h2, a_ctx, a_cl, a_st,
-                 a_pr) = act
+                (a_sc, a_buf, a_cnt, a_h1, a_h2, a_ctx, a_cl, a_wf1, a_wf2,
+                 a_wn, a_rw1, a_rw2, a_rc, a_st, a_pr) = act
                 logits = joint_fn(
                     jnp.broadcast_to(enc_t, (w, enc_t.shape[-1])), a_pr)
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
@@ -272,6 +331,17 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                         delta = delta + jnp.where(
                             cand_tok == delim_id, lm_beta, 0.0)
                     e_sc = e_sc + delta
+                wid_done = None
+                if word_mode:
+                    w_delta, wid_done = word_delta_fn(
+                        a_ctx, a_cl, a_wf1, a_wf2, a_rw1, a_rw2, a_rc)
+                    is_delim_cand = cand_tok == delim_id
+                    e_sc = e_sc + jnp.where(
+                        is_delim_cand & (a_wn[:, None] > 0),
+                        w_delta[:, None], 0.0)
+                    # Suppress empty-word delimiters (leading / repeated).
+                    e_sc = jnp.where(is_delim_cand & (a_wn[:, None] == 0),
+                                     NEG, e_sc)
                 e_sc = jnp.where(a_cnt[:, None] >= u, NEG, e_sc)
                 parent = jnp.repeat(jnp.arange(w), kk)
                 tok = cand_tok.reshape(-1)
@@ -286,16 +356,47 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                     jnp.arange(u)[None, :] == a_cnt[p][:, None],
                     tk[:, None], a_buf[p])
                 new_st, new_pr = pred_step_fn(_tree_gather(a_st, p), tk)
+                n_wf1, n_wf2, n_wn = a_wf1[p], a_wf2[p], a_wn[p]
+                n_rw1, n_rw2, n_rc = a_rw1[p], a_rw2[p], a_rc[p]
                 if use_lm:
                     shifted = jnp.concatenate(
                         [a_ctx[p][:, 1:],
                          tok2lm[tk][:, None].astype(jnp.int32)], 1)
                     new_ctx = shifted
                     new_cl = jnp.minimum(a_cl[p] + 1, m_ctx)
+                elif word_mode:
+                    # Selected delimiters always complete a word (empty-word
+                    # delimiters were suppressed above).
+                    is_d = tk == delim_id
+                    a1, b1 = word_arrays[0][tk], word_arrays[1][tk]
+                    a2, b2 = word_arrays[2][tk], word_arrays[3][tk]
+                    zero = jnp.uint32(0)
+                    grown1 = n_wf1 * a1 + b1
+                    grown2 = n_wf2 * a2 + b2
+                    n_rw1 = jnp.where(
+                        is_d[:, None],
+                        jnp.concatenate([n_rw1[:, 1:], n_wf1[:, None]], 1),
+                        n_rw1)
+                    n_rw2 = jnp.where(
+                        is_d[:, None],
+                        jnp.concatenate([n_rw2[:, 1:], n_wf2[:, None]], 1),
+                        n_rw2)
+                    n_rc = jnp.where(is_d, jnp.minimum(n_rc + 1, 3), n_rc)
+                    n_wf1 = jnp.where(is_d, zero, grown1)
+                    n_wf2 = jnp.where(is_d, zero, grown2)
+                    n_wn = jnp.where(is_d, 0, n_wn + 1)
+                    new_ctx = jnp.where(
+                        is_d[:, None],
+                        jnp.concatenate(
+                            [a_ctx[p][:, 1:], wid_done[p][:, None]], 1),
+                        a_ctx[p])
+                    new_cl = jnp.where(
+                        is_d, jnp.minimum(a_cl[p] + 1, m_ctx), a_cl[p])
                 else:
                     new_ctx, new_cl = a_ctx[p], a_cl[p]
                 act = (msc, new_buf, a_cnt[p] + 1, e_h1[sel], e_h2[sel],
-                       new_ctx, new_cl, new_st, new_pr)
+                       new_ctx, new_cl, n_wf1, n_wf2, n_wn,
+                       n_rw1, n_rw2, n_rc, new_st, new_pr)
 
             return jax.tree_util.tree_map(
                 lambda nv, ov: jnp.where(active_frame, nv, ov), fin,
@@ -305,6 +406,16 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
             frame_step, init,
             (enc_1, jnp.arange(t, dtype=jnp.int32)))
         score, buf, cnt = final[0], final[1], final[2]
+        if word_mode:
+            # Score the trailing partial word into the ranking (CTC-host
+            # finalize semantics); the raw carry stays unadjusted so a
+            # streaming caller can keep feeding frames.
+            f_ctx, f_cl = final[5], final[6]
+            f_wf1, f_wf2, f_wn = final[7], final[8], final[9]
+            f_rw1, f_rw2, f_rc = final[10], final[11], final[12]
+            w_delta, _ = word_delta_fn(f_ctx, f_cl, f_wf1, f_wf2,
+                                       f_rw1, f_rw2, f_rc)
+            score = score + jnp.where(f_wn > 0, w_delta, 0.0)
         rank = (score / jnp.maximum(cnt.astype(jnp.float32), 1.0)
                 if length_norm else score)
         order = jnp.argsort(-rank)

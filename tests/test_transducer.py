@@ -572,6 +572,173 @@ class TestRnntBeamLmFusion:
                                       np.asarray(fused[0]))
 
 
+class TestRnntWordLmFusion:
+    """WORD-level fusion in the RNN-T beam search (same machinery as the
+    CTC device search): exhaustive ground truth over all VALID label
+    sequences (no leading/repeated delimiters — suppressed by design,
+    ops/rnnt.py docstring) with word-level ARPA scores at delimiter
+    completions, trailing-partial scoring, and hotword boosts."""
+
+    def _setup(self, tmp_path, seed=5, hotwords=()):
+        from conformer_tpu.lm.device_table import (DeviceHotwords,
+                                                   DeviceNgramTable,
+                                                   DeviceWordVocab)
+        from conformer_tpu.lm.ngram import PyNgramLM, build_arpa
+
+        rng = np.random.default_rng(0)
+        words = ["AB", "BA", "A", "CAB"]
+        corpus = tmp_path / "corpus.txt"
+        corpus.write_text("\n".join(
+            " ".join(rng.choice(words, rng.integers(1, 4)))
+            for _ in range(300)), encoding="utf8")
+        arpa = str(tmp_path / "wlm.arpa")
+        build_arpa(str(corpus), arpa, order=2)
+        table = DeviceNgramTable.from_arpa(arpa)
+        py = PyNgramLM(arpa)
+        # token ids: 0 blank, 1..3 = A/B/C, 4 = delimiter
+        tok_strings = ["", "A", "B", "C", " "]
+        wv = DeviceWordVocab.build(tok_strings, table.vocab)
+        hot = DeviceHotwords.build(hotwords) if hotwords else None
+
+        helper = TestRnntBeamSearch()
+        t, v = 3, 5
+        joint_fn, pred_step_fn, pred_init, enc = helper._tiny_joint(
+            seed, t, v)
+        return (table, py, wv, hot, tok_strings, joint_fn, pred_step_fn,
+                pred_init, enc, t, v)
+
+    def _word_ln(self, py, table, y, tok_strings, alpha, beta,
+                 hotset, weight, delim=4):
+        """Ground-truth word-level LM + hotword contribution of sequence y
+        (None if y is invalid: leading or repeated delimiter)."""
+        ln10 = 2.302585092994046
+        total = 0.0
+        ctx = [table.bos_id]
+        done_words = []
+        cur = ""
+        prev_delim = True  # treat start as delimiter: leading delim invalid
+        for tok in y:
+            if tok == delim:
+                if prev_delim or not cur:
+                    return None
+                wid = py.vocab.get(cur, -1)
+                total += alpha * ln10 * py.score_id(ctx[-(py.order - 1):],
+                                                    wid) + beta
+                tail = done_words + [cur]
+                for span in range(1, min(len(tail), 4) + 1):
+                    if " ".join(tail[-span:]) in hotset:
+                        total += weight * ln10
+                        break
+                done_words.append(cur)
+                ctx.append(wid)
+                cur = ""
+                prev_delim = True
+            else:
+                cur += tok_strings[tok]
+                prev_delim = False
+        if cur:  # trailing partial word
+            wid = py.vocab.get(cur, -1)
+            total += alpha * ln10 * py.score_id(ctx[-(py.order - 1):],
+                                                wid) + beta
+            tail = done_words + [cur]
+            for span in range(1, min(len(tail), 4) + 1):
+                if " ".join(tail[-span:]) in hotset:
+                    total += weight * ln10
+                    break
+        return total
+
+    def _run_exact(self, tmp_path, hotwords, weight, alpha=0.9, beta=0.8,
+                   seed=5):
+        import itertools
+
+        (table, py, wv, hot, tok_strings, joint_fn, pred_step_fn,
+         pred_init, enc, t, v) = self._setup(tmp_path, seed=seed,
+                                             hotwords=hotwords)
+        max_u = 3
+        helper = TestRnntBeamSearch()
+
+        def ac_ll(y):
+            import jax
+
+            state, pred = pred_init
+            preds = [pred[0]]
+            for tok in y:
+                state, pred = pred_step_fn(state, jnp.asarray([tok]))
+                preds.append(pred[0])
+            preds = jnp.stack(preds)
+            u1 = preds.shape[0]
+            logits = joint_fn(
+                jnp.broadcast_to(enc[0][:, None, :], (t, u1, enc.shape[-1])),
+                jnp.broadcast_to(preds[None, :, :], (t, u1, preds.shape[-1])))
+            lp = jax.nn.log_softmax(logits, -1)
+            lpb = lp[None, ..., 0]
+            if y:
+                idx = jnp.asarray(y)[None, None, :, None]
+                lpe = jnp.take_along_axis(
+                    lp[None, :, :-1, :],
+                    jnp.broadcast_to(idx, (1, t, len(y), 1)), -1)[..., 0]
+            else:
+                lpe = jnp.zeros((1, t, 0), jnp.float32)
+            return float(rnnt_alpha_final(
+                lpb, lpe, jnp.asarray([t]), jnp.asarray([len(y)]))[0])
+
+        hotset = {h.upper() for h in hotwords}
+        best, best_y = -np.inf, []
+        for u in range(max_u + 1):
+            for y in itertools.product([1, 2, 3, 4], repeat=u):
+                w_ln = self._word_ln(py, table, list(y), tok_strings,
+                                     alpha, beta, hotset, weight)
+                if w_ln is None:
+                    continue
+                s = ac_ll(list(y)) + w_ln
+                if s > best:
+                    best, best_y = s, list(y)
+
+        kw = dict(lm_tables=table.device_arrays(),
+                  word_arrays=wv.device_arrays(),
+                  wv_n_probes=int(wv.n_probes),
+                  lm_alpha=alpha, lm_beta=beta, delim_id=4,
+                  lm_bos_id=int(table.bos_id),
+                  lm_unk_logp=float(table.unk_logp),
+                  lm_order=int(table.order),
+                  lm_n_probes=int(table.n_probes))
+        if hot is not None:
+            kw.update(hot_arrays=hot.device_arrays(),
+                      hot_n_probes=int(hot.n_probes), hot_weight=weight)
+        bufs, counts, scores = rnnt_beam_search(
+            joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
+            beam_width=128, top_k=4, max_symbols=max_u, max_len=max_u, **kw)
+        got_y = list(np.asarray(bufs[0, 0][: int(counts[0, 0])]))
+        assert got_y == best_y, (got_y, best_y)
+        np.testing.assert_allclose(float(scores[0, 0]), best,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_exact_word_fusion_when_unpruned(self, tmp_path):
+        self._run_exact(tmp_path, hotwords=(), weight=0.0)
+
+    def test_exact_with_hotwords(self, tmp_path):
+        self._run_exact(tmp_path, hotwords=("AB",), weight=2.5, seed=7)
+
+    def test_no_empty_word_delimiters(self, tmp_path):
+        (table, py, wv, hot, tok_strings, joint_fn, pred_step_fn,
+         pred_init, enc, t, v) = self._setup(tmp_path, seed=11)
+        bufs, counts, scores = rnnt_beam_search(
+            joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
+            beam_width=32, top_k=4, max_symbols=3, max_len=3,
+            lm_tables=table.device_arrays(),
+            word_arrays=wv.device_arrays(), wv_n_probes=int(wv.n_probes),
+            lm_alpha=1.0, lm_beta=3.0, delim_id=4,
+            lm_bos_id=int(table.bos_id),
+            lm_unk_logp=float(table.unk_logp), lm_order=int(table.order),
+            lm_n_probes=int(table.n_probes))
+        for r in range(32):
+            if float(scores[0, r]) < -1e29:
+                continue
+            y = list(np.asarray(bufs[0, r][: int(counts[0, r])]))
+            assert not (y and y[0] == 4)
+            assert all(not (a == 4 and b == 4) for a, b in zip(y, y[1:]))
+
+
 class TestTransducerEvalAndPipeline:
     def _cfg(self, vocab):
         from conformer_tpu.config import Config
