@@ -75,8 +75,6 @@ def main(argv=None) -> None:
         from conformer_tpu.audio.io import load_audio
         from conformer_tpu.decode.streaming import StreamingTranscriber
 
-        if args.decode == "beam_device":
-            raise SystemExit("--streaming supports --decode greedy|beam")
         sr = cfg.audio.sample_rate
         texts = []
         for p_ in paths:

@@ -29,6 +29,13 @@ so ``feed`` returns "" in beam mode and the live hypothesis is read from
 BeamStream, host); the transducer carries the full device beam tuple
 (scores, buffers, hashes, prediction states — ops/rnnt.py init_beams/
 return_beams), including any token-level device-LM context.
+
+``decode="beam_device"`` (CTC) keeps the whole loop on-device: encoder +
+log-softmax + prefix beam search with word-level LM fusion and hotword
+boosting run as one program per chunk, and the raw BeamState (including
+LM contexts and partial-word hashes) carries across chunks
+(ops/beam_search_device.py init_state/return_state) — logits never leave
+the chip. For the transducer, "beam_device" is the same as "beam".
 """
 
 from __future__ import annotations
@@ -63,9 +70,12 @@ class StreamingTranscriber:
         from conformer_tpu.audio.mel import MelFrontend
         from conformer_tpu.train.steps import build_models
 
-        if decode not in ("greedy", "beam"):
-            raise ValueError(f"decode must be greedy|beam, got {decode!r}")
+        if decode not in ("greedy", "beam", "beam_device"):
+            raise ValueError(
+                f"decode must be greedy|beam|beam_device, got {decode!r}")
         self.arch = getattr(cfg.model, "arch", "ctc")
+        if self.arch == "transducer" and decode == "beam_device":
+            decode = "beam"  # the RNN-T beam already runs on device
         self.decode = decode
         self.cfg = cfg
         self.tok = tokenizer
@@ -145,6 +155,42 @@ class StreamingTranscriber:
 
                 self._forward_t = jax.jit(forward_t)
                 self._rnnt_carry = model.bind(variables).predict_init(1)
+        elif decode == "beam_device":
+            # Fully on-device streaming CTC beam+LM: encoder + log-softmax +
+            # prefix beam search (with word-level LM fusion + hotwords from
+            # decode.lm_path) in ONE program per chunk; the raw BeamState
+            # carries across chunks (ops/beam_search_device.py init_state/
+            # return_state), so logits never leave the chip.
+            import dataclasses
+
+            from conformer_tpu.decode.pipeline import _device_lm_kwargs
+            from conformer_tpu.ops.beam_search_device import (
+                ctc_beam_search_device)
+
+            _, model = build_models(cfg)
+            dcfg = decode_cfg or cfg.decode
+            cfg_dec = dataclasses.replace(cfg, decode=dcfg)
+            lm_kwargs = _device_lm_kwargs(cfg_dec, tokenizer,
+                                          word_fallback=True)
+            search_kw = dict(beam_width=dcfg.beam_width, top_k=8,
+                             blank_id=tokenizer.pad_id,
+                             unk_id=tokenizer.unk_id,
+                             max_len=cfg.data.max_tokens, **lm_kwargs)
+
+            def beam_dev_win(variables, audio, length, start, state):
+                mels = frontend(audio)
+                mel_lengths = frontend.frame_lengths(length)
+                (logits, out_lengths), _ = model.apply(variables, mels,
+                                                       mel_lengths,
+                                                       mutable=[])
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                return ctc_beam_search_device(
+                    lp, out_lengths, start_frames=start, init_state=state,
+                    return_state=True, **search_kw)
+
+            self._beam_dev_win = jax.jit(beam_dev_win)
+            self._ctc_beams = None
+            self._beam_best = None
         else:
             _, model = build_models(cfg)
 
@@ -206,6 +252,13 @@ class StreamingTranscriber:
             pieces = [self.tok.vocab[int(c)] for c in ids
                       if int(c) not in (self.tok.pad_id, self.tok.unk_id)]
             return "".join(pieces)
+        if self.decode == "beam_device":
+            prefixes, plens, _, self._ctc_beams = self._beam_dev_win(
+                self._variables, padded, np.asarray([len(audio)], np.int32),
+                np.asarray([start], np.int32), self._ctc_beams)
+            self._beam_best = (np.asarray(prefixes)[0, 0],
+                               int(np.asarray(plens)[0, 0]))
+            return ""
         out, out_len = self._forward(
             self._variables, padded,
             np.asarray([len(audio)], np.int32))
@@ -279,6 +332,6 @@ class StreamingTranscriber:
         best = getattr(self, "_beam_best", None)
         if best is not None:
             ids, n = best
-            return self.tok.collapsed_ids_to_text(ids, n)
+            return self.tok.collapsed_ids_to_text(ids, n).strip()
         raw = "".join(self._pieces).replace(self.tok.delim_token, " ")
         return self.tok.spec_decode(raw).strip()

@@ -104,6 +104,9 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                            hot_arrays=None,
                            hot_n_probes: int = 8,
                            hot_weight: float = 0.0,
+                           init_state: Optional[BeamState] = None,
+                           return_state: bool = False,
+                           start_frames: Optional[jnp.ndarray] = None,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(B, T, V) log-softmax -> (prefixes (B, W, U), plens (B, W),
     scores (B, W)), best beam first.
@@ -134,6 +137,16 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
     the character-hash pairs of its last completed words; when a word
     completes, suffix spans of 1..4 words are folded and probed — a hit
     adds hot_weight * ln10, matching the host's _word_bonus.
+
+    Streaming: prefix beam search is frame-sequential, so feeding chunks
+    through a carried state is exactly offline decode of the concatenation
+    (the host BeamStream invariant, decode/beam_search.py). Pass
+    `return_state=True` to also get the raw batched BeamState (UNsorted,
+    without the trailing-partial adjustment) and feed it back via
+    `init_state` with the next chunk's log-probs; `start_frames` ((B,)
+    int32) skips leading (left-context) frames of each chunk. Pass an
+    explicit `max_len` covering the whole stream — the token buffer is
+    sized by it.
     """
     b, t, v = log_probs.shape
     u = max_len or t
@@ -143,7 +156,8 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
     use_lm = lm_tables is not None and lm_order >= 2 and not word_mode
     m_ctx = max(lm_order - 1, 1)
 
-    def decode_one(lp: jnp.ndarray, n: jnp.ndarray):
+    def decode_one(lp: jnp.ndarray, n: jnp.ndarray, start: jnp.ndarray,
+                   carry_in: Optional[BeamState] = None):
         lm_ctx0 = jnp.full((w, m_ctx), -1, jnp.int32)
         lm_len0 = jnp.zeros((w,), jnp.int32)
         if (use_lm or word_mode) and lm_bos_id >= 0:
@@ -166,6 +180,8 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             rw2=jnp.zeros((w, 3), jnp.uint32),
             rcount=jnp.zeros((w,), jnp.int32),
         )
+        if carry_in is not None:
+            init = carry_in
 
         def word_lm_delta(state: BeamState):
             """Per-beam (W,) LM + hotword contribution of completing the
@@ -207,7 +223,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
 
         def step(state: BeamState, inputs):
             frame, t_idx = inputs
-            active = t_idx < n
+            active = (t_idx >= start) & (t_idx < n)
 
             total = _logaddexp(state.p_b, state.p_nb)          # (W,)
             lp_blank = frame[blank_id]
@@ -400,11 +416,20 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             w_delta, _ = word_lm_delta(final)
             score = score + jnp.where(final.wn > 0, w_delta, 0.0)
         order = jnp.argsort(-score)
+        if return_state:
+            return final.prefixes[order], final.plen[order], score[order], final
         return final.prefixes[order], final.plen[order], score[order]
 
     if lengths is None:
         lengths = jnp.full((b,), t, jnp.int32)
-    return jax.vmap(decode_one)(log_probs, lengths.astype(jnp.int32))
+    if start_frames is None:
+        start_frames = jnp.zeros((b,), jnp.int32)
+    if init_state is None:
+        return jax.vmap(lambda lp, n, s: decode_one(lp, n, s, None))(
+            log_probs, lengths.astype(jnp.int32),
+            start_frames.astype(jnp.int32))
+    return jax.vmap(decode_one)(log_probs, lengths.astype(jnp.int32),
+                                start_frames.astype(jnp.int32), init_state)
 
 
 ctc_beam_search_device_jit = jax.jit(
@@ -413,7 +438,7 @@ ctc_beam_search_device_jit = jax.jit(
                      "lm_alpha", "lm_beta", "delim_id", "lm_bos_id",
                      "lm_unk_logp", "lm_order", "lm_n_probes",
                      "lm_axis_name", "lm_n_slots_global", "wv_n_probes",
-                     "hot_n_probes", "hot_weight"))
+                     "hot_n_probes", "hot_weight", "return_state"))
 
 
 def ctc_beam_search_device_sharded(log_probs, lengths=None, mesh=None,

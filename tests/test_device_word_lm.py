@@ -304,6 +304,63 @@ class TestDeviceHotwords:
                                    atol=1e-5)
 
 
+class TestStreamingStateCarry:
+    """Prefix beam search is frame-sequential: feeding chunks through a
+    carried BeamState must equal offline decode of the concatenation
+    EXACTLY — including word-LM contexts, partial-word hashes and hotword
+    rings (the host BeamStream invariant, decode/beam_search.py)."""
+
+    def test_two_chunks_equal_offline(self, tok, fused):
+        from conformer_tpu.lm.device_table import DeviceHotwords
+
+        table, wv = fused
+        hot = DeviceHotwords.build(("XIN CHÀO",))
+        kw = dict(word_kwargs(tok, table, wv, alpha=1.1, beta=2.0),
+                  hot_arrays=hot.device_arrays(),
+                  hot_n_probes=int(hot.n_probes), hot_weight=3.0,
+                  beam_width=16, top_k=8, unk_id=tok.unk_id, max_len=48)
+        rng = np.random.default_rng(3)
+        lp = peaked_frames(tok, "xin chào bạn", noise=-6.0)
+        lp = lp + rng.standard_normal(lp.shape).astype(np.float32) * 0.8
+        lp = lp - np.log(np.exp(lp).sum(1, keepdims=True))
+
+        offline = ctc_beam_search_device(jnp.asarray(lp[None]), **kw)
+
+        cut = lp.shape[0] // 2
+        _, _, _, state = ctc_beam_search_device(
+            jnp.asarray(lp[None, :cut]), return_state=True, **kw)
+        chunked = ctc_beam_search_device(
+            jnp.asarray(lp[None, cut:]), init_state=state, **kw)
+
+        np.testing.assert_array_equal(np.asarray(chunked[1]),
+                                      np.asarray(offline[1]))
+        np.testing.assert_allclose(np.asarray(chunked[2]),
+                                   np.asarray(offline[2]), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(chunked[0]),
+                                      np.asarray(offline[0]))
+
+    def test_start_frames_skip_context(self, tok, fused):
+        # Prepending junk context frames masked by start_frames must not
+        # change the result.
+        table, wv = fused
+        kw = dict(word_kwargs(tok, table, wv), beam_width=8, top_k=8,
+                  unk_id=tok.unk_id, max_len=48)
+        lp = peaked_frames(tok, "xin chào")
+        rng = np.random.default_rng(9)
+        junk = rng.standard_normal((5, lp.shape[1])).astype(np.float32)
+        junk = junk - np.log(np.exp(junk).sum(1, keepdims=True))
+        padded = np.concatenate([junk, lp], 0)
+
+        plain = ctc_beam_search_device(jnp.asarray(lp[None]), **kw)
+        skipped = ctc_beam_search_device(
+            jnp.asarray(padded[None]),
+            start_frames=jnp.asarray([5], jnp.int32), **kw)
+        np.testing.assert_array_equal(np.asarray(skipped[1]),
+                                      np.asarray(plain[1]))
+        np.testing.assert_allclose(np.asarray(skipped[2]),
+                                   np.asarray(plain[2]), atol=1e-5)
+
+
 class TestShardedWordFusion:
     def test_sharded_matches_unsharded(self, tok, fused):
         import jax

@@ -175,6 +175,79 @@ class TestStreaming:
         texts = {run(b) for b in (1000, 7777, len(audio))}
         assert len(texts) == 1
 
+    @pytest.fixture(scope="class")
+    def word_arpa(self, tmp_path_factory):
+        from conformer_tpu.lm.ngram import build_arpa
+
+        root = tmp_path_factory.mktemp("streamlm")
+        corpus = root / "c.txt"
+        corpus.write_text("\n".join(
+            ["XIN CHÀO", "CẢM ƠN BẠN", "TẠM BIỆT"] * 5), encoding="utf8")
+        path = str(root / "lm.arpa")
+        build_arpa(str(corpus), path, order=3)
+        return path
+
+    def test_beam_device_single_chunk_matches_offline(self, setup,
+                                                      word_arpa):
+        # Fully on-device streaming beam with word-LM fusion + hotwords:
+        # a single-chunk utterance must reproduce the offline device beam
+        # (identical compute path + state carry through zero extra chunks).
+        import jax
+
+        from conformer_tpu.config import DecodeConfig
+        from conformer_tpu.decode.pipeline import _device_lm_kwargs
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+        from conformer_tpu.ops.beam_search_device import (
+            ctc_beam_search_device)
+        from conformer_tpu.train.steps import make_forward
+
+        cfg, tok, variables = setup
+        audio = _audio(1.5, seed=5)
+        dcfg = DecodeConfig(beam_width=8, lm_path=word_arpa, alpha=0.8,
+                            beta=1.0, hotwords=("XIN CHÀO",),
+                            hotword_weight=3.0)
+        import dataclasses
+
+        lm_kwargs = _device_lm_kwargs(dataclasses.replace(cfg, decode=dcfg),
+                                      tok, word_fallback=True)
+
+        forward = make_forward(cfg)
+        logits, out_len = jax.jit(forward)(
+            variables, audio[None], np.asarray([len(audio)], np.int32))
+        lp = jax.nn.log_softmax(logits.astype(np.float32), axis=-1)
+        prefixes, plens, _ = ctc_beam_search_device(
+            lp, out_len, beam_width=8, top_k=8, unk_id=tok.unk_id,
+            max_len=cfg.data.max_tokens, **lm_kwargs)
+        want = tok.spec_decode(tok.collapsed_ids_to_text(
+            np.asarray(prefixes)[0, 0], int(np.asarray(plens)[0, 0]))).strip()
+
+        st = StreamingTranscriber(cfg, tok, variables, chunk_s=2.0,
+                                  left_context_s=4.0, decode="beam_device",
+                                  decode_cfg=dcfg)
+        assert st.feed(audio) == ""  # beam hypotheses are revisable
+        assert st.finish() == want
+        assert st.text == want
+
+    def test_beam_device_block_invariance(self, setup, word_arpa):
+        from conformer_tpu.config import DecodeConfig
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        audio = _audio(3.3, seed=6)
+        dcfg = DecodeConfig(beam_width=8, lm_path=word_arpa, alpha=0.8,
+                            beta=1.0)
+
+        def run(block):
+            st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                      left_context_s=2.0,
+                                      decode="beam_device", decode_cfg=dcfg)
+            for i in range(0, len(audio), block):
+                st.feed(audio[i: i + block])
+            return st.finish()
+
+        texts = {run(b) for b in (1000, 7777, len(audio))}
+        assert len(texts) == 1
+
     def test_transducer_single_chunk_matches_offline(self, setup_transducer):
         from conformer_tpu.decode.streaming import StreamingTranscriber
 
