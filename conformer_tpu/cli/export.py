@@ -20,6 +20,10 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--audio-seconds", type=float, nargs="+", default=[8.0])
+    p.add_argument("--decode", choices=["logits", "beam"], default="logits",
+                   help="'beam' bakes the LM-fused device beam search into "
+                        "the artifact (audio -> token ids; uses "
+                        "decode.lm_path/hotwords from the config)")
     args = p.parse_args(argv)
 
     cfg = load_config(args)
@@ -47,7 +51,8 @@ def main(argv=None) -> None:
     files = export_model(
         cfg, {"params": state.params, "batch_stats": state.batch_stats},
         args.out, batch_size=args.batch_size,
-        audio_seconds=tuple(args.audio_seconds))
+        audio_seconds=tuple(args.audio_seconds),
+        decode=args.decode, tokenizer=tokenizer)
     print(f"exported {len(files)} artifact(s) to {args.out}:")
     for f in files:
         print(" ", f)

@@ -83,6 +83,62 @@ class TestExport:
             n = int(np.asarray(counts)[i])
             np.testing.assert_array_equal(got_t[i, :n], want_t[i, :n])
 
+    def test_beam_export_bakes_lm_fused_decode(self, tmp_path):
+        # decode='beam' bundles are the COMPLETE LM-fused transcriber:
+        # audio -> (token ids, counts) with the hashed word-LM tables and
+        # hotword fingerprints baked into the StableHLO as constants.
+        import json
+
+        from conformer_tpu.decode.pipeline import _device_lm_kwargs
+        from conformer_tpu.export import ExportedModel, export_model
+        from conformer_tpu.lm.ngram import build_arpa
+        from conformer_tpu.ops.beam_search_device import (
+            ctc_beam_search_device)
+        from conformer_tpu.text.tokenizer import load_tokenizer
+        from conformer_tpu.train.steps import init_variables, make_forward
+
+        tok = load_tokenizer("vi")
+        corpus = tmp_path / "c.txt"
+        corpus.write_text("\n".join(["XIN CHÀO", "CẢM ƠN BẠN"] * 5),
+                          encoding="utf8")
+        arpa = str(tmp_path / "lm.arpa")
+        build_arpa(str(corpus), arpa, order=2)
+
+        cfg = tiny_cfg().override(**{
+            "model.vocab_size": tok.vocab_size, "data.max_tokens": 24,
+            "decode.lm_path": arpa, "decode.beam_width": 8,
+            "decode.alpha": 0.8, "decode.beta": 1.0,
+            "decode.hotwords": ["XIN CHÀO"], "decode.hotword_weight": 3.0})
+        variables = init_variables(cfg, jax.random.PRNGKey(0))
+        out = str(tmp_path / "exported_beam")
+        export_model(cfg, variables, out, batch_size=2, audio_seconds=(1.0,),
+                     decode="beam", tokenizer=tok)
+        with open(f"{out}/meta.json") as f:
+            meta = json.load(f)
+        assert meta["outputs"] == "tokens_counts"
+        assert meta["decode"] == "beam"
+
+        model = ExportedModel(out)
+        audio = np.random.default_rng(2).standard_normal(
+            (2, 16000)).astype(np.float32) * 0.05
+        lengths = np.array([16000, 12000], np.int32)
+        tokens, counts = model(audio, lengths)
+
+        forward = make_forward(cfg)
+        logits, out_len = forward(variables, jnp.asarray(audio),
+                                  jnp.asarray(lengths))
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lm_kwargs = _device_lm_kwargs(cfg, tok, word_fallback=True)
+        prefixes, plens, _ = ctc_beam_search_device(
+            lp, out_len, beam_width=8, top_k=8, blank_id=tok.pad_id,
+            unk_id=tok.unk_id, max_len=24, **lm_kwargs)
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      np.asarray(plens[:, 0]))
+        got, want = np.asarray(tokens), np.asarray(prefixes[:, 0])
+        for i in range(2):
+            n = int(np.asarray(counts)[i])
+            np.testing.assert_array_equal(got[i, :n], want[i, :n])
+
     def test_too_long_audio_rejected(self, tmp_path):
         from conformer_tpu.export import ExportedModel, export_model
         from conformer_tpu.train.steps import init_variables
