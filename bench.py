@@ -273,7 +273,8 @@ def _bench_transducer_decode(cfg, variables, batch_size, audio_s,
                 bound.predict_init(enc.shape[0]), beam_width=width,
                 top_k=cfg.decode.rnnt_top_k,
                 max_symbols=cfg.decode.rnnt_max_symbols,
-                max_len=cfg.data.max_tokens)
+                max_len=cfg.data.max_tokens,
+                scan_unroll=int(_os.environ.get("BENCH_SCAN_UNROLL", "1")))
         return rnnt_greedy_decode(
             bound.joint_logits, enc, enc_lengths, bound.predict_step,
             bound.predict_init(enc.shape[0]),
@@ -458,6 +459,7 @@ def _bench_beam_device(cfg, variables, batch_size, audio_s, num_samples):
             lp, out_lengths, beam_width=width, top_k=8,
             blank_id=tok.pad_id, unk_id=tok.unk_id,
             max_len=cfg.data.max_tokens,
+            scan_unroll=int(_os.environ.get("BENCH_SCAN_UNROLL", "1")),
             lm_tables=table.device_arrays(),
             word_arrays=wv.device_arrays(), wv_n_probes=int(wv.n_probes),
             lm_alpha=2.1, lm_beta=9.2, delim_id=tok.delim_id,

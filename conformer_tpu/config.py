@@ -230,6 +230,15 @@ class DecodeConfig:
     hotwords: Tuple[str, ...] = ()
     hotword_weight: float = 9.0
     token_min_logp: float = -5.0
+    # Device beam search only: non-blank extension fan-out per beam per
+    # frame (the static-shape analogue of the host's token_min_logp
+    # candidate floor; raise toward vocab_size-1 for an exhaustive search).
+    device_top_k: int = 8
+    # Frame-scan unroll factor for the device beam searches (CTC and
+    # RNN-T). >1 amortizes per-op overhead of the small-op frame body at
+    # the cost of (much) longer compiles; keep 1 unless decode latency is
+    # critical and the compile is cached.
+    device_scan_unroll: int = 1
     # RNN-T decode (model.arch='transducer'): per-frame emission cap for
     # greedy/beam, expansion fan-out per hypothesis, and whether beam
     # ranking divides scores by emitted length (ops/rnnt.py).

@@ -191,9 +191,11 @@ class InferencePipeline:
             del ctc_beam_search_device  # sharded wrapper falls back itself
             self._device_beam = jax.jit(functools.partial(
                 ctc_beam_search_device_sharded,
-                beam_width=cfg.decode.beam_width, top_k=8,
+                beam_width=cfg.decode.beam_width,
+                top_k=cfg.decode.device_top_k,
                 blank_id=tokenizer.pad_id, unk_id=tokenizer.unk_id,
-                max_len=cfg.data.max_tokens, **lm_kwargs))
+                max_len=cfg.data.max_tokens,
+                scan_unroll=cfg.decode.device_scan_unroll, **lm_kwargs))
 
     # ------------------------------------------------------------------
     def texts_from_out(self, out: dict) -> List[str]:

@@ -121,7 +121,9 @@ class StreamingTranscriber:
                                top_k=dcfg.rnnt_top_k,
                                max_symbols=dcfg.rnnt_max_symbols,
                                max_len=cfg.data.max_tokens,
-                               unk_id=tokenizer.unk_id, **lm_kwargs)
+                               unk_id=tokenizer.unk_id,
+                               scan_unroll=dcfg.device_scan_unroll,
+                               **lm_kwargs)
 
                 def beam_win(variables, audio, length, start, beams):
                     bound = model.bind(variables)
@@ -172,10 +174,13 @@ class StreamingTranscriber:
             cfg_dec = dataclasses.replace(cfg, decode=dcfg)
             lm_kwargs = _device_lm_kwargs(cfg_dec, tokenizer,
                                           word_fallback=True)
-            search_kw = dict(beam_width=dcfg.beam_width, top_k=8,
+            search_kw = dict(beam_width=dcfg.beam_width,
+                             top_k=dcfg.device_top_k,
                              blank_id=tokenizer.pad_id,
                              unk_id=tokenizer.unk_id,
-                             max_len=cfg.data.max_tokens, **lm_kwargs)
+                             max_len=cfg.data.max_tokens,
+                             scan_unroll=dcfg.device_scan_unroll,
+                             **lm_kwargs)
 
             def beam_dev_win(variables, audio, length, start, state):
                 mels = frontend(audio)

@@ -70,8 +70,10 @@ def export_model(cfg: Config, variables, out_dir: str,
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             prefixes, plens, _scores = ctc_beam_search_device(
                 lp, out_lengths, beam_width=cfg.decode.beam_width,
-                top_k=8, blank_id=tokenizer.pad_id, unk_id=tokenizer.unk_id,
-                max_len=cfg.data.max_tokens, **lm_kwargs)
+                top_k=cfg.decode.device_top_k,
+                blank_id=tokenizer.pad_id, unk_id=tokenizer.unk_id,
+                max_len=cfg.data.max_tokens,
+                scan_unroll=cfg.decode.device_scan_unroll, **lm_kwargs)
             return prefixes[:, 0], plens[:, 0]
     elif arch == "transducer":
         # RNN-T: the frame-synchronous decode is itself jittable, so the
@@ -110,7 +112,8 @@ def export_model(cfg: Config, variables, out_dir: str,
                     max_symbols=cfg.decode.rnnt_max_symbols,
                     max_len=cfg.data.max_tokens,
                     unk_id=tokenizer.unk_id,
-                    length_norm=cfg.decode.rnnt_length_norm, **lm_kwargs)
+                    length_norm=cfg.decode.rnnt_length_norm,
+                    scan_unroll=cfg.decode.device_scan_unroll, **lm_kwargs)
                 return prefixes[:, 0], plens[:, 0]
         else:
             def forward(variables, audio, lengths):

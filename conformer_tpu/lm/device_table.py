@@ -268,20 +268,20 @@ class DeviceHotwords:
 
 def lookup_pair(keys1, keys2, ids, h1, h2, n_probes: int = _PROBES):
     """Open-addressing lookup keyed by (h1, h2) 32-bit pairs -> int value
-    (-1 = miss). Slots with ids < 0 are empty; both keys must match."""
+    (-1 = miss). Slots with ids < 0 are empty; both keys must match.
+
+    Windowed single-gather probing (see _probe): a (h1, h2) pair occupies
+    at most one slot, so at most one probe hits."""
     import jax.numpy as jnp
 
     mask = np.uint32(keys1.shape[0] - 1)
-    out = jnp.full(h1.shape, -1, jnp.int32)
-    found = jnp.zeros(h1.shape, bool)
-    slot = h1 & mask
-    for _ in range(n_probes):
-        hit = ((keys1[slot] == h1) & (keys2[slot] == h2)
-               & (ids[slot] >= 0) & ~found)
-        out = jnp.where(hit, ids[slot], out)
-        found = found | hit
-        slot = (slot + np.uint32(1)) & mask
-    return out
+    slots = (h1[..., None]
+             + jnp.arange(n_probes, dtype=jnp.uint32)) & mask   # (..., P)
+    hit = ((keys1[slots] == h1[..., None])
+           & (keys2[slots] == h2[..., None]) & (ids[slots] >= 0))
+    found = hit.any(-1)
+    val = jnp.where(hit, ids[slots], 0).sum(-1)
+    return jnp.where(found, val, -1)
 
 
 def lookup_word_ids(word_arrays, h1, h2, n_probes: int = _PROBES):
@@ -335,35 +335,32 @@ def _probe(keys, values, fp, n_probes: int = _PROBES,
     import jax
     import jax.numpy as jnp
 
+    # All probe slots are gathered in ONE windowed gather (slot, slot+1,
+    # ..., slot+P-1): TPU dynamic gathers run on the scalar core, so P
+    # sequential gathers cost ~P gather launches; one (..., P) gather costs
+    # one. Exactness: insertion stores a fingerprint in AT MOST one slot
+    # (first writer wins on collision), so at most one probe hits and the
+    # masked sum equals the hit value.
+    window = jnp.arange(n_probes, dtype=jnp.uint32)
     if axis_name is None:
         mask = np.uint32(keys.shape[0] - 1)
-        found = jnp.zeros(fp.shape, bool)
-        out = jnp.zeros(fp.shape, values.dtype)
-        slot = fp & mask
-        for _ in range(n_probes):
-            k = keys[slot]
-            hit = (k == fp) & ~found
-            out = jnp.where(hit, values[slot], out)
-            found = found | hit
-            slot = (slot + np.uint32(1)) & mask
+        slots = (fp[..., None] + window) & mask         # (..., P)
+        hit = keys[slots] == fp[..., None]
+        found = hit.any(-1)
+        out = jnp.where(hit, values[slots], 0).sum(-1).astype(values.dtype)
         return found, out
 
     s_local = keys.shape[0]
     mask = np.uint32(n_slots_global - 1)
     off = (jax.lax.axis_index(axis_name).astype(jnp.uint32)
            * np.uint32(s_local))
-    found = jnp.zeros(fp.shape, bool)
-    out = jnp.zeros(fp.shape, values.dtype)
-    slot = fp & mask
-    for _ in range(n_probes):
-        local = slot - off                      # uint32 wraparound
-        in_rng = local < np.uint32(s_local)
-        li = jnp.where(in_rng, local, np.uint32(0)).astype(jnp.int32)
-        k = keys[li]
-        hit = in_rng & (k == fp) & ~found
-        out = jnp.where(hit, values[li], out)
-        found = found | hit
-        slot = (slot + np.uint32(1)) & mask
+    slots = (fp[..., None] + window) & mask             # (..., P)
+    local = slots - off                                  # uint32 wraparound
+    in_rng = local < np.uint32(s_local)
+    li = jnp.where(in_rng, local, np.uint32(0)).astype(jnp.int32)
+    hit = in_rng & (keys[li] == fp[..., None])
+    found = hit.any(-1)
+    out = jnp.where(hit, values[li], 0).sum(-1).astype(values.dtype)
     found = jax.lax.psum(found.astype(jnp.int32), axis_name) > 0
     out = jax.lax.psum(out, axis_name)
     return found, out

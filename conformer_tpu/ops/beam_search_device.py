@@ -36,10 +36,17 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG = -1e30
-_M1 = jnp.uint32(1000003)
-_M2 = jnp.uint32(2654435761)
+# Host-side numpy scalars, NOT jnp: a module-level jax.Array becomes a
+# single device constant shared by every trace that touches this module;
+# jax then weak-caches trace-lifted views on it, which leaks tracers
+# across independent traces (observed: a prior eager rnnt_beam_search
+# corrupted a later jit's argument pruning — "Execution supplied 111
+# buffers but compiled program expected 135").
+_M1 = np.uint32(1000003)
+_M2 = np.uint32(2654435761)
 _LOG10_TO_LN = math.log(10.0)
 
 
@@ -82,6 +89,34 @@ def _segment_logsumexp(values, seg_ids, num_segments):
     return jnp.where(m <= NEG / 2, NEG, out)
 
 
+def _segmented_suffix_logsumexp(values, boundary):
+    """Per-element logsumexp over the SUFFIX of its contiguous run.
+
+    values (N,) sorted so that equal-prefix candidates are contiguous;
+    boundary (N,) bool marks the FIRST element of each run. Returns s with
+    s[i] = logsumexp(values[i : end_of_run(i)]) — so the run HEAD holds
+    the full run total.
+
+    Replaces jax.ops.segment_max/segment_sum in the merge: those lower to
+    scatters, which serialize on TPU; this is a flag-reset
+    ``associative_scan`` (O(log N) elementwise passes, no scatter). The
+    flag-reset operator (value resets where a new segment begins) is the
+    textbook segmented-scan monoid, run right-to-left.
+    """
+    end_flag = jnp.concatenate(
+        [boundary[1:], jnp.ones((1,), bool)])
+    y = values[::-1]
+    g = end_flag[::-1]
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, _logaddexp(av, bv)), af | bf
+
+    pv, _ = jax.lax.associative_scan(op, (y, g))
+    return pv[::-1]
+
+
 def ctc_beam_search_device(log_probs: jnp.ndarray,
                            lengths: Optional[jnp.ndarray] = None,
                            beam_width: int = 16, top_k: int = 8,
@@ -107,6 +142,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                            init_state: Optional[BeamState] = None,
                            return_state: bool = False,
                            start_frames: Optional[jnp.ndarray] = None,
+                           scan_unroll: int = 1,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(B, T, V) log-softmax -> (prefixes (B, W, U), plens (B, W),
     scores (B, W)), best beam first.
@@ -298,7 +334,6 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             ext_h1 = state.h1[ext_parent] * _M1 + tok_u32
             ext_h2 = state.h2[ext_parent] * _M2 + tok_u32
 
-            n_cand = w + w * k
             c_h1 = jnp.concatenate([state.h1, ext_h1])
             c_h2 = jnp.concatenate([state.h2, ext_h2])
             c_len = jnp.concatenate([state.plen, state.plen[ext_parent] + 1])
@@ -309,20 +344,25 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             c_tok = jnp.concatenate([jnp.full((w,), -1), ext_tok])
 
             # -- merge identical prefixes.
-            order = jnp.argsort(c_h1)
-            same = lambda x: x[order][1:] == x[order][:-1]
+            # One variadic sort co-sorts every candidate array (XLA's sort
+            # moves all operands inside the vectorized sort network);
+            # argsort + per-array x[order] gathers lowered to SERIAL
+            # scalar-core gathers and dominated the whole search (~0.8 ms
+            # per gather per frame at W=190, measured).
+            iota = jnp.arange(c_h1.shape[0], dtype=jnp.int32)
+            (s_h1, s_h2, s_len, s_last, s_pb, s_pnb, order) = jax.lax.sort(
+                (c_h1, c_h2, c_len, c_last, c_pb, c_pnb, iota), num_keys=2)
+            same = lambda x: x[1:] == x[:-1]
             boundary = jnp.concatenate([
                 jnp.ones((1,), bool),
-                ~(same(c_h1) & same(c_h2) & same(c_len) & same(c_last))])
-            seg_ids = jnp.cumsum(boundary) - 1
-            seg_pb = _segment_logsumexp(c_pb[order], seg_ids, n_cand)
-            seg_pnb = _segment_logsumexp(c_pnb[order], seg_ids, n_cand)
-            seg_score = _logaddexp(seg_pb, seg_pnb)
-            head_score = jnp.where(boundary, seg_score[seg_ids], NEG)
+                ~(same(s_h1) & same(s_h2) & same(s_len) & same(s_last))])
+            suf_pb = _segmented_suffix_logsumexp(s_pb, boundary)
+            suf_pnb = _segmented_suffix_logsumexp(s_pnb, boundary)
+            head_score = jnp.where(boundary,
+                                   _logaddexp(suf_pb, suf_pnb), NEG)
 
             top_scores, top_pos = jax.lax.top_k(head_score, w)  # sorted-order idx
             sel = order[top_pos]
-            sel_seg = seg_ids[top_pos]
             # Slots beyond the number of unique prefixes come back as
             # non-heads; kill them or their duplicated segment mass would be
             # double counted at the next merge.
@@ -395,8 +435,8 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                                state.plen[parent]),
                 last=jnp.where(is_ext, tok, state.last[parent]),
                 h1=c_h1[sel], h2=c_h2[sel],
-                p_b=jnp.where(alive, seg_pb[sel_seg], NEG),
-                p_nb=jnp.where(alive, seg_pnb[sel_seg], NEG),
+                p_b=jnp.where(alive, suf_pb[top_pos], NEG),
+                p_nb=jnp.where(alive, suf_pnb[top_pos], NEG),
                 lm_ctx=new_ctx, lm_len=new_len,
                 wf1=new_wf1, wf2=new_wf2, wn=new_wn,
                 rw1=new_rw1, rw2=new_rw2, rcount=new_rcount)
@@ -407,8 +447,12 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 new_state, state)
             return new_state, None
 
+        # Unrolling amortizes per-op dispatch over several frames — the
+        # per-frame body is hundreds of SMALL ops (sorts, windowed probes,
+        # (W,)-gathers), so the search is op-overhead-bound (profiled).
         final, _ = jax.lax.scan(step, init,
-                                (lp, jnp.arange(t, dtype=jnp.int32)))
+                                (lp, jnp.arange(t, dtype=jnp.int32)),
+                                unroll=min(scan_unroll, max(t, 1)))
         score = _logaddexp(final.p_b, final.p_nb)
         if word_mode:
             # Score the trailing partial word into the final ranking, like
@@ -438,7 +482,8 @@ ctc_beam_search_device_jit = jax.jit(
                      "lm_alpha", "lm_beta", "delim_id", "lm_bos_id",
                      "lm_unk_logp", "lm_order", "lm_n_probes",
                      "lm_axis_name", "lm_n_slots_global", "wv_n_probes",
-                     "hot_n_probes", "hot_weight", "return_state"))
+                     "hot_n_probes", "hot_weight", "return_state",
+                     "scan_unroll"))
 
 
 def ctc_beam_search_device_sharded(log_probs, lengths=None, mesh=None,

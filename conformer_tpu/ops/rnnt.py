@@ -27,6 +27,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG = -1e30
 
@@ -127,32 +128,38 @@ def _merge_topk(score, h1, h2, clen, k_out):
     log-sum-exp, then keep the top ``k_out`` -> (gather idx, merged scores).
 
     Same device merge scheme as the CTC prefix search
-    (ops/beam_search_device.py): sort on h1, segment-logsumexp over runs
-    where (h1, h2, len) all match. A missed merge from an h1 sort tie is
-    score-conservative; a false merge needs a simultaneous 2x32-bit
-    collision.
+    (ops/beam_search_device.py): sort on h1, segmented suffix-scan
+    logsumexp over runs where (h1, h2, len) all match (an
+    ``associative_scan``, no TPU-serializing scatters). A missed merge
+    from an h1 sort tie is score-conservative; a false merge needs a
+    simultaneous 2x32-bit collision.
     """
-    from conformer_tpu.ops.beam_search_device import _segment_logsumexp
+    from conformer_tpu.ops.beam_search_device import (
+        _segmented_suffix_logsumexp)
 
-    n = score.shape[0]
-    order = jnp.argsort(h1)
+    # Variadic co-sort (one vectorized sort network) instead of argsort +
+    # per-array gathers — TPU dynamic gathers serialize on the scalar core
+    # (see the same rewrite in ops/beam_search_device.py).
+    iota = jnp.arange(score.shape[0], dtype=jnp.int32)
+    s_h1, s_h2, s_len, s_score, order = jax.lax.sort(
+        (h1, h2, clen, score, iota), num_keys=2)
 
     def same(x):
-        s = x[order]
-        return s[1:] == s[:-1]
+        return x[1:] == x[:-1]
 
     boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), ~(same(h1) & same(h2) & same(clen))])
-    seg = jnp.cumsum(boundary) - 1
-    seg_score = _segment_logsumexp(score[order], seg, n)
-    head = jnp.where(boundary, seg_score[seg], NEG)
+        [jnp.ones((1,), bool), ~(same(s_h1) & same(s_h2) & same(s_len))])
+    suf = _segmented_suffix_logsumexp(s_score, boundary)
+    head = jnp.where(boundary, suf, NEG)
     top_s, top_pos = jax.lax.top_k(head, k_out)
     sel = order[top_pos]
     return sel, jnp.where(top_s > NEG / 2, top_s, NEG)
 
 
-_M1 = jnp.uint32(1000003)
-_M2 = jnp.uint32(2654435761)
+# np (host) scalars, not jnp — see ops/beam_search_device.py on why a
+# module-level jax.Array constant leaks tracers across traces.
+_M1 = np.uint32(1000003)
+_M2 = np.uint32(2654435761)
 _LOG10_TO_LN = 2.302585092994046
 
 
@@ -170,7 +177,8 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                      hot_arrays=None, hot_n_probes: int = 8,
                      hot_weight: float = 0.0,
                      start_frames: Optional[jnp.ndarray] = None,
-                     init_beams=None, return_beams: bool = False):
+                     init_beams=None, return_beams: bool = False,
+                     scan_unroll: int = 1):
     """Batched time-synchronous RNN-T beam search, fully on-device.
 
     New capability — the reference's Transducer is a dead stub and its only
@@ -402,9 +410,12 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                 lambda nv, ov: jnp.where(active_frame, nv, ov), fin,
                 carry), None
 
+        # The frame body already runs max_symbols+1 expansion rounds of
+        # small ops; a modest unroll amortizes per-op dispatch further.
         final, _ = jax.lax.scan(
             frame_step, init,
-            (enc_1, jnp.arange(t, dtype=jnp.int32)))
+            (enc_1, jnp.arange(t, dtype=jnp.int32)),
+            unroll=min(scan_unroll, max(t, 1)))
         score, buf, cnt = final[0], final[1], final[2]
         if word_mode:
             # Score the trailing partial word into the ranking (CTC-host

@@ -239,6 +239,7 @@ def make_transducer_eval_step(cfg: Config,
                 max_symbols=cfg.decode.rnnt_max_symbols,
                 max_len=cfg.data.max_tokens, unk_id=unk_id,
                 length_norm=cfg.decode.rnnt_length_norm,
+                scan_unroll=cfg.decode.device_scan_unroll,
                 **(lm_kwargs or {}))
             return {"loss": loss, "tokens": prefixes[:, 0],
                     "counts": plens[:, 0], "scores": scores[:, 0],
