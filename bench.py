@@ -305,38 +305,67 @@ def _bench_transducer_decode(cfg, variables, batch_size, audio_s,
 
 def _bench_stream(cfg, variables):
     """Streaming RTF: 60s of audio fed in 100ms blocks through the stateful
-    chunked encoder (2s chunks, 6s left context), greedy frame-sync emission.
-    Latency-oriented: batch 1, includes every per-chunk device round trip."""
+    chunked encoder (2s chunks, 6s left context). Latency-oriented: batch 1,
+    includes every per-chunk device round trip. BENCH_STREAM_DECODE picks
+    the emission mode: greedy (default) | beam | beam_device — beam modes
+    build a 5-gram word LM so beam_device measures the full on-device
+    chunked beam+LM loop (BeamState carried across chunks)."""
     import json as _json
+    import os as _os
+    import tempfile
     import time as _time
 
     from conformer_tpu.decode.streaming import StreamingTranscriber
     from conformer_tpu.text.tokenizer import load_tokenizer
 
+    decode = _os.environ.get("BENCH_STREAM_DECODE", "greedy")
     tok = load_tokenizer("vi")
     cfg = cfg.override(**{"model.vocab_size": tok.vocab_size})
-    st = StreamingTranscriber(cfg, tok, variables, chunk_s=2.0,
-                              left_context_s=6.0)
+    kw = dict(chunk_s=2.0, left_context_s=6.0, decode=decode)
+    if decode in ("beam", "beam_device"):
+        from conformer_tpu.config import DecodeConfig
+        from conformer_tpu.lm.ngram import build_arpa
+
+        root = tempfile.mkdtemp(prefix="bench_stream_")
+        corpus = _os.path.join(root, "corpus.txt")
+        rng = np.random.default_rng(0)
+        words = ["XIN", "CHÀO", "BẠN", "CẢM", "ƠN", "TẠM", "BIỆT", "LỖI",
+                 "KHÔNG", "CÓ", "GÌ", "ĐÂU", "NHÉ", "ANH", "EM", "TÔI"]
+        with open(corpus, "w", encoding="utf8") as f:
+            for _ in range(2000):
+                f.write(" ".join(rng.choice(words, rng.integers(3, 9)))
+                        + "\n")
+        arpa = _os.path.join(root, "lm.arpa")
+        build_arpa(corpus, arpa, 5)
+        kw["decode_cfg"] = DecodeConfig(
+            beam_width=int(_os.environ.get("BENCH_WIDTH", "32")),
+            alpha=2.1, beta=9.2, lm_path=arpa,
+            hotwords=("XIN CHÀO",), hotword_weight=9.0)
+    st = StreamingTranscriber(cfg, tok, variables, **kw)
     sr = cfg.audio.sample_rate
     total_s = 60.0
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(total_s * sr)) * 0.1).astype(np.float32)
     block = int(0.1 * sr)
-    st.feed(audio[: 2 * sr])  # warm the compiled window shape
-    st2 = StreamingTranscriber(cfg, tok, variables, chunk_s=2.0,
-                               left_context_s=6.0)
+    # Warm BOTH compiled specializations: the fresh-state first window and
+    # the carried-state subsequent windows (beam modes trace the BeamState
+    # carry as a second program).
+    st.feed(audio[: 6 * sr])
+    st2 = StreamingTranscriber(cfg, tok, variables, **kw)
     t0 = _time.perf_counter()
     for i in range(0, len(audio), block):
         st2.feed(audio[i: i + block])
     st2.finish()
     dt = _time.perf_counter() - t0
     arch = getattr(cfg.model, "arch", "ctc")
+    width = (f" w{kw['decode_cfg'].beam_width}+LM"
+             if decode in ("beam", "beam_device") else "")
     print(_json.dumps({
         "metric": ("transducer_streaming_decode_rtf_per_chip"
                    if arch == "transducer"
                    else "streaming_decode_rtf_per_chip"),
         "value": round(dt / total_s, 6),
-        "unit": "rtf (2s chunks + 6s left ctx, batch 1, greedy)",
+        "unit": f"rtf (2s chunks + 6s left ctx, batch 1, {decode}{width})",
         "vs_baseline": 1.0,
     }))
 

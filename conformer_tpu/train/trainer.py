@@ -84,16 +84,24 @@ class Trainer:
 
         # Persistent compilation cache: bucket-shape compiles are minutes
         # cold through the remote-compile path; cached reruns are instant.
+        # TPU-like backends only (or an explicit JAX_COMPILATION_CACHE_DIR):
+        # on CPU the cache is a hazard, not a win — XLA:CPU AOT entries bake
+        # in the *compiling* process's machine/tuning features (observed:
+        # axon-tunnel processes cache CPU executables with
+        # +prefer-no-gather/+prefer-no-scatter, and a later plain-CPU test
+        # process loads them, warns about SIGILL risk, and gets different
+        # vectorization => 1e-7 reduction-order flips in near-tied decodes).
         import os
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/conformer_tpu_jax_cache"))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              5.0)
-        except Exception:
-            pass
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if cache_dir is None and jax.default_backend() != "cpu":
+            cache_dir = "/tmp/conformer_tpu_jax_cache"
+        if cache_dir:
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 5.0)
+            except Exception:
+                pass
 
         self._raw_train_step = make_train_step(cfg, self.tx, donate=True)
         self.train_step = self._with_mesh(self._raw_train_step)

@@ -20,3 +20,9 @@ import jax  # noqa: E402
 # wins and keeps tests on the fast local CPU backend.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Never read/write the persistent compilation cache under tests: XLA:CPU AOT
+# entries written by other processes (the axon TPU-tunnel bench) carry
+# different machine/tuning features (+prefer-no-gather/scatter) — loading
+# them risks SIGILL and flips near-tied decode results at the 1e-7 level
+# (two order-dependent test failures traced to exactly this).
+jax.config.update("jax_enable_compilation_cache", False)

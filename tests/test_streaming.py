@@ -211,9 +211,16 @@ class TestStreaming:
         lm_kwargs = _device_lm_kwargs(dataclasses.replace(cfg, decode=dcfg),
                                       tok, word_fallback=True)
 
+        # Offline reference runs on the same padded window shape the
+        # streaming path compiles (6s = ctx 4s + chunk 2s): a random-init
+        # model has near-tied logits, and XLA's shape-dependent fusion can
+        # flip a beam order at the 1e-7 level otherwise (same guard as the
+        # transducer sibling test below).
+        padded = np.zeros((1, 6 * SR), np.float32)
+        padded[0, : len(audio)] = audio
         forward = make_forward(cfg)
         logits, out_len = jax.jit(forward)(
-            variables, audio[None], np.asarray([len(audio)], np.int32))
+            variables, padded, np.asarray([len(audio)], np.int32))
         lp = jax.nn.log_softmax(logits.astype(np.float32), axis=-1)
         prefixes, plens, _ = ctc_beam_search_device(
             lp, out_len, beam_width=8, top_k=8, unk_id=tok.unk_id,

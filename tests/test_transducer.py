@@ -138,12 +138,16 @@ class TestTransducerModel:
         # Train to a loss TARGET, not a fixed step count: XLA CPU reduction
         # order varies with the host's thread availability, so a fixed-step
         # trajectory lands at slightly different parameters run-to-run.
+        # The target must leave the trailing label's emission probability
+        # decisively above the blank's (a 0.08 target once left the final
+        # token near-tied and decode dropped it under a different-codegen
+        # executable) — hence 0.03.
         loss = None
-        for i in range(400):
+        for i in range(800):
             params, opt, loss = train_step(params, opt)
-            if i >= 100 and float(loss) < 0.08:
+            if i >= 100 and float(loss) < 0.03:
                 break
-        assert float(loss) < 0.15, float(loss)
+        assert float(loss) < 0.1, float(loss)
 
         # Greedy decode with the trained params.
         bound = model.bind({**rest, "params": params})
