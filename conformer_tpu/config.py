@@ -374,7 +374,13 @@ class Config:
             return cls.from_dict(json.load(f))
 
     def override(self, **dotted: Any) -> "Config":
-        """Apply dotted-path overrides, e.g. override(**{"model.d_model": 256})."""
+        """Apply dotted-path overrides, e.g. override(**{"model.d_model": 256}).
+
+        Values are shape-checked against the field being replaced: a scalar
+        can never replace a tuple field and vice versa (a CLI ``--set
+        data.bucket_boundaries_s=1.2,2.0`` would otherwise assign the raw
+        STRING — --set values are JSON, so tuples are written ``[1.2,2.0]``
+        — and fail much later inside the data loader)."""
         d = self.to_dict()
         for key, value in dotted.items():
             parts = key.split(".")
@@ -383,6 +389,16 @@ class Config:
                 node = node[p]
             if parts[-1] not in node:
                 raise KeyError(f"Unknown config key: {key}")
+            old = node[parts[-1]]
+            old_is_seq = isinstance(old, (tuple, list))
+            new_is_seq = isinstance(value, (tuple, list))
+            if old_is_seq and not new_is_seq and old is not None \
+                    and value is not None:
+                raise TypeError(
+                    f"{key} expects a sequence (e.g. JSON [..] in --set), "
+                    f"got {value!r}")
+            if new_is_seq and not old_is_seq and old is not None:
+                raise TypeError(f"{key} expects a scalar, got {value!r}")
             node[parts[-1]] = value
         return Config.from_dict(d)
 
