@@ -29,16 +29,28 @@ from conformer_tpu.train.state import TrainState, make_optimizer, param_count
 from conformer_tpu.train.steps import init_variables, make_eval_step, make_train_step
 
 
+def _prng_key(cfg, seed: int):
+    """Typed PRNG key honoring cfg.train.prng_impl WITHOUT touching the
+    process-global jax_default_prng_impl.
+
+    The old jax.config.update("jax_default_prng_impl", ...) in __init__
+    changed what every later jax.random.PRNGKey(0) in the PROCESS means —
+    constructing one Trainer silently re-seeded unrelated code (an
+    order-dependent test failure: a model init after any Trainer got rbg
+    weights instead of threefry ones). Typed keys carry the impl in their
+    dtype, so the choice stays local to this Trainer's rng lineage.
+    cfg.train.prng_impl='rbg' matters on TPU: threefry mask generation
+    costs ~20% of a train step; the hardware RNG is dramatically cheaper.
+    """
+    impl = cfg.train.prng_impl or None
+    return jax.random.key(seed, impl=impl)
+
+
 class Trainer:
     def __init__(self, cfg: Config, tokenizer: GraphemeTokenizer,
                  mesh: Optional[Mesh] = None,
                  logger: Optional[MetricsLogger] = None):
         cfg = cfg.override(**{"model.vocab_size": tokenizer.vocab_size})
-        if cfg.train.prng_impl:
-            try:
-                jax.config.update("jax_default_prng_impl", cfg.train.prng_impl)
-            except Exception:
-                pass
         self.cfg = cfg
         self.tok = tokenizer
         self.mesh = mesh
@@ -54,7 +66,7 @@ class Trainer:
         self.tx = make_optimizer(cfg.optim, steps_per_epoch=steps_per_epoch)
         self.steps_per_epoch = steps_per_epoch
 
-        variables = init_variables(cfg, jax.random.PRNGKey(cfg.train.seed))
+        variables = init_variables(cfg, _prng_key(cfg, cfg.train.seed))
         state = TrainState.create(variables["params"],
                                   variables.get("batch_stats", {}), self.tx)
         if mesh is not None:
@@ -142,7 +154,7 @@ class Trainer:
 
         state_abs = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state)
-        rng = jax.random.PRNGKey(cfg.train.seed)
+        rng = _prng_key(cfg, cfg.train.seed)
         rng_abs = jax.ShapeDtypeStruct(rng.shape, rng.dtype)
         sds = jax.ShapeDtypeStruct
 
@@ -311,7 +323,7 @@ class Trainer:
             self.warmup_compile(
                 background=cfg.train.warmup_compile == "background")
 
-        rng = jax.random.PRNGKey(cfg.train.seed + jax.process_index())
+        rng = _prng_key(cfg, cfg.train.seed + jax.process_index())
         for epoch in range(self.epoch, cfg.train.num_epochs):
             t0 = time.perf_counter()
             mean_loss = self.train_epoch(train_loader.epoch(epoch), epoch, rng,

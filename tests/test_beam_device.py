@@ -145,6 +145,29 @@ class TestAgainstHostBeam:
         assert dev_text == host_text == "XIN CHÀO BẠN"
 
 
+class TestScanUnrollInvariance:
+    def test_unroll_matches_unroll1(self):
+        # scan_unroll only changes how lax.scan lays out the frame loop;
+        # results must be bit-compatible with the default.
+        rng = np.random.default_rng(11)
+        lp = rng.standard_normal((2, 11, 6)) * 1.5
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        lengths = jnp.asarray([11, 7])
+        base = ctc_beam_search_device(jnp.asarray(lp), lengths,
+                                      beam_width=8, top_k=4)
+        for unroll in (2, 3, 16):
+            got = ctc_beam_search_device(jnp.asarray(lp), lengths,
+                                         beam_width=8, top_k=4,
+                                         scan_unroll=unroll)
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(base[0]))
+            np.testing.assert_array_equal(np.asarray(got[1]),
+                                          np.asarray(base[1]))
+            np.testing.assert_allclose(np.asarray(got[2]),
+                                       np.asarray(base[2]),
+                                       rtol=1e-5, atol=1e-5)
+
+
 def host_prefix_beam(lp, width=16, blank=0):
     """Independent textbook CTC prefix beam search (dict-based) for fuzzing."""
     import math

@@ -385,6 +385,27 @@ class TestRnntBeamSearch:
         np.testing.assert_allclose(float(scores[0, 0]), want_ll,
                                    rtol=1e-5, atol=1e-5)
 
+    def test_scan_unroll_invariance(self):
+        # scan_unroll only changes the lax.scan layout of the frame loop;
+        # prefixes/counts must match the default exactly.
+        t, v, max_u = 4, 4, 3
+        joint_fn, pred_step_fn, pred_init, enc = self._tiny_joint(13, t, v)
+        base = rnnt_beam_search(
+            joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
+            beam_width=8, top_k=3, max_symbols=max_u, max_len=max_u)
+        for unroll in (2, 8):
+            got = rnnt_beam_search(
+                joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
+                beam_width=8, top_k=3, max_symbols=max_u, max_len=max_u,
+                scan_unroll=unroll)
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(base[0]))
+            np.testing.assert_array_equal(np.asarray(got[1]),
+                                          np.asarray(base[1]))
+            np.testing.assert_allclose(np.asarray(got[2]),
+                                       np.asarray(base[2]),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_score_never_exceeds_marginal(self):
         # With a narrow beam the top score is a lower bound on the best
         # exhaustive marginal (pruning can only lose mass).
