@@ -340,7 +340,9 @@ def _bench_stream(cfg, variables):
         kw["decode_cfg"] = DecodeConfig(
             beam_width=int(_os.environ.get("BENCH_WIDTH", "32")),
             alpha=2.1, beta=9.2, lm_path=arpa,
-            hotwords=("XIN CHÀO",), hotword_weight=9.0)
+            hotwords=("XIN CHÀO",), hotword_weight=9.0,
+            device_scan_unroll=int(_os.environ.get("BENCH_SCAN_UNROLL",
+                                                   "1")))
     st = StreamingTranscriber(cfg, tok, variables, **kw)
     sr = cfg.audio.sample_rate
     total_s = 60.0

@@ -246,8 +246,11 @@ class StreamingTranscriber:
                     self._variables, padded,
                     np.asarray([len(audio)], np.int32),
                     np.asarray([start], np.int32), self._rnnt_beams)
-                self._beam_best = (np.asarray(prefixes)[0, 0],
-                                   int(np.asarray(plens)[0, 0]))
+                # Keep the best hypothesis as device arrays: feed() returns
+                # "" in beam mode, so fetching here would serialize every
+                # chunk on a device round trip. .text materializes lazily,
+                # letting successive chunk programs pipeline.
+                self._beam_best = (prefixes, plens)
                 return ""
             state, pred = self._rnnt_carry
             buf, count, self._rnnt_carry = self._forward_t(
@@ -261,8 +264,7 @@ class StreamingTranscriber:
             prefixes, plens, _, self._ctc_beams = self._beam_dev_win(
                 self._variables, padded, np.asarray([len(audio)], np.int32),
                 np.asarray([start], np.int32), self._ctc_beams)
-            self._beam_best = (np.asarray(prefixes)[0, 0],
-                               int(np.asarray(plens)[0, 0]))
+            self._beam_best = (prefixes, plens)  # device arrays; see above
             return ""
         out, out_len = self._forward(
             self._variables, padded,
@@ -336,7 +338,8 @@ class StreamingTranscriber:
             return self._stream.text()
         best = getattr(self, "_beam_best", None)
         if best is not None:
-            ids, n = best
-            return self.tok.collapsed_ids_to_text(ids, n).strip()
+            ids, n = best  # lazy fetch: the only host sync in beam mode
+            return self.tok.collapsed_ids_to_text(
+                np.asarray(ids)[0, 0], int(np.asarray(n)[0, 0])).strip()
         raw = "".join(self._pieces).replace(self.tok.delim_token, " ")
         return self.tok.spec_decode(raw).strip()
