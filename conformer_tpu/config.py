@@ -91,6 +91,13 @@ class ModelConfig:
     # scheduling within k-block chunks at bounded compile time, with the
     # SAME stacked param layout as scan_unroll=1 (checkpoint-compatible).
     scan_unroll: int = 1
+    # Sequence parallelism (Megatron-SP style, no reference counterpart):
+    # pin encoder block activations to P('data', 'model', None) so the
+    # norm/FFN/dropout chains between matmuls run TIME-SHARDED over the
+    # tensor-parallel axis (activation memory and elementwise work / tp).
+    # GSPMD inserts the gathers attention/conv need. No-op without an
+    # active ('data','model') mesh with tp > 1 (parallel/mesh.py).
+    seq_shard: bool = False
     conv_norm: str = "batch"         # 'batch' (reference semantics) or 'group'
     conv_impl: str = "xla"           # depthwise conv backend: 'xla' or 'pallas'
     # Zero padded frames before the depthwise conv. False reproduces the
@@ -100,8 +107,9 @@ class ModelConfig:
     decoder_norm_masked: bool = True # mask-aware BatchNorm stats in the decoder
     # 'pallas' (default): fused shift-free sin/cos kernel — fused fwd+bwd,
     # in-kernel dropout, scores never touch HBM; 2-10x vs the dense path on
-    # TPU. Falls back to identical-math XLA off-TPU; the Trainer forces
-    # 'xla' on multi-chip meshes (no GSPMD partition rule for the kernel).
+    # TPU. Falls back to identical-math XLA off-TPU; under an active mesh
+    # the call is shard_mapped over the data/model axes
+    # (ops/pallas/sincos_attention.rel_attention_sincos_sharded).
     # 'xla': dense (B,H,L,L) scores + rel-shift. 'pallas_bias': round-1
     # bias-fused kernel (inference-only, neutral; kept for benches).
     attention_impl: str = "pallas"

@@ -37,6 +37,7 @@ class ConformerBlock(nn.Module):
     attention_impl: str = "xla"
     attention_score_dtype: str = "float32"
     dropout_impl: str = "prng"
+    seq_shard: bool = False
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
@@ -46,6 +47,12 @@ class ConformerBlock(nn.Module):
                  attn_mask: Optional[jnp.ndarray],
                  frame_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
         det = self.deterministic
+        if self.seq_shard:
+            # Sequence parallelism: boundary pins are enough — GSPMD
+            # propagates the time sharding through the pointwise chains and
+            # gathers only where attention/conv need full L.
+            from conformer_tpu.parallel.mesh import seq_shard_constraint
+            x = seq_shard_constraint(x)
         x = 0.5 * FeedForwardModule(self.d_model, self.ffn_expansion,
                                     self.dropout_rate, self.dtype,
                                     self.dropout_impl,
@@ -67,8 +74,12 @@ class ConformerBlock(nn.Module):
                                     self.dropout_rate, self.dtype,
                                     self.dropout_impl,
                                     name="ffn2")(x, det) + x
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
-                            name="final_norm")(x)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                         name="final_norm")(x)
+        if self.seq_shard:
+            from conformer_tpu.parallel.mesh import seq_shard_constraint
+            x = seq_shard_constraint(x)
+        return x
 
 
 class _ScanCell(nn.Module):
@@ -128,6 +139,7 @@ class ConformerEncoder(nn.Module):
             attention_impl=cfg.attention_impl,
             attention_score_dtype=cfg.attention_score_dtype,
             dropout_impl=getattr(cfg, "dropout_impl", "prng"),
+            seq_shard=getattr(cfg, "seq_shard", False),
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype, deterministic=self.deterministic,
         )

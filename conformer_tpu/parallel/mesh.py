@@ -152,6 +152,33 @@ def make_opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any,
     return map_node(opt_state)
 
 
+def seq_shard_constraint(x):
+    """Sequence parallelism: pin (B, L, D) activations to
+    P('data', 'model', None) so the pointwise work between matmuls
+    (norms, FFN elementwise, dropout, residuals) runs time-sharded over
+    the tensor-parallel axis — the Megatron-SP layout, with GSPMD
+    inserting the all-gathers attention and conv need. Uneven L is fine
+    (the partitioner pads internally).
+
+    No-op unless traced under an active ('data','model') mesh context
+    (``jax.set_mesh``) with Auto axes and tp > 1, so the model stays
+    runnable on one chip and under pure DP unchanged.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or getattr(mesh, "empty", True):
+        return x
+    shape = dict(getattr(mesh, "shape", {}))
+    if shape.get(MODEL_AXIS, 1) <= 1 or getattr(x, "ndim", 0) != 3:
+        return x
+    try:
+        if any(t != jax.sharding.AxisType.Auto for t in mesh.axis_types):
+            return x  # explicit-sharding meshes use reshard semantics
+    except Exception:
+        return x
+    batch_axis = DATA_AXIS if DATA_AXIS in shape else None
+    return jax.lax.with_sharding_constraint(x, P(batch_axis, MODEL_AXIS, None))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

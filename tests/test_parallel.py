@@ -41,7 +41,7 @@ def batch_args(cfg, batch_size=8):
     return (b.audio, b.audio_lengths, b.tokens, b.token_lengths)
 
 
-def run_step(cfg, mesh=None, tp=False, steps=2):
+def run_step(cfg, mesh=None, tp=False, steps=2, mesh_context=False):
     tx = make_optimizer(cfg.optim, steps_per_epoch=10)
     state = build_state(cfg, tx)
     args = batch_args(cfg)
@@ -58,7 +58,11 @@ def run_step(cfg, mesh=None, tp=False, steps=2):
         args = jax.device_put(args, shard_batch_tree(mesh, args))
     losses = []
     for i in range(steps):
-        state, metrics = step_fn(state, *args, jax.random.PRNGKey(5))
+        if mesh is not None and mesh_context:
+            with jax.set_mesh(mesh):
+                state, metrics = step_fn(state, *args, jax.random.PRNGKey(5))
+        else:
+            state, metrics = step_fn(state, *args, jax.random.PRNGKey(5))
         losses.append(float(metrics["loss"]))
     return losses, state
 
@@ -81,6 +85,30 @@ class TestDataParallel:
         mesh = make_mesh(dp=4, tp=2)
         losses_tp, _ = run_step(cfg, mesh=mesh, tp=True)
         np.testing.assert_allclose(losses_1, losses_tp, rtol=2e-4)
+
+    def test_sp_matches_single_device(self):
+        # Sequence parallelism (model.seq_shard): block activations pinned
+        # to P('data','model',None) under the mesh context must not change
+        # numerics — GSPMD only re-lays-out the same math.
+        cfg = tiny_cfg()
+        losses_1, state_1 = run_step(cfg, mesh=None)
+        cfg_sp = tiny_cfg(**{"model.seq_shard": True})
+        mesh = make_mesh(dp=4, tp=2)  # tp must divide n_heads for TP params
+        losses_sp, state_sp = run_step(cfg_sp, mesh=mesh, tp=True,
+                                       mesh_context=True)
+        np.testing.assert_allclose(losses_1, losses_sp, rtol=2e-4)
+        p1 = jax.tree_util.tree_leaves(state_1.params)[0]
+        ps = jax.tree_util.tree_leaves(state_sp.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(ps), atol=1e-5)
+
+    def test_sp_is_noop_without_mesh(self):
+        # The constraint must be inert on a single device (no mesh context):
+        # same program, same numbers.
+        cfg = tiny_cfg()
+        cfg_sp = tiny_cfg(**{"model.seq_shard": True})
+        losses, _ = run_step(cfg, mesh=None)
+        losses_sp, _ = run_step(cfg_sp, mesh=None)
+        np.testing.assert_allclose(losses, losses_sp, rtol=1e-6)
 
     def test_param_shardings_cover_big_matmuls(self):
         cfg = tiny_cfg()
