@@ -30,6 +30,15 @@ BeamStream, host); the transducer carries the full device beam tuple
 (scores, buffers, hashes, prediction states — ops/rnnt.py init_beams/
 return_beams), including any token-level device-LM context.
 
+Throughput: greedy / host-beam modes double-buffer by default
+(``pipeline_chunks=True``): ``feed`` dispatches the current chunk's device
+program and materializes the *previous* chunk's outputs, overlapping host
+emission and device round trips with the next chunk's compute. Finalized
+text therefore lags one chunk behind the audio; ``.text`` and ``finish()``
+drain the pending chunk. ``pipeline_chunks=False`` restores strictly
+synchronous per-chunk emission (lowest latency). The fully-on-device beam
+modes are lazier still: the best hypothesis stays on device until read.
+
 ``decode="beam_device"`` (CTC) keeps the whole loop on-device: encoder +
 log-softmax + prefix beam search with word-level LM fusion and hotword
 boosting run as one program per chunk, and the raw BeamState (including
@@ -63,7 +72,8 @@ class StreamingTranscriber:
     def __init__(self, cfg: Config, tokenizer: GraphemeTokenizer, variables,
                  chunk_s: float = 2.0, left_context_s: float = 6.0,
                  decode: str = "greedy",
-                 decode_cfg: Optional[DecodeConfig] = None):
+                 decode_cfg: Optional[DecodeConfig] = None,
+                 pipeline_chunks: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -224,6 +234,14 @@ class StreamingTranscriber:
         self._context = np.zeros((0,), np.float32)  # already-emitted audio
         self._prev_id = -1                          # CTC collapse carry
         self._pieces: List[str] = []
+        # Double-buffering (greedy / host-beam modes): feed() dispatches the
+        # chunk program and materializes the PREVIOUS chunk's outputs, so
+        # host collapse work and device round trips overlap the next chunk's
+        # compute. Emission of finalized text lags one chunk; reading .text
+        # drains the pending chunk (one sync). pipeline_chunks=False keeps
+        # the strictly synchronous per-chunk emission.
+        self._pipeline = pipeline_chunks
+        self._pending = None  # (device outputs tuple, start) awaiting fetch
 
     # ------------------------------------------------------------------
     def _sub_frames(self, n_samples: int) -> int:
@@ -256,10 +274,11 @@ class StreamingTranscriber:
             buf, count, self._rnnt_carry = self._forward_t(
                 self._variables, padded, np.asarray([len(audio)], np.int32),
                 np.asarray([start], np.int32), state, pred)
-            ids = np.asarray(buf)[0][: int(np.asarray(count)[0])]
-            pieces = [self.tok.vocab[int(c)] for c in ids
-                      if int(c) not in (self.tok.pad_id, self.tok.unk_id)]
-            return "".join(pieces)
+            piece = self._drain_pending()
+            self._pending = (("rnnt", buf, count), start)
+            if not self._pipeline:
+                piece += self._drain_pending()
+            return piece
         if self.decode == "beam_device":
             prefixes, plens, _, self._ctc_beams = self._beam_dev_win(
                 self._variables, padded, np.asarray([len(audio)], np.int32),
@@ -269,6 +288,26 @@ class StreamingTranscriber:
         out, out_len = self._forward(
             self._variables, padded,
             np.asarray([len(audio)], np.int32))
+        piece = self._drain_pending()
+        self._pending = (("ctc", out, out_len), start)
+        if not self._pipeline:
+            piece += self._drain_pending()
+        return piece
+
+    def _drain_pending(self) -> str:
+        """Materialize the buffered previous chunk's device outputs (if any)
+        and run its host-side emission; "" when nothing is pending."""
+        if self._pending is None:
+            return ""
+        (kind, *payload), start = self._pending
+        self._pending = None
+        if kind == "rnnt":
+            buf, count = payload
+            ids = np.asarray(buf)[0][: int(np.asarray(count)[0])]
+            return "".join(self.tok.vocab[int(c)] for c in ids
+                           if int(c) not in (self.tok.pad_id,
+                                             self.tok.unk_id))
+        out, out_len = payload
         out = np.asarray(out)[0]
         n = int(np.asarray(out_len)[0])
         if self._stream is not None:
@@ -324,6 +363,10 @@ class StreamingTranscriber:
             if piece:
                 self._pieces.append(piece)
                 emitted = piece
+        tail = self._drain_pending()
+        if tail:
+            self._pieces.append(tail)
+            emitted += tail
         if self._stream is not None or getattr(self, "_beam_best", None) \
                 is not None:
             return self.text
@@ -334,6 +377,9 @@ class StreamingTranscriber:
         """Full transcript so far. Greedy: delim -> space, spec-decoded (same
         assembly as GraphemeTokenizer.collapsed_ids_to_text); beam: the
         current best hypothesis (revisable until finish())."""
+        tail = self._drain_pending()
+        if tail:
+            self._pieces.append(tail)
         if self._stream is not None:
             return self._stream.text()
         best = getattr(self, "_beam_best", None)

@@ -130,6 +130,30 @@ class TestStreaming:
         texts = {run(b) for b in (1000, 7777, len(audio))}
         assert len(texts) == 1  # feeding granularity must not matter
 
+    def test_pipelined_emission_matches_synchronous(self, setup):
+        # Double-buffering (pipeline_chunks=True, the default) defers
+        # emission by one chunk but must produce identical text, and the
+        # feed()-returned pieces plus finish() must cover the transcript.
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        audio = _audio(4.2, seed=3)
+
+        def run(pipeline):
+            st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                      left_context_s=2.0,
+                                      pipeline_chunks=pipeline)
+            emitted = ""
+            for i in range(0, len(audio), 4000):
+                emitted += st.feed(audio[i: i + 4000])
+            emitted += st.finish()
+            return emitted, st.text
+
+        em_sync, text_sync = run(False)
+        em_pipe, text_pipe = run(True)
+        assert text_pipe == text_sync
+        assert em_pipe == em_sync  # same total emission, later arrival
+
     def test_beam_mode_single_chunk_matches_offline_beam(self, setup):
         import jax
 
