@@ -10,6 +10,20 @@ scales with concurrency instead of serializing.
     python -m conformer_tpu.cli.serve --checkpoint-dir ckpt --port 8000
     curl -s --data-binary @utt.wav localhost:8000/transcribe
     curl -s localhost:8000/stats       # {"requests": N, "batches": M, ...}
+
+Streaming sessions (incremental transcription over plain HTTP):
+
+    curl -sX POST localhost:8000/stream/start          # {"session": ID}
+    curl -s --data-binary @chunk.pcm \\
+         -H 'Content-Type: audio/l16' localhost:8000/stream/ID
+                                                       # {"text_delta": ...}
+    curl -s localhost:8000/stream/ID/text              # live hypothesis
+    curl -sX POST localhost:8000/stream/ID/finish      # final text
+
+Chunk bodies are raw PCM at the server sample rate: little-endian int16
+(``audio/l16``, default) or float32 (``audio/f32``). Each session wraps a
+pooled ``StreamingTranscriber`` — the jitted chunk programs are traced once
+per process and ``reset()`` between sessions, not re-traced per connection.
 """
 
 from __future__ import annotations
@@ -147,7 +161,99 @@ class MicroBatcher:
                 ev.set()
 
 
-def make_handler(batcher, cfg):
+class StreamSessions:
+    """Pooled streaming-transcription sessions for the HTTP server.
+
+    ``make_transcriber()`` builds a fresh ``StreamingTranscriber``;
+    finished/expired sessions return their transcriber to a pool after
+    ``reset()``, so each process traces the chunked programs once. Idle
+    sessions are reaped after ``ttl_s`` seconds (lazily, on access)."""
+
+    def __init__(self, make_transcriber, ttl_s: float = 300.0,
+                 max_sessions: int = 64, pool_size: int = 8):
+        self._make = make_transcriber
+        self.ttl_s = ttl_s
+        self.max_sessions = max_sessions
+        self._pool: list = []
+        self._pool_size = pool_size
+        self._sessions: dict = {}   # id -> [transcriber, lock, last_seen]
+        self._lock = threading.Lock()
+        self._counter = 0
+        self.stats = {"stream_sessions": 0, "stream_chunks": 0,
+                      "stream_active": 0, "stream_reaped": 0}
+
+    def _reap_locked(self) -> None:
+        now = time.monotonic()
+        for sid in [s for s, v in self._sessions.items()
+                    if now - v[2] > self.ttl_s]:
+            self._release(self._sessions.pop(sid)[0])
+            self.stats["stream_reaped"] += 1
+        self.stats["stream_active"] = len(self._sessions)
+
+    def _release(self, st) -> None:
+        try:
+            st.reset()
+        except Exception:  # noqa: BLE001 — a broken transcriber is dropped
+            return
+        if len(self._pool) < self._pool_size:
+            self._pool.append(st)
+
+    def start(self) -> str:
+        with self._lock:
+            self._reap_locked()
+            if len(self._sessions) >= self.max_sessions:
+                raise RuntimeError("too many active streaming sessions")
+            st = self._pool.pop() if self._pool else self._make()
+            self._counter += 1
+            sid = f"s{self._counter:06d}"
+            self._sessions[sid] = [st, threading.Lock(), time.monotonic()]
+            self.stats["stream_sessions"] += 1
+            self.stats["stream_active"] = len(self._sessions)
+        return sid
+
+    def _get(self, sid: str):
+        with self._lock:
+            self._reap_locked()
+            if sid not in self._sessions:
+                raise KeyError(f"unknown or expired session {sid!r}")
+            entry = self._sessions[sid]
+            entry[2] = time.monotonic()
+            return entry
+
+    def feed(self, sid: str, audio: np.ndarray) -> str:
+        st, lock, _ = self._get(sid)
+        with lock:
+            delta = st.feed(audio)
+        with self._lock:
+            self.stats["stream_chunks"] += 1
+        return delta
+
+    def text(self, sid: str) -> str:
+        st, lock, _ = self._get(sid)
+        with lock:
+            return st.text
+
+    def finish(self, sid: str) -> str:
+        st, lock, _ = self._get(sid)
+        with lock:
+            st.finish()
+            final = st.text
+        with self._lock:
+            if self._sessions.pop(sid, None) is not None:
+                self._release(st)
+            self.stats["stream_active"] = len(self._sessions)
+        return final
+
+
+def _decode_pcm(raw: bytes, content_type: str) -> np.ndarray:
+    """Raw streaming chunk -> float32 signal. 'audio/f32' = little-endian
+    float32; anything else = little-endian int16 (audio/l16)."""
+    if "f32" in (content_type or ""):
+        return np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+
+
+def make_handler(batcher, cfg, sessions: "StreamSessions" = None):
     sr = cfg.audio.sample_rate
 
     class Handler(BaseHTTPRequestHandler):
@@ -167,11 +273,49 @@ def make_handler(batcher, cfg):
                 self._reply(200, {"status": "ok"})
             elif self.path == "/stats":
                 with batcher._lock:
-                    self._reply(200, dict(batcher.stats))
+                    stats = dict(batcher.stats)
+                if sessions is not None:
+                    with sessions._lock:
+                        stats.update(sessions.stats)
+                self._reply(200, stats)
+            elif (sessions is not None and self.path.startswith("/stream/")
+                    and self.path.endswith("/text")):
+                try:
+                    sid = self.path[len("/stream/"):-len("/text")]
+                    self._reply(200, {"text": sessions.text(sid)})
+                except KeyError as e:
+                    self._reply(404, {"error": str(e)})
             else:
                 self._reply(404, {"error": "unknown path"})
 
+        def _do_stream(self):
+            if sessions is None:
+                self._reply(404, {"error": "streaming disabled "
+                                           "(--no-streaming)"})
+                return
+            path = self.path[len("/stream/"):]
+            try:
+                if path == "start" or path == "start/":
+                    self._reply(200, {"session": sessions.start()})
+                elif path.endswith("/finish"):
+                    sid = path[: -len("/finish")]
+                    self._reply(200, {"text": sessions.finish(sid)})
+                else:
+                    n = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(n)
+                    audio = _decode_pcm(
+                        raw, self.headers.get("Content-Type", ""))
+                    delta = sessions.feed(path, audio)
+                    self._reply(200, {"text_delta": delta})
+            except KeyError as e:
+                self._reply(404, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — server must not die
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
         def do_POST(self):
+            if self.path.startswith("/stream/"):
+                self._do_stream()
+                return
             if self.path != "/transcribe":
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -227,6 +371,13 @@ def main(argv=None) -> None:
     p.add_argument("--no-adaptive-batch", action="store_true",
                    help="always pad the batch axis to --max-batch instead of "
                         "the smallest power-of-two rung that fits")
+    p.add_argument("--no-streaming", action="store_true",
+                   help="disable the /stream/* session endpoints")
+    p.add_argument("--stream-chunk-seconds", type=float, default=2.0)
+    p.add_argument("--stream-context-seconds", type=float, default=6.0)
+    p.add_argument("--stream-ttl", type=float, default=300.0,
+                   help="idle seconds before a streaming session is reaped")
+    p.add_argument("--max-stream-sessions", type=int, default=64)
     args = p.parse_args(argv)
 
     cfg = load_config(args)
@@ -247,10 +398,25 @@ def main(argv=None) -> None:
         batcher.warmup(all_sizes=args.warmup_all)
         print(f"warmed {len(args.buckets)} bucket shapes "
               f"in {time.perf_counter() - t0:.1f}s")
-    handler = make_handler(batcher, cfg)
+    sessions = None
+    if not args.no_streaming:
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        def make_transcriber():
+            return StreamingTranscriber(
+                pipe.cfg, tokenizer,
+                {"params": pipe.state.params,
+                 "batch_stats": pipe.state.batch_stats},
+                chunk_s=args.stream_chunk_seconds,
+                left_context_s=args.stream_context_seconds,
+                decode=args.decode, decode_cfg=pipe.cfg.decode)
+
+        sessions = StreamSessions(make_transcriber, ttl_s=args.stream_ttl,
+                                  max_sessions=args.max_stream_sessions)
+    handler = make_handler(batcher, cfg, sessions)
     server = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"serving on http://{args.host}:{args.port} "
-          f"(POST /transcribe, GET /healthz /stats)")
+          f"(POST /transcribe /stream/*, GET /healthz /stats)")
     server.serve_forever()
 
 

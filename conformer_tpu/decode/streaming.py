@@ -166,7 +166,9 @@ class StreamingTranscriber:
                     return buf, count, carry
 
                 self._forward_t = jax.jit(forward_t)
-                self._rnnt_carry = model.bind(variables).predict_init(1)
+                self._predict_init = lambda: model.bind(
+                    self._variables).predict_init(1)
+                self._rnnt_carry = self._predict_init()
         elif decode == "beam_device":
             # Fully on-device streaming CTC beam+LM: encoder + log-softmax +
             # prefix beam search (with word-level LM fusion + hotwords from
@@ -227,8 +229,9 @@ class StreamingTranscriber:
             if decode == "beam":
                 from conformer_tpu.decode.beam_search import BeamSearchDecoder
 
+                self._stream_cfg = decode_cfg or DecodeConfig()
                 self._stream = BeamSearchDecoder(
-                    tokenizer, decode_cfg or DecodeConfig()).stream()
+                    tokenizer, self._stream_cfg).stream()
 
         self._buffer = np.zeros((0,), np.float32)   # unprocessed audio
         self._context = np.zeros((0,), np.float32)  # already-emitted audio
@@ -244,6 +247,29 @@ class StreamingTranscriber:
         self._pending = None  # (device outputs tuple, start) awaiting fetch
 
     # ------------------------------------------------------------------
+    def reset(self) -> None:
+        """Clear all carried state for a fresh utterance WITHOUT rebuilding
+        the jitted programs — lets servers pool transcribers across
+        sessions instead of paying a re-trace per connection."""
+        self._buffer = np.zeros((0,), np.float32)
+        self._context = np.zeros((0,), np.float32)
+        self._prev_id = -1
+        self._pieces = []
+        self._pending = None
+        if getattr(self, "_stream", None) is not None:
+            # Host beam: BeamSearchDecoder.stream() starts a fresh search.
+            from conformer_tpu.decode.beam_search import BeamSearchDecoder
+            self._stream = BeamSearchDecoder(
+                self.tok, self._stream_cfg).stream()
+        if hasattr(self, "_beam_best"):
+            self._beam_best = None
+        if hasattr(self, "_ctc_beams"):
+            self._ctc_beams = None
+        if hasattr(self, "_rnnt_beams"):
+            self._rnnt_beams = None
+        if self.arch == "transducer" and hasattr(self, "_forward_t"):
+            self._rnnt_carry = self._predict_init()
+
     def _sub_frames(self, n_samples: int) -> int:
         """Samples -> subsampled encoder frames (exact length formulas:
         reference processor.py:392 and convolution.py:55)."""

@@ -119,6 +119,107 @@ class TestMicroBatcher:
             mb.submit(_signal(0.5))
 
 
+class FakeTranscriber:
+    """Stands in for StreamingTranscriber: upper-cases sample counts."""
+
+    built = 0
+
+    def __init__(self):
+        FakeTranscriber.built += 1
+        self.reset()
+
+    def reset(self):
+        self._chunks = []
+        self.resets = getattr(self, "resets", 0) + 1
+
+    def feed(self, audio):
+        self._chunks.append(len(audio))
+        return f"<{len(audio)}>"
+
+    def finish(self):
+        self._chunks.append(0)
+        return ""
+
+    @property
+    def text(self):
+        return "|".join(str(c) for c in self._chunks)
+
+
+class TestStreamSessions:
+    def _sessions(self, **kw):
+        from conformer_tpu.cli.serve import StreamSessions
+
+        return StreamSessions(FakeTranscriber, **kw)
+
+    def test_lifecycle_and_pooling(self):
+        ss = self._sessions()
+        before = FakeTranscriber.built
+        sid = ss.start()
+        assert ss.feed(sid, np.zeros(100, np.float32)) == "<100>"
+        assert ss.feed(sid, np.zeros(50, np.float32)) == "<50>"
+        assert ss.text(sid) == "100|50"
+        assert ss.finish(sid) == "100|50|0"
+        with pytest.raises(KeyError):
+            ss.feed(sid, np.zeros(10, np.float32))
+        # The transcriber went back to the pool reset; a new session reuses
+        # it instead of building (= re-tracing) a fresh one.
+        sid2 = ss.start()
+        assert FakeTranscriber.built == before + 1
+        assert ss.text(sid2) == ""
+
+    def test_ttl_reaps_idle_sessions(self):
+        ss = self._sessions(ttl_s=0.01)
+        sid = ss.start()
+        time.sleep(0.05)
+        with pytest.raises(KeyError):
+            ss.feed(sid, np.zeros(10, np.float32))
+        assert ss.stats["stream_reaped"] == 1
+
+    def test_session_cap(self):
+        ss = self._sessions(max_sessions=2)
+        ss.start(), ss.start()
+        with pytest.raises(RuntimeError, match="too many"):
+            ss.start()
+
+    def test_http_stream_roundtrip(self):
+        from http.server import ThreadingHTTPServer
+
+        from conformer_tpu.cli.serve import make_handler
+
+        pipe = FakePipe(cost_s=0.0)
+        mb = MicroBatcher(pipe, [2 * SR], max_batch=2, window_ms=1)
+        handler = make_handler(mb, Config(), self._sessions())
+        server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            def post(path, data=b"", headers=None):
+                req = urllib.request.Request(base + path, data=data,
+                                             headers=headers or {})
+                with urllib.request.urlopen(req, timeout=10) as r:
+                    return json.loads(r.read())
+
+            sid = post("/stream/start")["session"]
+            pcm = (np.ones(400) * 16384).astype("<i2").tobytes()
+            delta = post(f"/stream/{sid}", pcm,
+                         {"Content-Type": "audio/l16"})["text_delta"]
+            assert delta == "<400>"
+            f32 = np.ones(200, "<f4").tobytes()
+            assert post(f"/stream/{sid}", f32,
+                        {"Content-Type": "audio/f32"})["text_delta"] == "<200>"
+            with urllib.request.urlopen(f"{base}/stream/{sid}/text",
+                                        timeout=10) as r:
+                assert json.loads(r.read())["text"] == "400|200"
+            assert post(f"/stream/{sid}/finish")["text"] == "400|200|0"
+            with urllib.request.urlopen(f"{base}/stats", timeout=10) as r:
+                stats = json.loads(r.read())
+            assert stats["stream_sessions"] == 1
+            assert stats["stream_chunks"] == 2
+        finally:
+            server.shutdown()
+
+
 class TestHTTPServer:
     def test_end_to_end_concurrent_clients(self):
         from http.server import ThreadingHTTPServer
