@@ -265,6 +265,10 @@ class ParallelConfig:
 
     dp: int = 1           # data-parallel mesh axis size ('data')
     tp: int = 1           # tensor-parallel mesh axis size ('model')
+    # ZeRO-1: shard Adam moments over the data axis (resident optimizer
+    # memory / dp, identical numerics; parallel/mesh.py
+    # make_opt_state_shardings). Params/grads stay DP-replicated.
+    zero: bool = False
     data_axis: str = "data"
     model_axis: str = "model"
 

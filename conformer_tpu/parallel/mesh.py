@@ -119,14 +119,34 @@ def make_param_shardings(mesh: Mesh, params: Any, tp_enabled: bool = True) -> An
 
 
 def make_opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any,
-                             tp_enabled: bool = True) -> Any:
+                             tp_enabled: bool = True,
+                             zero: bool = False) -> Any:
     """Shardings for an optax state: leaves whose shape matches a parameter
     (Adam moments) get that parameter's sharding; scalars/counters replicate.
 
     Works structurally: any opt-state leaf that is itself a pytree congruent
     with `params` is mapped leaf-by-leaf.
+
+    ``zero=True`` additionally shards each moment leaf over the DATA axis
+    (ZeRO-1 / optimizer-state sharding — no reference counterpart): the
+    first dimension not already TP-sharded and divisible by dp carries the
+    'data' axis, cutting resident optimizer memory per chip by dp with
+    identical numerics (GSPMD reshards around the Adam update). Leaves with
+    no divisible dimension stay on the param sharding.
     """
     param_sh = make_param_shardings(mesh, params, tp_enabled)
+    if zero:
+        dp = mesh.shape.get(DATA_AXIS, 1)
+        if dp > 1:
+            def zero_one(leaf, sh):
+                parts = list(tuple(sh.spec))
+                parts += [None] * (getattr(leaf, "ndim", 0) - len(parts))
+                for i, (p, dim) in enumerate(zip(parts, leaf.shape)):
+                    if p is None and dim >= dp and dim % dp == 0:
+                        parts[i] = DATA_AXIS
+                        break
+                return NamedSharding(mesh, P(*parts))
+            param_sh = jax.tree_util.tree_map(zero_one, params, param_sh)
     params_struct = jax.tree_util.tree_structure(params)
 
     def map_node(node):

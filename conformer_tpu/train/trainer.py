@@ -77,8 +77,9 @@ class Trainer:
                 batch_stats=jax.tree_util.tree_map(
                     lambda _: jax.sharding.NamedSharding(
                         mesh, jax.sharding.PartitionSpec()), state.batch_stats),
-                opt_state=make_opt_state_shardings(mesh, state.opt_state,
-                                                   state.params, tp_enabled=tp))
+                opt_state=make_opt_state_shardings(
+                    mesh, state.opt_state, state.params, tp_enabled=tp,
+                    zero=getattr(cfg.parallel, "zero", False)))
             state = jax.device_put(state, state_sh)
         self.state = state
         self.epoch = 0

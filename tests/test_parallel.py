@@ -41,7 +41,8 @@ def batch_args(cfg, batch_size=8):
     return (b.audio, b.audio_lengths, b.tokens, b.token_lengths)
 
 
-def run_step(cfg, mesh=None, tp=False, steps=2, mesh_context=False):
+def run_step(cfg, mesh=None, tp=False, steps=2, mesh_context=False,
+             zero=False):
     tx = make_optimizer(cfg.optim, steps_per_epoch=10)
     state = build_state(cfg, tx)
     args = batch_args(cfg)
@@ -53,7 +54,8 @@ def run_step(cfg, mesh=None, tp=False, steps=2, mesh_context=False):
             batch_stats=jax.tree_util.tree_map(
                 lambda _: NamedSharding(mesh, P()), state.batch_stats),
             opt_state=make_opt_state_shardings(mesh, state.opt_state,
-                                               state.params, tp_enabled=tp))
+                                               state.params, tp_enabled=tp,
+                                               zero=zero))
         state = jax.device_put(state, state_sh)
         args = jax.device_put(args, shard_batch_tree(mesh, args))
     losses = []
@@ -109,6 +111,23 @@ class TestDataParallel:
         losses, _ = run_step(cfg, mesh=None)
         losses_sp, _ = run_step(cfg_sp, mesh=None)
         np.testing.assert_allclose(losses, losses_sp, rtol=1e-6)
+
+    def test_zero_matches_single_device(self):
+        # ZeRO-1 (Adam moments sharded over 'data') must be a pure memory
+        # layout change: identical losses AND identical parameters, with the
+        # moments actually living sharded.
+        cfg = tiny_cfg()
+        losses_1, state_1 = run_step(cfg, mesh=None)
+        mesh = make_mesh(dp=8, tp=1)
+        losses_z, state_z = run_step(cfg, mesh=mesh, zero=True)
+        np.testing.assert_allclose(losses_1, losses_z, rtol=2e-4)
+        p1 = jax.tree_util.tree_leaves(state_1.params)[0]
+        pz = jax.tree_util.tree_leaves(state_z.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(pz), atol=1e-5)
+        sharded = [l for l in jax.tree_util.tree_leaves(state_z.opt_state)
+                   if getattr(l, "ndim", 0) >= 1
+                   and "data" in str(getattr(l, "sharding", ""))]
+        assert sharded, "no optimizer-state leaf is data-sharded under zero"
 
     def test_param_shardings_cover_big_matmuls(self):
         cfg = tiny_cfg()
