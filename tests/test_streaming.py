@@ -154,6 +154,53 @@ class TestStreaming:
         assert text_pipe == text_sync
         assert em_pipe == em_sync  # same total emission, later arrival
 
+    def test_reset_reuses_programs_for_a_fresh_utterance(self, setup):
+        # reset() must clear all carried state without rebuilding the jitted
+        # programs: decoding the same audio before and after a reset (with a
+        # different utterance in between) gives identical text.
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        a = _audio(3.1, seed=5)
+        b = _audio(2.2, seed=6)
+        st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                  left_context_s=2.0)
+        st.feed(a)
+        st.finish()
+        first = st.text
+        st.reset()
+        st.feed(b)
+        st.finish()
+        assert st.text  # decoded something else in between
+        st.reset()
+        st.feed(a)
+        st.finish()
+        assert st.text == first
+
+    def test_reset_clears_beam_state(self, setup):
+        # Same contract for the stateful beam modes: the carried BeamState /
+        # host beam list must not leak across reset().
+        from conformer_tpu.config import DecodeConfig
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        a = _audio(3.1, seed=5)
+        b = _audio(2.2, seed=6)
+        for mode in ("beam", "beam_device"):
+            st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                      left_context_s=2.0, decode=mode,
+                                      decode_cfg=DecodeConfig(beam_width=4))
+            st.feed(a)
+            st.finish()
+            first = st.text
+            st.reset()
+            st.feed(b)
+            st.finish()
+            st.reset()
+            st.feed(a)
+            st.finish()
+            assert st.text == first, mode
+
     def test_beam_mode_single_chunk_matches_offline_beam(self, setup):
         import jax
 
