@@ -408,6 +408,30 @@ class TestStreaming:
         assert st.finish() == want
         assert st.text == want
 
+    def test_transducer_reset_clears_carry_and_beams(self, setup_transducer):
+        # RNN-T reset: the prediction-network carry (greedy) and the full
+        # beam tuple (beam) must both return to the fresh state.
+        from conformer_tpu.config import DecodeConfig
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup_transducer
+        a = _audio(3.1, seed=7)
+        b = _audio(2.2, seed=8)
+        for mode in ("greedy", "beam"):
+            st = StreamingTranscriber(cfg, tok, variables, chunk_s=1.0,
+                                      left_context_s=2.0, decode=mode,
+                                      decode_cfg=DecodeConfig(beam_width=4))
+            st.feed(a)
+            st.finish()
+            first = st.text
+            st.reset()
+            st.feed(b)
+            st.finish()
+            st.reset()
+            st.feed(a)
+            st.finish()
+            assert st.text == first, mode
+
     def test_transducer_beam_block_invariance(self, setup_transducer):
         from conformer_tpu.config import DecodeConfig
         from conformer_tpu.decode.streaming import StreamingTranscriber
