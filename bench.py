@@ -106,6 +106,11 @@ def main() -> None:
     num_samples = int(audio_s * cfg.audio.sample_rate)
 
     tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
+    if mode in ("pretrain", "pretrain_byol"):
+        _bench_pretrain(cfg, tx, batch_size, audio_s, num_samples, steps,
+                        method="byol" if mode == "pretrain_byol"
+                        else "wav2vec2")
+        return
     variables = init_variables(cfg, jax.random.PRNGKey(0),
                                mel_frames=num_samples // 160 + 1)
 
@@ -299,6 +304,63 @@ def _bench_transducer_decode(cfg, variables, batch_size, audio_s,
         "value": round(rtf, 6),
         "unit": (f"rtf (device RNN-T beam width {width}, batched)" if beam
                  else "rtf (frame-sync greedy, batched)"),
+        "vs_baseline": 1.0,
+    }))
+
+
+def _bench_pretrain(cfg, tx, batch_size, audio_s, num_samples, steps,
+                    method="wav2vec2"):
+    """Self-supervised pretraining throughput (audio-s/s per chip) for the
+    wav2vec2 (InfoNCE + diversity) or BYOL objective — the reference's
+    pretraining is unrunnable as shipped (SURVEY §2 #14), so these are
+    measured capabilities with no reference number to compare against."""
+    import json as _json
+    import time as _time
+
+    import jax
+
+    from conformer_tpu.train.pretrain import (gumbel_temperature_at,
+                                              init_byol_state,
+                                              init_wav2vec2_state,
+                                              make_byol_step,
+                                              make_wav2vec2_step)
+
+    mel_frames = num_samples // 160 + 1
+    rng = jax.random.PRNGKey(0)
+    audio = jax.device_put(
+        jax.random.normal(rng, (batch_size, num_samples),
+                          dtype=np.float32) * 0.1)
+    lengths = jax.device_put(
+        np.full((batch_size,), num_samples, np.int32))
+
+    if method == "wav2vec2":
+        state = init_wav2vec2_state(cfg, rng, tx, mel_frames=mel_frames)
+        step_fn = make_wav2vec2_step(cfg, tx)
+        temp = gumbel_temperature_at(cfg, 0)
+
+        def run(st, r):
+            return step_fn(st, audio, lengths, r, temp)
+    else:
+        state = init_byol_state(cfg, rng, tx, mel_frames=mel_frames)
+        step_fn = make_byol_step(cfg, tx)
+
+        def run(st, r):
+            return step_fn(st, audio, lengths, r)
+
+    state = jax.device_put(state)
+    for _ in range(2):  # warmup / compile
+        state, metrics = run(state, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["loss"])
+    t0 = _time.perf_counter()
+    for i in range(steps):
+        state, metrics = run(state, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = _time.perf_counter() - t0
+    throughput = batch_size * audio_s * steps / dt
+    print(_json.dumps({
+        "metric": f"pretrain_{method}_throughput_audio_seconds_per_s_per_chip",
+        "value": round(throughput, 2),
+        "unit": f"audio-s/s ({method} objective, batch {batch_size})",
         "vs_baseline": 1.0,
     }))
 
