@@ -135,13 +135,21 @@ def contrastive_loss(context: jnp.ndarray, target: jnp.ndarray,
 
     context/target: (B, T, D); mask_time_indices: (B, T) bool.
     -> (mean loss over masked positions, accuracy).
+
+    TPU-first formulation: the naive layout gathers (B, T, K, D) negative
+    *vectors* and spawns several same-shape autodiff temporaries (~16G
+    resident at batch 32, T=199, K=100, D=256 — it capped the pretrain
+    batch size). Instead, normalize once and compute ONE (B, T, T) cosine
+    matrix on the MXU, then gather the K sampled *scalar* logits per
+    position — identical logits for the same rng (parity-tested in
+    tests/test_pretrain.py::test_contrastive_matches_gathered_vectors).
     Static shapes: negatives are sampled for every position; only masked
     positions contribute to the mean.
     """
     b, t, d = context.shape
     k = num_negatives
 
-    # Sample negative indices != own position, then gather target vectors.
+    # Sample negative indices != own position.
     neg_rng = jax.random.split(rng, b)
 
     def sample_neg(r):
@@ -150,18 +158,22 @@ def contrastive_loss(context: jnp.ndarray, target: jnp.ndarray,
         return raw + (raw >= own)  # skip self
 
     neg_idx = jax.vmap(sample_neg)(neg_rng)            # (B, T, K)
-    negatives = jax.vmap(lambda tgt, idx: tgt[idx])(target, neg_idx)  # (B,T,K,D)
 
-    candidates = jnp.concatenate([target[:, :, None, :], negatives], axis=2)
-    # Cosine similarity logits (B, T, 1+K).
-    ctx = context[:, :, None, :]
-    cos = jnp.sum(ctx * candidates, axis=-1) / (
-        jnp.linalg.norm(ctx, axis=-1) * jnp.linalg.norm(candidates, axis=-1)
-        + 1e-8)
-    logits = cos / temperature
-    # Mask out negatives identical to the positive (same quantized vector).
-    same = jnp.all(jnp.abs(candidates - target[:, :, None, :]) < 1e-6, axis=-1)
-    same = same.at[:, :, 0].set(False)
+    ctx_n = context / (jnp.linalg.norm(context, axis=-1, keepdims=True)
+                       + 1e-8)
+    tgt_n = target / (jnp.linalg.norm(target, axis=-1, keepdims=True) + 1e-8)
+    # All-pairs cosine, one matmul: cos_all[b, i, j] = cos(ctx_i, tgt_j).
+    cos_all = jnp.einsum("btd,bsd->bts", ctx_n, tgt_n)  # (B, T, T)
+    pos = jnp.einsum("btd,btd->bt", ctx_n, tgt_n)
+    neg = jnp.take_along_axis(cos_all, neg_idx, axis=2)  # (B, T, K) scalars
+    logits = jnp.concatenate([pos[:, :, None], neg], axis=2) / temperature
+
+    # Mask out negatives identical to the positive (same quantized vector
+    # -> unit cosine on the target-target similarity; replaces the
+    # (B, T, K, D) elementwise vector compare).
+    tgt_sim = jax.lax.stop_gradient(jnp.einsum("btd,bsd->bts", tgt_n, tgt_n))
+    same_neg = jnp.take_along_axis(tgt_sim, neg_idx, axis=2) > 1.0 - 1e-5
+    same = jnp.concatenate([jnp.zeros((b, t, 1), bool), same_neg], axis=2)
     logits = jnp.where(same, -jnp.inf, logits)
 
     logp = jax.nn.log_softmax(logits, axis=-1)

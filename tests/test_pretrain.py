@@ -100,6 +100,62 @@ class TestContrastiveLoss:
         assert float(loss_good) < float(loss_bad)
         assert float(acc_good) > 0.9
 
+    def test_contrastive_matches_gathered_vectors(self):
+        """The MXU (B,T,T)-matrix formulation must produce the same loss as
+        the naive gather-(B,T,K,D)-vectors formulation for the same rng."""
+        rng = jax.random.PRNGKey(0)
+        b, t, d, k = 3, 24, 16, 7
+        context = jax.random.normal(rng, (b, t, d))
+        # Quantized-style targets: a small codebook so duplicate positives
+        # exist among the sampled negatives (exercises the `same` mask).
+        codes = jax.random.normal(jax.random.PRNGKey(1), (5, d))
+        assign = jax.random.randint(jax.random.PRNGKey(2), (b, t), 0, 5)
+        target = codes[assign]
+        mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.6, (b, t))
+        loss_rng = jax.random.PRNGKey(4)
+
+        def naive(context, target):
+            neg_rng = jax.random.split(loss_rng, b)
+
+            def sample_neg(r):
+                raw = jax.random.randint(r, (t, k), 0, t - 1)
+                own = jnp.arange(t)[:, None]
+                return raw + (raw >= own)
+
+            neg_idx = jax.vmap(sample_neg)(neg_rng)
+            negatives = jax.vmap(lambda tg, idx: tg[idx])(target, neg_idx)
+            candidates = jnp.concatenate(
+                [target[:, :, None, :], negatives], axis=2)
+            ctx = context[:, :, None, :]
+            cos = jnp.sum(ctx * candidates, axis=-1) / (
+                jnp.linalg.norm(ctx, axis=-1)
+                * jnp.linalg.norm(candidates, axis=-1) + 1e-8)
+            logits = cos / 0.1
+            same = jnp.all(
+                jnp.abs(candidates - target[:, :, None, :]) < 1e-6, axis=-1)
+            same = same.at[:, :, 0].set(False)
+            logits = jnp.where(same, -jnp.inf, logits)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            m = mask.astype(jnp.float32)
+            loss = jnp.sum(-logp[..., 0] * m) / jnp.maximum(jnp.sum(m), 1.0)
+            acc = jnp.sum((jnp.argmax(logits, axis=-1) == 0) * m) \
+                / jnp.maximum(jnp.sum(m), 1.0)
+            return loss, acc
+
+        loss_ref, acc_ref = naive(context, target)
+        loss_new, acc_new = contrastive_loss(context, target, mask, loss_rng,
+                                             num_negatives=k, temperature=0.1)
+        np.testing.assert_allclose(float(loss_new), float(loss_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(acc_new), float(acc_ref), atol=1e-6)
+        # Gradients must agree too (the matrix path must be differentiable
+        # through the gathered logits).
+        g_ref = jax.grad(lambda c: naive(c, target)[0])(context)
+        g_new = jax.grad(lambda c: contrastive_loss(
+            c, target, mask, loss_rng, num_negatives=k)[0])(context)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestPretrainSteps:
     def test_wav2vec2_step_runs_and_improves(self):
