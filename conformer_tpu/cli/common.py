@@ -23,8 +23,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="dotted config override, e.g. --set model.d_model=256")
-    p.add_argument("--tokenizer", default="vi",
-                   help="tokenizer spec name or path (vi, en, or a JSON path)")
+    p.add_argument("--tokenizer", default=None,
+                   help="tokenizer spec name or path (vi, en, or a JSON "
+                        "path); defaults to train.tokenizer_path, then 'vi'")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices / tp)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
@@ -63,7 +64,13 @@ def setup_mesh(args: argparse.Namespace):
     return make_mesh(dp=dp, tp=args.tp)
 
 
-def load_tokenizer_from_args(args: argparse.Namespace):
+def load_tokenizer_from_args(args: argparse.Namespace,
+                             cfg: Optional[Config] = None):
+    """CLI flag wins, then ``cfg.train.tokenizer_path``, then 'vi' (the
+    reference's default language — reference: train.py:297)."""
     from conformer_tpu.text.tokenizer import load_tokenizer
 
-    return load_tokenizer(args.tokenizer)
+    name = args.tokenizer
+    if name is None and cfg is not None:
+        name = cfg.train.tokenizer_path
+    return load_tokenizer(name or "vi")

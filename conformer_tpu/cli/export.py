@@ -27,7 +27,7 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     cfg = load_config(args)
-    tokenizer = load_tokenizer_from_args(args)
+    tokenizer = load_tokenizer_from_args(args, cfg)
     cfg = cfg.override(**{"model.vocab_size": tokenizer.vocab_size})
 
     import jax

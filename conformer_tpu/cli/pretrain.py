@@ -47,7 +47,7 @@ def main(argv=None) -> None:
                                               make_wav2vec2_step)
     from conformer_tpu.train.state import make_optimizer
 
-    tokenizer = load_tokenizer_from_args(args)  # only for batch plumbing
+    tokenizer = load_tokenizer_from_args(args, cfg)  # only for batch plumbing
     ds = ManifestDataset(cfg.data.train_manifest, cfg.audio.sample_rate,
                          num_examples=cfg.data.num_examples)
     loader = BucketedLoader(ds, tokenizer, cfg.data,

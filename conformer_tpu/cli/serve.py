@@ -383,7 +383,7 @@ def main(argv=None) -> None:
     cfg = load_config(args)
     if args.lm:
         cfg = cfg.override(**{"decode.lm_path": args.lm})
-    tokenizer = load_tokenizer_from_args(args)
+    tokenizer = load_tokenizer_from_args(args, cfg)
 
     from conformer_tpu.decode.pipeline import InferencePipeline
 

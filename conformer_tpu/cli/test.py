@@ -31,7 +31,7 @@ def main(argv=None) -> None:
     if args.lm:
         cfg = cfg.override(**{"decode.lm_path": args.lm})
     setup_mesh(args)
-    tokenizer = load_tokenizer_from_args(args)
+    tokenizer = load_tokenizer_from_args(args, cfg)
 
     from conformer_tpu.decode.pipeline import InferencePipeline
 

@@ -40,7 +40,7 @@ def main(argv=None) -> None:
         raise SystemExit("--train-manifest (or data.train_manifest) is required")
 
     mesh = setup_mesh(args)
-    tokenizer = load_tokenizer_from_args(args)
+    tokenizer = load_tokenizer_from_args(args, cfg)
 
     from conformer_tpu.train.logging import MetricsLogger
     from conformer_tpu.train.trainer import Trainer

@@ -317,6 +317,8 @@ class TrainConfig:
     # Mid-epoch validation every N steps (0 = validate per epoch only).
     val_every_steps: int = 0
     seed: int = 0
+    # Default tokenizer spec (name or JSON path) when the CLI --tokenizer
+    # flag is not given; lets one Config JSON fully describe a run.
     tokenizer_path: Optional[str] = None
     resume: bool = True
     # Early stopping on the validation metric (0 disables). A working version

@@ -45,3 +45,28 @@ class TestOverride:
         back = Config.from_json(p)
         assert back.model.n_blocks == 3
         assert back.data.bucket_batch_sizes == (8, 4)
+
+
+class TestTokenizerResolution:
+    """--tokenizer flag wins, then train.tokenizer_path, then 'vi'."""
+
+    def _args(self, tokenizer=None):
+        import argparse
+        return argparse.Namespace(tokenizer=tokenizer)
+
+    def test_flag_wins_over_config(self):
+        from conformer_tpu.cli.common import load_tokenizer_from_args
+        cfg = Config().override(**{"train.tokenizer_path": "vi"})
+        tok = load_tokenizer_from_args(self._args("en"), cfg)
+        assert tok.vocab_size == 160  # en spec
+
+    def test_config_path_used_when_no_flag(self):
+        from conformer_tpu.cli.common import load_tokenizer_from_args
+        cfg = Config().override(**{"train.tokenizer_path": "en"})
+        tok = load_tokenizer_from_args(self._args(None), cfg)
+        assert tok.vocab_size == 160  # en spec
+
+    def test_default_is_vi(self):
+        from conformer_tpu.cli.common import load_tokenizer_from_args
+        tok = load_tokenizer_from_args(self._args(None), Config())
+        assert tok.vocab_size == 370  # vi spec
