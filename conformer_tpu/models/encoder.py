@@ -95,6 +95,59 @@ class _ScanCell(nn.Module):
         return x, None
 
 
+def apply_block_stack(cfg: ModelConfig, x: jnp.ndarray, pos_emb: jnp.ndarray,
+                      attn_mask: Optional[jnp.ndarray],
+                      frame_mask: Optional[jnp.ndarray], *,
+                      bn_axis_name: Optional[str],
+                      dtype: jnp.dtype, deterministic: bool) -> jnp.ndarray:
+    """Apply the N-block conformer stack inside a parent module's compact
+    scope (submodules named 'blocks' / 'block_i').
+
+    Single source of truth for how ALL model families (CTC Conformer,
+    Transducer, wav2vec2 pretrain) map ModelConfig onto the stack —
+    scan-vs-unrolled, per-block remat, scan_unroll, and every kernel flag
+    (attention_impl / conv_impl / dropout_impl / attention_score_dtype /
+    conv_mask_pad / seq_shard). The wav2vec2 model previously hand-rolled
+    this with a stale kwarg set, silently losing remat + the fused attention
+    kernel + hash dropout — which capped the pretrain batch at 24 and left
+    ~2.4x throughput on the table.
+    """
+    block_kwargs = dict(
+        d_model=cfg.d_model, n_heads=cfg.n_heads, kernel_size=cfg.kernel_size,
+        ffn_expansion=cfg.ffn_expansion, dropout_rate=cfg.dropout_rate,
+        conv_norm=cfg.conv_norm, conv_impl=cfg.conv_impl,
+        conv_mask_pad=cfg.conv_mask_pad,
+        attention_impl=cfg.attention_impl,
+        attention_score_dtype=cfg.attention_score_dtype,
+        dropout_impl=getattr(cfg, "dropout_impl", "prng"),
+        seq_shard=getattr(cfg, "seq_shard", False),
+        bn_axis_name=bn_axis_name,
+        dtype=dtype, deterministic=deterministic,
+    )
+
+    if cfg.use_scan_layers:
+        cell = _ScanCell
+        if cfg.use_remat:
+            cell = nn.remat(cell, prevent_cse=False)
+        blocks = nn.scan(
+            cell,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"dropout": True, "params": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=cfg.n_blocks,
+            unroll=getattr(cfg, "scan_unroll", 1),
+        )(block_kwargs=block_kwargs, name="blocks")
+        x, _ = blocks(x, pos_emb, attn_mask, frame_mask)
+    else:
+        block_cls = ConformerBlock
+        if cfg.use_remat:
+            block_cls = nn.remat(block_cls, prevent_cse=False)
+        for i in range(cfg.n_blocks):
+            x = block_cls(**block_kwargs, name=f"block_{i}")(
+                x, pos_emb, attn_mask, frame_mask)
+    return x
+
+
 class ConformerEncoder(nn.Module):
     cfg: ModelConfig
     bn_axis_name: Optional[str] = None
@@ -131,38 +184,8 @@ class ConformerEncoder(nn.Module):
 
         pos_emb = relative_positional_encoding(l, cfg.d_model, self.dtype)
 
-        block_kwargs = dict(
-            d_model=cfg.d_model, n_heads=cfg.n_heads, kernel_size=cfg.kernel_size,
-            ffn_expansion=cfg.ffn_expansion, dropout_rate=cfg.dropout_rate,
-            conv_norm=cfg.conv_norm, conv_impl=cfg.conv_impl,
-            conv_mask_pad=cfg.conv_mask_pad,
-            attention_impl=cfg.attention_impl,
-            attention_score_dtype=cfg.attention_score_dtype,
-            dropout_impl=getattr(cfg, "dropout_impl", "prng"),
-            seq_shard=getattr(cfg, "seq_shard", False),
-            bn_axis_name=self.bn_axis_name,
-            dtype=self.dtype, deterministic=self.deterministic,
-        )
-
-        if cfg.use_scan_layers:
-            cell = _ScanCell
-            if cfg.use_remat:
-                cell = nn.remat(cell, prevent_cse=False)
-            blocks = nn.scan(
-                cell,
-                variable_axes={"params": 0, "batch_stats": 0},
-                split_rngs={"dropout": True, "params": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-                length=cfg.n_blocks,
-                unroll=getattr(cfg, "scan_unroll", 1),
-            )(block_kwargs=block_kwargs, name="blocks")
-            x, _ = blocks(x, pos_emb, attn_mask, frame_mask)
-        else:
-            block_cls = ConformerBlock
-            if cfg.use_remat:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
-            for i in range(cfg.n_blocks):
-                x = block_cls(**block_kwargs, name=f"block_{i}")(
-                    x, pos_emb, attn_mask, frame_mask)
-
+        x = apply_block_stack(cfg, x, pos_emb, attn_mask, frame_mask,
+                              bn_axis_name=self.bn_axis_name,
+                              dtype=self.dtype,
+                              deterministic=self.deterministic)
         return x, out_lengths

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from conformer_tpu.config import ModelConfig, PretrainConfig
-from conformer_tpu.models.encoder import ConformerBlock, _ScanCell
+from conformer_tpu.models.encoder import apply_block_stack
 from conformer_tpu.models.layers import ConvolutionSubsampling
 from conformer_tpu.models.position import relative_positional_encoding
 from conformer_tpu.models.quantizer import GumbelQuantizer
@@ -70,6 +70,8 @@ class Wav2Vec2Pretrain(nn.Module):
         """
         cfg, pre = self.cfg, self.pre
         features = ConvolutionSubsampling(cfg.d_model, self.dtype,
+                                          impl=getattr(cfg, "subsample_impl",
+                                                       "conv2d"),
                                           name="subsample")(mels)
         b, t, feat_dim = features.shape
 
@@ -101,25 +103,14 @@ class Wav2Vec2Pretrain(nn.Module):
             attn_mask = attention_pad_mask(out_lengths, t)
         pos_emb = relative_positional_encoding(t, cfg.d_model, self.dtype)
 
-        block_kwargs = dict(
-            d_model=cfg.d_model, n_heads=cfg.n_heads,
-            kernel_size=cfg.kernel_size, ffn_expansion=cfg.ffn_expansion,
-            dropout_rate=cfg.dropout_rate, conv_norm=cfg.conv_norm,
-            conv_impl=cfg.conv_impl, bn_axis_name=None, dtype=self.dtype,
-            deterministic=self.deterministic)
-        if cfg.use_scan_layers:
-            blocks = nn.scan(
-                _ScanCell,
-                variable_axes={"params": 0, "batch_stats": 0},
-                split_rngs={"dropout": True, "params": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-                length=cfg.n_blocks,
-            )(block_kwargs=block_kwargs, name="blocks")
-            x, _ = blocks(x, pos_emb, attn_mask, frame_mask)
-        else:
-            for i in range(cfg.n_blocks):
-                x = ConformerBlock(**block_kwargs, name=f"block_{i}")(
-                    x, pos_emb, attn_mask, frame_mask)
+        # Same stack builder as the supervised encoder: identical param
+        # structure (transfer_encoder relies on it) AND identical flag
+        # coverage — remat, scan_unroll, fused attention, hash dropout,
+        # score dtype. See apply_block_stack's docstring for the bug this
+        # replaces.
+        x = apply_block_stack(cfg, x, pos_emb, attn_mask, frame_mask,
+                              bn_axis_name=None, dtype=self.dtype,
+                              deterministic=self.deterministic)
 
         context = nn.Dense(pre.proj_dim, dtype=self.dtype,
                            param_dtype=jnp.float32, name="context_proj")(x)

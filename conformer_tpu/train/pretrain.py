@@ -27,6 +27,14 @@ from conformer_tpu.train.state import TrainState
 from conformer_tpu.utils.masking import padding_mask, subsampled_length
 
 
+def _compute_dtype(cfg: Config) -> jnp.dtype:
+    """Pretraining honors optim.compute_dtype like the supervised step does
+    (bf16 encoder compute, fp32 params; losses are computed in fp32 — both
+    models cast their outputs up before returning)."""
+    return jnp.bfloat16 if cfg.optim.compute_dtype == "bfloat16" \
+        else jnp.float32
+
+
 # ---------------------------------------------------------------------------
 # wav2vec2
 # ---------------------------------------------------------------------------
@@ -38,7 +46,8 @@ def make_wav2vec2_step(cfg: Config, tx: optax.GradientTransformation,
     -> (state, metrics)."""
     frontend = frontend or MelFrontend(cfg.audio)
     pre = cfg.pretrain
-    model = Wav2Vec2Pretrain(cfg.model, pre, deterministic=False)
+    model = Wav2Vec2Pretrain(cfg.model, pre, dtype=_compute_dtype(cfg),
+                             deterministic=False)
 
     def step(state: TrainState, audio, audio_lengths, rng, temperature):
         mels = frontend(audio)
@@ -106,8 +115,10 @@ def make_byol_step(cfg: Config, tx: optax.GradientTransformation,
                    donate: bool = True) -> Callable:
     frontend = frontend or MelFrontend(cfg.audio)
     pre = cfg.pretrain
-    online = BYOLNet(cfg.model, pre, with_predictor=True, deterministic=False)
-    target = BYOLNet(cfg.model, pre, with_predictor=False, deterministic=True)
+    online = BYOLNet(cfg.model, pre, with_predictor=True,
+                     dtype=_compute_dtype(cfg), deterministic=False)
+    target = BYOLNet(cfg.model, pre, with_predictor=False,
+                     dtype=_compute_dtype(cfg), deterministic=True)
 
     def step(state: BYOLState, audio, audio_lengths, rng):
         mels = frontend(audio)
@@ -166,6 +177,7 @@ def init_byol_state(cfg: Config, rng: jax.Array,
                     tx: optax.GradientTransformation,
                     mel_frames: int = 256) -> BYOLState:
     online = BYOLNet(cfg.model, cfg.pretrain, with_predictor=True,
+                     dtype=_compute_dtype(cfg),
                      deterministic=True)
     mels = jnp.zeros((1, mel_frames, cfg.model.n_mel_channels))
     lengths = jnp.full((1,), mel_frames, jnp.int32)
@@ -186,7 +198,8 @@ def init_byol_state(cfg: Config, rng: jax.Array,
 def init_wav2vec2_state(cfg: Config, rng: jax.Array,
                         tx: optax.GradientTransformation,
                         mel_frames: int = 256) -> TrainState:
-    model = Wav2Vec2Pretrain(cfg.model, cfg.pretrain, deterministic=True)
+    model = Wav2Vec2Pretrain(cfg.model, cfg.pretrain,
+                             dtype=_compute_dtype(cfg), deterministic=True)
     mels = jnp.zeros((1, mel_frames, cfg.model.n_mel_channels))
     lengths = jnp.full((1,), mel_frames, jnp.int32)
     t_sub = subsampled_length(mel_frames)
