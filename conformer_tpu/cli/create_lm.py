@@ -13,7 +13,8 @@ from __future__ import annotations
 import argparse
 import os
 
-from conformer_tpu.cli.common import add_common_args, load_tokenizer_from_args
+from conformer_tpu.cli.common import (add_common_args, load_config,
+                                      load_tokenizer_from_args)
 
 
 def main(argv=None) -> None:
@@ -30,7 +31,11 @@ def main(argv=None) -> None:
     p.add_argument("--token-order", type=int, default=5)
     args = p.parse_args(argv)
 
-    tok = load_tokenizer_from_args(args)
+    # Respect a config's train.tokenizer_path like every other entry point —
+    # LM artifacts (lexicon, token-level corpus) must use the run's tokenizer
+    # or the vocab won't match the model at decode time.
+    cfg = load_config(args)
+    tok = load_tokenizer_from_args(args, cfg)
     os.makedirs(args.out, exist_ok=True)
 
     # Clean + uppercase corpus (reference: create_lm.py:26-31).

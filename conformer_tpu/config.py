@@ -110,8 +110,9 @@ class ModelConfig:
     # TPU. Falls back to identical-math XLA off-TPU; under an active mesh
     # the call is shard_mapped over the data/model axes
     # (ops/pallas/sincos_attention.rel_attention_sincos_sharded).
-    # 'xla': dense (B,H,L,L) scores + rel-shift. 'pallas_bias': round-1
-    # bias-fused kernel (inference-only, neutral; kept for benches).
+    # 'xla': dense (B,H,L,L) scores + rel-shift. (The round-1 'pallas_bias'
+    # bias-fused kernel measured neutral and was deleted round 3 per
+    # win-or-delete — docs/PERFORMANCE.md negative results.)
     attention_impl: str = "pallas"
     # Attention score tensor IO dtype. bfloat16 halves the dominant HBM
     # traffic at (B,H,L,L); softmax still reduces in float32.

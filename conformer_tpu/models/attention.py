@@ -49,8 +49,7 @@ class RelativeMultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     # 'xla' dense path | 'pallas' fused shift-free sin/cos kernel (fwd+bwd,
-    # dropout in-kernel) | 'pallas_bias' round-1 bias-fused kernel (neutral,
-    # kept for benchmarking).
+    # dropout in-kernel).
     impl: str = "xla"
     score_dtype: jnp.dtype = jnp.float32
     dropout_impl: str = "prng"
@@ -104,18 +103,6 @@ class RelativeMultiHeadAttention(nn.Module):
                 jnp.transpose(k, (0, 2, 1, 3)),
                 jnp.transpose(v, (0, 2, 1, 3)),
                 wh, lengths, scale, rate, seed)
-            context = jnp.transpose(context, (0, 2, 1, 3))
-        elif (self.impl == "pallas_bias"
-              and (self.dropout_rate == 0.0 or deterministic)):
-            from conformer_tpu.ops.pallas.flash_attention import rel_attention
-
-            p = dense("pos")(pos_emb).reshape(-1, h, dh)
-            context = rel_attention(
-                jnp.transpose(q + u, (0, 2, 1, 3)),
-                jnp.transpose(q + vb, (0, 2, 1, 3)),
-                jnp.transpose(k, (0, 2, 1, 3)),
-                jnp.transpose(v, (0, 2, 1, 3)),
-                jnp.transpose(p, (1, 0, 2)), lengths, scale, "pallas")
             context = jnp.transpose(context, (0, 2, 1, 3))
         else:
             # Position projection has no batch dim: (2L-1, D) -> (2L-1, H, dh)

@@ -5,8 +5,9 @@ The Transformer-XL position score needs ``pos[i, j] = qv_i . p(i - j)`` where
 (reference: model/utils/attention.py:49-56 materializes a (B, H, L, 2L-1)
 tensor and realigns it with a pad/reshape "rel-shift", attention.py:94-101).
 The shift cannot currently be lowered inside a Mosaic kernel (round-1
-finding, see ops/pallas/flash_attention.py), so this kernel removes the shift
-entirely via the angle-addition identity:
+finding; the interim 'pallas_bias' kernel that shifted in XLA measured
+neutral and was deleted in round 3 — docs/PERFORMANCE.md negative results),
+so this kernel removes the shift entirely via the angle-addition identity:
 
 With e_r[2k] = sin(r w_k), e_r[2k+1] = cos(r w_k) (models/position.py:20-36)
 and per-head projection a_i = W_h qv_i (W_h = pos-kernel head slice):

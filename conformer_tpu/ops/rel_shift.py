@@ -26,6 +26,34 @@ def rel_shift(pos_score: jnp.ndarray) -> jnp.ndarray:
     return shifted[..., :, : m // 2 + 1]                     # (..., L, L)
 
 
+def rel_attention_xla(qu, qv, k, v, p, lengths, scale: float) -> jnp.ndarray:
+    """Dense rel-shift attention: the XLA baseline / ground-truth path.
+
+    qu/qv/k/v: (B, H, L, dh); p: (H, 2L-1, dh) -> context (B, H, L, dh).
+    Math matches the reference score assembly
+    (reference: model/utils/attention.py:49-70). Used by the sincos-kernel
+    parity tests and tools/bench_sincos.py as the comparison baseline; the
+    production dispatch lives in models/attention.py ('xla' impl) and
+    ops/pallas/sincos_attention.py ('pallas' impl).
+    """
+    import jax
+    import numpy as np
+
+    content = jnp.einsum("bhld,bhmd->bhlm", qu, k,
+                         preferred_element_type=jnp.float32)
+    pos_raw = jnp.einsum("bhld,hmd->bhlm", qv, p,
+                         preferred_element_type=jnp.float32)
+    scores = (content + rel_shift(pos_raw)) * scale
+    if lengths is not None:
+        l = k.shape[2]
+        mask = jnp.arange(l)[None, :] >= lengths[:, None]   # (B, L) pad=True
+        scores = jnp.where(mask[:, None, None, :],
+                           float(np.finfo(np.float32).min), scores)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhlm,bhmd->bhld", weights.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
 def rel_shift_reference(pos_score: jnp.ndarray) -> jnp.ndarray:
     """Naive gather formulation — ground truth for parity tests."""
     *lead, l, m = pos_score.shape

@@ -56,17 +56,20 @@ class TestTokenizerResolution:
 
     def test_flag_wins_over_config(self):
         from conformer_tpu.cli.common import load_tokenizer_from_args
+        from conformer_tpu.text.tokenizer import load_tokenizer
         cfg = Config().override(**{"train.tokenizer_path": "vi"})
         tok = load_tokenizer_from_args(self._args("en"), cfg)
-        assert tok.vocab_size == 160  # en spec
+        assert tok.vocab == load_tokenizer("en").vocab
 
     def test_config_path_used_when_no_flag(self):
         from conformer_tpu.cli.common import load_tokenizer_from_args
+        from conformer_tpu.text.tokenizer import load_tokenizer
         cfg = Config().override(**{"train.tokenizer_path": "en"})
         tok = load_tokenizer_from_args(self._args(None), cfg)
-        assert tok.vocab_size == 160  # en spec
+        assert tok.vocab == load_tokenizer("en").vocab
 
     def test_default_is_vi(self):
         from conformer_tpu.cli.common import load_tokenizer_from_args
+        from conformer_tpu.text.tokenizer import load_tokenizer
         tok = load_tokenizer_from_args(self._args(None), Config())
-        assert tok.vocab_size == 370  # vi spec
+        assert tok.vocab == load_tokenizer("vi").vocab

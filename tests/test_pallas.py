@@ -67,70 +67,6 @@ class TestDepthwiseConv:
                                    atol=1e-4)
 
 
-class TestFlashRelAttention:
-    def _inputs(self, B=2, H=3, L=100, dh=16, seed=0):
-        import numpy as np
-        rng = np.random.default_rng(seed)
-        mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
-        return (mk(B, H, L, dh), mk(B, H, L, dh), mk(B, H, L, dh),
-                mk(B, H, L, dh), mk(H, 2 * L - 1, dh))
-
-    def test_parity_with_xla_reference(self):
-        from conformer_tpu.ops.pallas.flash_attention import (
-            _pallas_rel_attention, rel_attention_xla)
-        qu, qv, k, v, p = self._inputs()
-        lengths = jnp.array([100, 57])
-        want = rel_attention_xla(qu, qv, k, v, p, lengths, 0.25)
-        got = _pallas_rel_attention(qu, qv, k, v, p, lengths, 0.25, tq=32,
-                                    interpret=True)
-        for b in range(2):
-            n = int(lengths[b])
-            np.testing.assert_allclose(np.asarray(got)[b, :, :n],
-                                       np.asarray(want)[b, :, :n], atol=1e-5)
-
-    def test_gradients_flow_via_xla_backward(self):
-        from conformer_tpu.ops.pallas.flash_attention import (rel_attention,
-                                                              rel_attention_xla)
-        qu, qv, k, v, p = self._inputs(B=1, H=2, L=32, dh=8)
-        lengths = jnp.array([32])
-
-        def loss_fused(*args):
-            return jnp.sum(rel_attention(*args, lengths, 0.3, "pallas", True) ** 2)
-
-        def loss_ref(*args):
-            return jnp.sum(rel_attention_xla(*args, lengths, 0.3) ** 2)
-
-        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
-        for a, b in zip(gf, gr):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
-
-    def test_model_level_equivalence(self):
-        # attention_impl='pallas' (interpret) must match 'xla' end-to-end.
-        import unittest.mock as mock
-        from conformer_tpu.ops.pallas import flash_attention as fa
-        from conformer_tpu.config import ModelConfig
-        from conformer_tpu.models.conformer import Conformer
-
-        cfg_x = ModelConfig.tiny(vocab_size=20)
-        cfg_p = ModelConfig(**{**cfg_x.__dict__, "attention_impl": "pallas"})
-        mels = jax.random.normal(jax.random.PRNGKey(0), (2, 61, 80))
-        lengths = jnp.array([61, 40])
-        m_x = Conformer(cfg_x, deterministic=True)
-        v = m_x.init(jax.random.PRNGKey(1), mels, lengths)
-        (want, wl), _ = m_x.apply(v, mels, lengths, mutable=[])
-
-        orig = fa._dispatch
-        interp = lambda qu, qv, k, vv, p, ln, s, impl, ip: orig(
-            qu, qv, k, vv, p, ln, s, impl, True)
-        m_p = Conformer(cfg_p, deterministic=True)
-        with mock.patch.object(fa, "_dispatch", side_effect=interp):
-            (got, _), _ = m_p.apply(v, mels, lengths, mutable=[])
-        for b, n in enumerate([int(x) for x in wl]):
-            np.testing.assert_allclose(np.asarray(got)[b, :n],
-                                       np.asarray(want)[b, :n], atol=2e-4)
-
-
 class TestMelKernel:
     def test_parity_with_xla_frontend(self):
         from conformer_tpu.audio.mel import MelFrontend
@@ -187,7 +123,7 @@ class TestSincosAttention:
     def _reference(self, qu, qv, k, v, K, lengths, scale):
         """Ground truth via the rel-shift path with p = pe @ K per head."""
         from conformer_tpu.models.position import relative_positional_encoding
-        from conformer_tpu.ops.pallas.flash_attention import rel_attention_xla
+        from conformer_tpu.ops.rel_shift import rel_attention_xla
         H, dh = qu.shape[1], qu.shape[3]
         L, D = qu.shape[2], K.shape[0]
         pe = relative_positional_encoding(L, D)

@@ -48,7 +48,7 @@ def main():
         pass
 
     from conformer_tpu.models.position import relative_positional_encoding
-    from conformer_tpu.ops.pallas.flash_attention import rel_attention_xla
+    from conformer_tpu.ops.rel_shift import rel_attention_xla
     from conformer_tpu.ops.pallas.sincos_attention import (
         prep_pos_kernel, rel_attention_sincos)
 

@@ -1,37 +1,15 @@
 """One-process wav2vec2 pretrain batch sweep (post matmul-form InfoNCE).
 
-Runs several (batch, remat) configs in a single TPU process so the tunnel
-handshake is paid once. OOMs are caught and reported as such. Appends one
-JSON line per config to stdout; copy winners into tools/sweep_results.jsonl.
+Harness in tools/_sweep_common.py (shared with the BYOL sweep).
 """
 from __future__ import annotations
 
-import json
 import os
-import time
+import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/conformer_tpu_jax_cache")
+sys.path.insert(0, os.path.dirname(__file__))
+from _sweep_common import run_sweep  # noqa: E402
 
-import jax
-import numpy as np
-
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
-jax.config.update("jax_default_prng_impl", "rbg")
-
-from conformer_tpu.config import Config
-from conformer_tpu.train.state import make_optimizer
-from conformer_tpu.train.pretrain import (gumbel_temperature_at,
-                                          init_wav2vec2_state,
-                                          make_wav2vec2_step)
-
-AUDIO_S = 8.0
-STEPS = 20
 CONFIGS = [  # (batch, remat)
     (32, True),
     (32, False),
@@ -41,48 +19,13 @@ CONFIGS = [  # (batch, remat)
 ]
 
 
-def run_one(batch_size: int, remat: bool) -> None:
-    cfg = Config().override(**{
-        "model.use_remat": remat,
-        "model.use_scan_layers": True,
-        "model.attention_impl": "pallas",
-        "model.attention_score_dtype": "bfloat16",
-    })
-    num_samples = int(AUDIO_S * cfg.audio.sample_rate)
-    mel_frames = num_samples // 160 + 1
-    tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
-    rng = jax.random.PRNGKey(0)
-    audio = jax.device_put(
-        jax.random.normal(rng, (batch_size, num_samples), np.float32) * 0.1)
-    lengths = jax.device_put(np.full((batch_size,), num_samples, np.int32))
-    state = init_wav2vec2_state(cfg, rng, tx, mel_frames=mel_frames)
-    step_fn = make_wav2vec2_step(cfg, tx)
-    temp = gumbel_temperature_at(cfg, 0)
-    state = jax.device_put(state)
-    for _ in range(2):
-        state, metrics = step_fn(state, audio, lengths, jax.random.PRNGKey(1),
-                                 temp)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, metrics = step_fn(state, audio, lengths,
-                                 jax.random.PRNGKey(2 + i), temp)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-    tput = batch_size * AUDIO_S * STEPS / dt
-    print(json.dumps({"batch": batch_size, "remat": remat,
-                      "throughput": round(tput, 2)}), flush=True)
-    del state, audio, lengths
-
-
 def main() -> None:
-    for batch_size, remat in CONFIGS:
-        try:
-            run_one(batch_size, remat)
-        except Exception as e:  # OOM or compile failure: report, continue
-            msg = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
-            print(json.dumps({"batch": batch_size, "remat": remat,
-                              "error": msg}), flush=True)
+    from conformer_tpu.train.pretrain import (gumbel_temperature_at,
+                                              init_wav2vec2_state,
+                                              make_wav2vec2_step)
+
+    run_sweep(CONFIGS, init_wav2vec2_state, make_wav2vec2_step,
+              step_extras=lambda cfg: (gumbel_temperature_at(cfg, 0),))
 
 
 if __name__ == "__main__":
