@@ -54,14 +54,20 @@ def load_config(args: argparse.Namespace) -> Config:
 
 
 def setup_mesh(args: argparse.Namespace):
-    """-> mesh or None (single device). Initializes multi-host first if asked."""
+    """-> mesh or None (single device). Initializes multi-host first if asked.
+
+    ``--dp 1 --tp 1`` forces single-device even on a multi-chip host; an
+    explicit dp*tp smaller than the device count uses the first dp*tp
+    devices (useful for ablations and the virtual-device test mesh)."""
     if args.multihost:
         jax.distributed.initialize()
-    n = len(jax.devices())
-    if n == 1 and args.tp == 1:
+    devices = jax.devices()
+    dp = args.dp or len(devices) // args.tp
+    if dp * args.tp == 1:
         return None
-    dp = args.dp or n // args.tp
-    return make_mesh(dp=dp, tp=args.tp)
+    if dp * args.tp < len(devices):
+        devices = devices[: dp * args.tp]
+    return make_mesh(dp=dp, tp=args.tp, devices=devices)
 
 
 def load_tokenizer_from_args(args: argparse.Namespace,

@@ -24,6 +24,11 @@ def main(argv=None) -> None:
     p.add_argument("--val-manifest", default=None)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--wandb", action="store_true", help="also log to wandb")
+    p.add_argument("--init-encoder-from", default=None,
+                   help="pretrain checkpoint dir to transfer encoder weights "
+                        "from (semi-supervised pipeline)")
+    p.add_argument("--init-method", choices=["wav2vec2", "byol"], default=None,
+                   help="objective of --init-encoder-from's checkpoint")
     args = p.parse_args(argv)
 
     cfg = load_config(args)
@@ -34,6 +39,10 @@ def main(argv=None) -> None:
         overrides["data.val_manifest"] = args.val_manifest
     if args.checkpoint_dir:
         overrides["train.checkpoint_dir"] = args.checkpoint_dir
+    if args.init_encoder_from:
+        overrides["train.init_encoder_from"] = args.init_encoder_from
+    if args.init_method:
+        overrides["train.init_encoder_method"] = args.init_method
     if overrides:
         cfg = cfg.override(**overrides)
     if not cfg.data.train_manifest:

@@ -333,6 +333,14 @@ class TrainConfig:
     # PRNG implementation for dropout/augment keys. 'rbg' (TPU hardware RNG)
     # is ~25% faster end-to-end than 'threefry2x32' at production scale.
     prng_impl: str = "rbg"
+    # Initialize the encoder from a self-supervised pretrain checkpoint
+    # directory (cli/pretrain.py output) before supervised training — the
+    # transfer step of the semi-supervised pipeline the reference only
+    # sketched (reference: semi/create_label.py:7 + README BYOL diagram).
+    # Ignored when resuming from an existing supervised checkpoint.
+    # init_encoder_method must match the checkpoint's objective.
+    init_encoder_from: str = ""
+    init_encoder_method: str = "wav2vec2"   # 'wav2vec2' | 'byol'
     # AOT-compile the train step for every bucket shape into the persistent
     # compilation cache before training: 'off', 'sync' (block before the
     # first epoch), or 'background' (compile on a thread while the first

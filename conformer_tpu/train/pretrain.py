@@ -213,6 +213,22 @@ def init_wav2vec2_state(cfg: Config, rng: jax.Array,
 # Weight transfer into the supervised model
 # ---------------------------------------------------------------------------
 
+def load_pretrained_params(cfg: Config, directory: str,
+                           method: str = "wav2vec2") -> Dict:
+    """Restore the param tree of a pretrain checkpoint (online tower for
+    BYOL) for `transfer_encoder`. The checkpoint structure is derived
+    abstractly from the same config, so nothing is materialized twice."""
+    from conformer_tpu.train.checkpoint import CheckpointManager
+    from conformer_tpu.train.state import make_optimizer
+
+    tx = make_optimizer(cfg.optim, steps_per_epoch=1)  # structure only
+    init = init_byol_state if method == "byol" else init_wav2vec2_state
+    abstract = jax.eval_shape(
+        lambda rng: init(cfg, rng, tx), jax.random.PRNGKey(0))
+    state, _ = CheckpointManager(directory).restore(abstract)
+    return state.params
+
+
 def transfer_encoder(pretrained_params: Dict, ctc_params: Dict,
                      method: str = "wav2vec2") -> Dict:
     """Copy pretrained encoder weights into a supervised param tree.

@@ -67,7 +67,22 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
 
         variables = init_variables(cfg, _prng_key(cfg, cfg.train.seed))
-        state = TrainState.create(variables["params"],
+        params = variables["params"]
+        if cfg.train.init_encoder_from:
+            # Semi-supervised transfer: encoder weights from a pretrain
+            # checkpoint, heads freshly initialized. Skipped on resume below
+            # (the supervised checkpoint then wins).
+            from conformer_tpu.train.pretrain import (load_pretrained_params,
+                                                      transfer_encoder)
+
+            pre = load_pretrained_params(cfg, cfg.train.init_encoder_from,
+                                         cfg.train.init_encoder_method)
+            params = transfer_encoder(pre, params,
+                                      method=cfg.train.init_encoder_method)
+            print(f"[trainer] encoder initialized from "
+                  f"{cfg.train.init_encoder_from} "
+                  f"({cfg.train.init_encoder_method})")
+        state = TrainState.create(params,
                                   variables.get("batch_stats", {}), self.tx)
         if mesh is not None:
             tp = mesh.shape.get("model", 1) > 1

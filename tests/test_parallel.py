@@ -164,6 +164,97 @@ class TestTransducerParallel:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(pm), atol=1e-5)
 
 
+class TestPretrainParallel:
+    """The self-supervised families must be sharding-invariant too
+    (the supervised DP/TP proofs above say nothing about the InfoNCE /
+    BYOL objectives or the quantizer)."""
+
+    def _pretrain_cfg(self, **over):
+        return tiny_cfg(**{
+            "pretrain.num_vars": 16, "pretrain.proj_dim": 32,
+            "pretrain.num_negatives": 8, "pretrain.predictor_hidden": 32,
+            **over})
+
+    def _audio_args(self, cfg, batch_size=8):
+        b = synthetic_batch(batch_size, 160 * 63, cfg.model.vocab_size,
+                            max_tokens=16, seed=7)
+        return (b.audio, b.audio_lengths)
+
+    def _run_w2v2(self, cfg, mesh=None, tp=False, steps=2):
+        from conformer_tpu.train.pretrain import (gumbel_temperature_at,
+                                                  init_wav2vec2_state,
+                                                  make_wav2vec2_step)
+        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        state = init_wav2vec2_state(cfg, jax.random.PRNGKey(0), tx,
+                                    mel_frames=64)
+        args = self._audio_args(cfg)
+        step_fn = make_wav2vec2_step(cfg, tx, donate=False)
+        if mesh is not None:
+            state_sh = TrainState(
+                step=NamedSharding(mesh, P()),
+                params=make_param_shardings(mesh, state.params, tp_enabled=tp),
+                batch_stats=jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P()), state.batch_stats),
+                opt_state=make_opt_state_shardings(mesh, state.opt_state,
+                                                   state.params, tp_enabled=tp))
+            state = jax.device_put(state, state_sh)
+            args = jax.device_put(args, shard_batch_tree(mesh, args))
+        losses = []
+        for i in range(steps):
+            state, metrics = step_fn(state, *args, jax.random.PRNGKey(5),
+                                     gumbel_temperature_at(cfg, i))
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    def _run_byol(self, cfg, mesh=None, tp=False, steps=2):
+        from conformer_tpu.train.pretrain import (BYOLState, init_byol_state,
+                                                  make_byol_step)
+        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        state = init_byol_state(cfg, jax.random.PRNGKey(0), tx, mel_frames=64)
+        args = self._audio_args(cfg)
+        step_fn = make_byol_step(cfg, tx, donate=False)
+        if mesh is not None:
+            repl = lambda tree: jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P()), tree)
+            state_sh = BYOLState(
+                step=NamedSharding(mesh, P()),
+                params=make_param_shardings(mesh, state.params, tp_enabled=tp),
+                target_params=make_param_shardings(mesh, state.target_params,
+                                                   tp_enabled=tp),
+                batch_stats=repl(state.batch_stats),
+                target_batch_stats=repl(state.target_batch_stats),
+                opt_state=make_opt_state_shardings(mesh, state.opt_state,
+                                                   state.params, tp_enabled=tp))
+            state = jax.device_put(state, state_sh)
+            args = jax.device_put(args, shard_batch_tree(mesh, args))
+        losses = []
+        for i in range(steps):
+            state, metrics = step_fn(state, *args, jax.random.PRNGKey(5))
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    def test_wav2vec2_dp_tp_matches_single_device(self):
+        cfg = self._pretrain_cfg()
+        losses_1, state_1 = self._run_w2v2(cfg, mesh=None)
+        mesh = make_mesh(dp=4, tp=2)
+        losses_m, state_m = self._run_w2v2(cfg, mesh=mesh, tp=True)
+        np.testing.assert_allclose(losses_1, losses_m, rtol=2e-4)
+        p1 = jax.tree_util.tree_leaves(state_1.params)[0]
+        pm = jax.tree_util.tree_leaves(state_m.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(pm), atol=1e-5)
+
+    def test_byol_dp_tp_matches_single_device(self):
+        cfg = self._pretrain_cfg()
+        losses_1, state_1 = self._run_byol(cfg, mesh=None)
+        mesh = make_mesh(dp=4, tp=2)
+        losses_m, state_m = self._run_byol(cfg, mesh=mesh, tp=True)
+        np.testing.assert_allclose(losses_1, losses_m, rtol=2e-4)
+        # EMA target tower must agree too (it feeds every future loss).
+        t1 = jax.tree_util.tree_leaves(state_1.target_params)[0]
+        tm = jax.tree_util.tree_leaves(state_m.target_params)[0]
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(tm), atol=1e-5)
+
+
 class TestBatchNormGlobal:
     def test_bn_stats_are_global_under_dp(self):
         # Under GSPMD, BatchNorm batch statistics reduce over the GLOBAL

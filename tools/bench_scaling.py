@@ -52,6 +52,14 @@ def main():
     n_devices = len(jax.devices())
     sizes = args.sizes or [s for s in (1, 2, 4, 8, 16, 32) if s <= n_devices]
 
+    if args.simulate or jax.default_backend() == "cpu":
+        print(json.dumps({
+            "note": "CORRECTNESS-ONLY: virtual CPU devices share host "
+                    "cores, so 'scaling_efficiency' here measures host "
+                    "contention, NOT ICI. For projected real-slice "
+                    "efficiency use tools/comm_model.py "
+                    "(docs/DISTRIBUTED.md)."}))
+
     cfg = Config()
     if args.tiny or args.simulate:
         cfg = cfg.override(**{
