@@ -158,6 +158,8 @@ def main() -> None:
 
     audio_seconds = batch_size * audio_s * steps
     value = audio_seconds / dt
+    step_ms = dt / steps * 1e3
+    mfu = _mfu(cfg, batch_size, num_samples // 160 + 1, dt / steps)
 
     if mode == "transducer":
         # No CTC baseline applies; record the measurement standalone.
@@ -193,12 +195,74 @@ def main() -> None:
     except OSError:
         pass
 
-    print(json.dumps({
+    record = {
         "metric": "train_throughput_audio_seconds_per_s_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(vs_baseline, 4),
-    }))
+        "step_time_ms": round(step_ms, 2),
+    }
+    if mfu is not None:
+        record.update(mfu)
+    print(json.dumps(record))
+
+
+def model_train_flops(cfg, batch: int, mel_frames: int) -> float:
+    """Analytic matmul/conv FLOPs of one fused train step (fwd x 3 for
+    fwd+bwd, the standard MFU accounting). Computed analytically rather than
+    from XLA cost analysis because the Pallas attention kernel is a custom
+    call XLA cannot cost. Position-score FLOPs use the shift-free sin/cos
+    formulation actually executed (2 half-width table matmuls ~= 2x the
+    content matmul — ops/pallas/sincos_attention.py)."""
+    m = cfg.model
+    b, d, n_mels = batch, m.d_model, m.n_mel_channels
+    t1 = (mel_frames - 1) // 2
+    l = (t1 - 1) // 2                        # post-subsample frames
+    f1 = (n_mels - 1) // 2                   # post-conv1 mel bins
+    f2 = (f1 - 1) // 2
+    fwd = 0.0
+    # Mel frontend: framed DFT as matmul (400 -> 2*201) + mel filterbank.
+    n_fft = cfg.audio.n_fft
+    fwd += 2.0 * b * mel_frames * n_fft * (n_fft // 2 + 1) * 2
+    fwd += 2.0 * b * mel_frames * (n_fft // 2 + 1) * n_mels
+    # Subsampling convs (reference: model/utils/convolution.py:34-57).
+    fwd += 2.0 * b * d * f1 * t1 * 9                   # conv1 (1 -> d, k3)
+    if getattr(m, "subsample_impl", "conv2d") == "separable":
+        fwd += 2.0 * b * d * f2 * l * (9 + d)          # dw + pw
+    else:
+        fwd += 2.0 * b * d * f2 * l * 9 * d            # conv2 (d -> d, k3)
+    fwd += 2.0 * b * l * (f2 * d) * d                  # input projection
+    # Encoder blocks.
+    per_block = (
+        2 * (2.0 * b * l * d * 4 * d * 2)              # ffn1 + ffn2
+        + 4 * (2.0 * b * l * d * d)                    # q/k/v/out projections
+        + 2.0 * b * l * d * d                          # pos-table prep (qv @ W)
+        + 2.0 * b * l * l * d                          # content scores
+        + 2 * (2.0 * b * l * l * d / 2 * 2)            # sin/cos position scores
+        + 2.0 * b * l * l * d                          # probs @ V
+        + 2.0 * b * l * d * 2 * d                      # conv pointwise1 (GLU)
+        + 2.0 * b * l * d * m.kernel_size              # depthwise conv
+        + 2.0 * b * l * d * d                          # conv pointwise2
+    )
+    fwd += m.n_blocks * per_block
+    # Decoder: LSTM + classifier (reference: model/modules/decoder.py).
+    h = m.lstm_hidden_dim
+    fwd += 2.0 * b * l * (d * 4 * h + h * 4 * h)
+    fwd += 2.0 * b * l * h * m.vocab_size
+    return 3.0 * fwd
+
+
+def _mfu(cfg, batch: int, mel_frames: int, step_time_s: float):
+    """Hardware-anchored utilization: analytic model FLOPs / (step time x
+    chip peak). Peak defaults to TPU v5e bf16 (197 TFLOP/s, public spec);
+    override with BENCH_PEAK_TFLOPS."""
+    try:
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+        flops = model_train_flops(cfg, batch, mel_frames)
+        return {"model_tflops_per_step": round(flops / 1e12, 3),
+                "mfu": round(flops / step_time_s / peak, 4)}
+    except Exception:
+        return None
 
 
 def _bench_infer(cfg, variables, batch_size, audio_s, num_samples, steps):

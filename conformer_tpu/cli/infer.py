@@ -24,7 +24,7 @@ def main(argv=None) -> None:
     p.add_argument("--audio", nargs="*", default=[], help="audio file(s)")
     p.add_argument("--manifest", default=None, help="CSV manifest with a path column")
     p.add_argument("--checkpoint-dir", default=None)
-    p.add_argument("--decode", choices=["greedy", "beam", "beam_device"], default="greedy")
+    p.add_argument("--decode", choices=["greedy", "beam", "beam_device", "beam_auto"], default="greedy")
     p.add_argument("--lm", default=None)
     p.add_argument("--output", default=None, help="CSV output (manifest mode)")
     p.add_argument("--batch-size", type=int, default=8)

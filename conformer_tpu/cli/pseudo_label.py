@@ -27,7 +27,7 @@ def main(argv=None) -> None:
     p.add_argument("--manifest", required=True, help="CSV with a path column")
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--decode", choices=["greedy", "beam", "beam_device"], default="greedy")
+    p.add_argument("--decode", choices=["greedy", "beam", "beam_device", "beam_auto"], default="greedy")
     p.add_argument("--lm", default=None)
     p.add_argument("--min-confidence", type=float, default=None,
                    help="drop utterances with mean frame log-prob below this")

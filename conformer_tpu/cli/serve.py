@@ -353,7 +353,7 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--decode", choices=["greedy", "beam", "beam_device"],
+    p.add_argument("--decode", choices=["greedy", "beam", "beam_device", "beam_auto"],
                    default="greedy")
     p.add_argument("--lm", default=None)
     p.add_argument("--buckets", type=float, nargs="+",

@@ -22,7 +22,7 @@ def main(argv=None) -> None:
     add_common_args(p)
     p.add_argument("--manifest", required=True)
     p.add_argument("--checkpoint-dir", default=None)
-    p.add_argument("--decode", choices=["greedy", "beam", "beam_device"], default="greedy")
+    p.add_argument("--decode", choices=["greedy", "beam", "beam_device", "beam_auto"], default="greedy")
     p.add_argument("--lm", default=None, help="ARPA n-gram LM for beam fusion")
     p.add_argument("--results", default=None, help="CSV path for (ref, hyp) dump")
     args = p.parse_args(argv)

@@ -55,6 +55,25 @@ def _gather_pairs_across_hosts(refs: List[str], hyps: List[str]
     return all_refs, all_hyps
 
 
+def resolve_beam_backend(n_devices: Optional[int] = None, mesh=None) -> str:
+    """Pick the beam-search backend for decode='beam_auto'.
+
+    Measured tradeoff (docs/PERFORMANCE.md): the threaded host C++ prefix
+    beam is ~6x faster at the reference operating point (width 190 + word
+    LM) for offline batch decode on ONE chip — sparse dict beams + pruning
+    beat dense static-shape beams. The on-device search wins whenever the
+    logits are sharded or should never leave the chip: under an active mesh
+    (GSPMD TP/DP decode, LM tables sharded over the model axis) or on a
+    multi-chip attach, fetching (B, T, V) log-probs to the host serializes
+    the pipeline.
+    """
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+    mesh_active = mesh is not None and not getattr(mesh, "empty", True)
+    n = len(jax.devices()) if n_devices is None else n_devices
+    return "beam_device" if (mesh_active or n > 1) else "beam"
+
+
 def _device_lm_kwargs(cfg: Config, tokenizer: GraphemeTokenizer,
                       word_fallback: bool = False) -> dict:
     """Kwargs for on-device LM fusion (HBM-resident hashed tables,
@@ -133,6 +152,9 @@ class InferencePipeline:
     def __init__(self, cfg: Config, tokenizer: GraphemeTokenizer,
                  checkpoint_dir: Optional[str] = None,
                  decode: str = "greedy"):
+        if decode == "beam_auto":
+            decode = resolve_beam_backend()
+            print(f"[infer] beam_auto -> {decode}")
         cfg = cfg.override(**{"model.vocab_size": tokenizer.vocab_size})
         self.cfg = cfg
         self.tok = tokenizer

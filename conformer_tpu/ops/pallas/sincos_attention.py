@@ -238,15 +238,32 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
     """Recompute the probability tile (flash-style: no saved score tensors),
     then emit all five gradients; all heads and NB batch rows per program
     (see _fwd_kernel). dk/dv/dwh accumulate across the q-tile grid dimension
-    (innermost, so revisits are consecutive)."""
+    (innermost, so revisits are consecutive).
+
+    The last q-tile may be PARTIAL (L is not padded to a tile multiple):
+    its out-of-range rows read unspecified values, so every contraction
+    over the q dimension (dv/dk/dwh) masks those rows to zero first;
+    row-shaped outputs (dqu/dqv) rely on Pallas masking partial-block
+    writes."""
     bi, hb, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb = qu_ref.shape[0]
     n_heads = qu_ref.shape[1]
     tq = qu_ref.shape[2]
     l = k_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
+    partial_tile = l_valid % tq != 0          # static: only then mask rows
+    if partial_tile:
+        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+                  + qi * tq) < l_valid
     sq = sq_ref[...].astype(jnp.float32)
     cq = cq_ref[...].astype(jnp.float32)
+    if partial_tile:
+        # Unspecified rows of partial q-tile INPUTS must be zeroed (not
+        # just ignored): contractions over the q dimension (dv/dk/dwh)
+        # would otherwise multiply 0 * NaN. With qu/qv/do/sq/cq zeroed,
+        # every garbage row propagates exact zeros through ds/p_drop.
+        sq = jnp.where(row_ok, sq, 0.0)
+        cq = jnp.where(row_ok, cq, 0.0)
 
     for bb in range(nb):
       length = jnp.minimum(len_ref[bi * nb + bb], l_valid)
@@ -258,6 +275,11 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
         v = v_ref[bb, h]
         wh = wh_ref[h]                                         # (dh, D)
         do = do_ref[bb, h].astype(jnp.float32)
+        if partial_tile:
+            zero = jnp.zeros((), qu.dtype)
+            qu = jnp.where(row_ok, qu, zero)
+            qv = jnp.where(row_ok, qv, zero)
+            do = jnp.where(row_ok, do, 0.0)
 
         scores, _, _ = _scores(qu, qv, k, wh, sq_ref, cq_ref,
                                sk_ref, ck_ref, scale, d2)
@@ -272,6 +294,11 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             e = jnp.exp(scores - m)            # masked cols underflow to 0
             ssum = jnp.sum(e, axis=-1, keepdims=True)
             p = e / jnp.maximum(ssum, 1e-9)                    # (TQ, L)
+        if partial_tile:
+            # _scores reads the UNmasked sq/cq refs, so garbage rows of a
+            # partial tile reach p as NaN; zero them before the q-dim
+            # contractions (dv/dk/dwh all sum over q rows).
+            p = jnp.where(row_ok, p, 0.0)
 
         dov = jax.lax.dot_general(                             # dO . v_j
             do, v.astype(jnp.float32),
@@ -293,7 +320,7 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             ds = ds * scale
 
         dv_c = jax.lax.dot_general(                            # (L, dh)
-            p_drop.astype(do_ref.dtype), do_ref[bb, h],
+            p_drop.astype(do_ref.dtype), do.astype(do_ref.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds_c = ds.astype(k.dtype)
@@ -354,15 +381,15 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
 # pallas_call plumbing.
 # ---------------------------------------------------------------------------
 
-def _pad_args(qu, qv, k, v, lengths, tq):
-    b, h, l_orig, dh = qu.shape
-    l = ((l_orig + tq - 1) // tq) * tq
-    if l != l_orig:
-        pad = [(0, 0), (0, 0), (0, l - l_orig), (0, 0)]
-        qu, qv, k, v = (jnp.pad(x, pad) for x in (qu, qv, k, v))
+def _prep_lengths(lengths, b, l_orig):
+    """No L-padding: q-tiles that run past L are partial blocks — Pallas
+    masks their writes, and the backward masks garbage rows before any
+    contraction over the q dimension (see _bwd_kernel). Removing the
+    explicit jnp.pad/crop killed ~4.6 ms/step of pad+slice copies at the
+    8s production point (r3 trace: 4 pads fwd + 5 bwd + crops per layer)."""
     if lengths is None:
         lengths = jnp.full((b,), l_orig, jnp.int32)
-    return qu, qv, k, v, lengths.astype(jnp.int32), l
+    return lengths.astype(jnp.int32)
 
 
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -429,9 +456,10 @@ def _common_specs(b, h, hb, nb, l, tq, dh, d):
 
 def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
               probs_bf16=False):
-    b, h, l_orig, dh = qu.shape
+    b, h, l, dh = qu.shape
     d = wh.shape[-1]
-    qu, qv, k, v, lengths, l = _pad_args(qu, qv, k, v, lengths, tq)
+    tq = min(tq, ((l + 7) // 8) * 8)
+    lengths = _prep_lengths(lengths, b, l)
     table_dtype = qu.dtype
     sin_t, cos_t = sincos_tables(l, d, table_dtype)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
@@ -439,31 +467,29 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
     hb, nb = _block_sizes(h, b, l, tq, dh, d, qu.dtype.itemsize, bwd=False)
     in_specs, vm = _common_specs(b, h, hb, nb, l, tq, dh, d)
     kern = functools.partial(_fwd_kernel, scale=scale, d2=d // 2,
-                             l_valid=l_orig, rate=rate,
+                             l_valid=l, rate=rate,
                              probs_bf16=probs_bf16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b // nb, h // hb, l // tq),
+        grid=(b // nb, h // hb, pl.cdiv(l, tq)),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((nb, hb, tq, dh),
                                lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, l, dh), v.dtype),
         interpret=interpret,
     )(lengths, seed_arr, qu, qv, k, v, wh, sin_t, cos_t, sin_t, cos_t)
-    return out[:, :, :l_orig, :]
 
 
 def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
               probs_bf16=False):
-    b, h, l_orig, dh = qu.shape
+    b, h, l, dh = qu.shape
     d = wh.shape[-1]
-    qu, qv, k, v, lengths, l = _pad_args(qu, qv, k, v, lengths, tq)
-    g = jnp.pad(g, [(0, 0), (0, 0), (0, l - l_orig), (0, 0)]) \
-        if g.shape[2] != l else g
+    tq = min(tq, ((l + 7) // 8) * 8)
+    lengths = _prep_lengths(lengths, b, l)
     table_dtype = qu.dtype
     sin_t, cos_t = sincos_tables(l, d, table_dtype)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
@@ -473,11 +499,11 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
     in_specs.append(pl.BlockSpec((nb, hb, tq, dh),
                                  lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm))
     kern = functools.partial(_bwd_kernel, scale=scale, d2=d // 2,
-                             l_valid=l_orig, rate=rate,
+                             l_valid=l, rate=rate,
                              probs_bf16=probs_bf16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b // nb, h // hb, l // tq),
+        grid=(b // nb, h // hb, pl.cdiv(l, tq)),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((nb, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
@@ -503,8 +529,8 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
         ],
         interpret=interpret,
     )(lengths, seed_arr, qu, qv, k, v, wh, sin_t, cos_t, sin_t, cos_t, g)
-    crop = lambda x: x[:, :, :l_orig, :].astype(qu.dtype)
-    return (crop(dqu), crop(dqv), crop(dk), crop(dv),
+    to_in = lambda x: x.astype(qu.dtype)
+    return (to_in(dqu), to_in(dqv), to_in(dk), to_in(dv),
             jnp.sum(dwh, axis=0).astype(wh.dtype))
 
 

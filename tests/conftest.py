@@ -26,3 +26,44 @@ jax.config.update("jax_enable_x64", False)
 # them risks SIGILL and flips near-tied decode results at the 1e-7 level
 # (two order-dependent test failures traced to exactly this).
 jax.config.update("jax_enable_compilation_cache", False)
+
+
+# ---------------------------------------------------------------------------
+# Test tiering (VERDICT r2 #8): the suite's real coverage costs ~30 min on a
+# 4-core box. Tests measured >=15s (pytest --durations, r3 full run) carry the
+# 'heavy' marker so iteration can use the quick tier:
+#     python -m pytest tests/ -q -m "not heavy"     (~12 min)
+#     python -m pytest tests/ -q                    (full, ~31 min; CI tier)
+# Durations move with the code — re-run `--durations=30` when adding slow
+# tests and keep this list honest.
+
+import pytest as _pytest
+
+_HEAVY_FILES = {"test_parallel.py", "test_pseudo_label.py"}
+_HEAVY_TESTS = (
+    "test_device_word_lm.py::TestShardedWordFusion::test_sharded_matches_unsharded",
+    "test_train_e2e.py::TestEndToEnd::test_train_resume_eval",
+    "test_train_e2e.py::TestWarmupCompile::test_warmup_compiles_every_bucket",
+    "test_streaming.py::TestStreaming::test_transducer_beam_block_invariance",
+    "test_streaming.py::TestStreaming::test_beam_device_block_invariance",
+    "test_streaming.py::TestStreaming::test_transducer_beam_single_chunk_matches_offline",
+    "test_model.py::TestHashDropout::test_model_trains_with_hash_dropout",
+    "test_model.py::TestSeparableSubsampling::test_separable_shapes_lengths_and_grads",
+    "test_export.py::TestExport::test_beam_export_bakes_lm_fused_decode",
+    "test_transducer.py::TestRnntWordLmFusion::test_exact_word_fusion_when_unpruned",
+    "test_transducer.py::TestRnntWordLmFusion::test_exact_with_hotwords",
+    "test_transducer.py::TestRnntBeamSearch::test_exact_when_unpruned",
+    "test_transducer.py::TestRnntBeamSearch::test_beam_matches_training_labels_after_overfit",
+    "test_transducer.py::TestTransducerTrainStep::test_fused_step_runs_and_decreases",
+    "test_transducer.py::TestTransducerEvalAndPipeline::test_pipeline_dispatch",
+    "test_transducer.py::TestScanLossParity::test_train_step_impls_agree",
+    "test_device_lm.py::TestShardedTable::test_sharded_probe_matches_unsharded",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.fspath.basename
+        nid = f"{fname}::{item.cls.__name__ if item.cls else ''}::{item.name}"
+        if fname in _HEAVY_FILES or nid in _HEAVY_TESTS:
+            item.add_marker(_pytest.mark.heavy)

@@ -307,3 +307,24 @@ class TestDeviceLMFusion:
         lp = self._frames(tok, "xin chào")
         prefixes, plens, scores = f(jnp.asarray(lp[None]))
         assert np.isfinite(np.asarray(scores)[0, 0])
+
+
+class TestBeamBackendAuto:
+    """decode='beam_auto' policy (decode/pipeline.py:resolve_beam_backend):
+    host C++ beam for offline single-chip batch decode (~6x faster at the
+    reference op point), device beam under an active mesh or multi-chip."""
+
+    def test_single_device_picks_host(self):
+        from conformer_tpu.decode.pipeline import resolve_beam_backend
+        assert resolve_beam_backend(n_devices=1) == "beam"
+
+    def test_multi_chip_picks_device(self):
+        from conformer_tpu.decode.pipeline import resolve_beam_backend
+        assert resolve_beam_backend(n_devices=8) == "beam_device"
+
+    def test_active_mesh_picks_device(self):
+        from conformer_tpu.decode.pipeline import resolve_beam_backend
+        from conformer_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=4, tp=2)
+        with jax.set_mesh(mesh):
+            assert resolve_beam_backend(n_devices=1) == "beam_device"

@@ -53,6 +53,9 @@ def main() -> None:
     ap.add_argument("--audio-s", type=float, default=8.0)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--mode", default="train",
+                    choices=["train", "pretrain", "pretrain_byol"],
+                    help="which fused step to trace (pretrain = wav2vec2)")
     ap.add_argument("--trace-dir", default=None,
                     help="parse an existing trace instead of running")
     args = ap.parse_args()
@@ -93,6 +96,9 @@ def _run_and_trace(args, trace_dir: str) -> None:
     })
     num_samples = int(args.audio_s * cfg.audio.sample_rate)
     tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
+    if args.mode in ("pretrain", "pretrain_byol"):
+        _run_and_trace_pretrain(args, trace_dir, cfg, tx, num_samples)
+        return
     variables = init_variables(cfg, jax.random.PRNGKey(0),
                                mel_frames=num_samples // 160 + 1)
     state = TrainState.create(variables["params"],
@@ -113,6 +119,48 @@ def _run_and_trace(args, trace_dir: str) -> None:
     with jax.profiler.trace(trace_dir):
         for _ in range(args.steps):
             state, metrics = step_fn(state, *dev_args, rng)
+        jax.block_until_ready(metrics["loss"])
+    print(f"trace written to {trace_dir}")
+
+
+def _run_and_trace_pretrain(args, trace_dir: str, cfg, tx,
+                            num_samples: int) -> None:
+    """Trace one fused wav2vec2/BYOL pretrain step (VERDICT r2 #9: attribute
+    the pretrain-vs-CTC throughput gap at the op level)."""
+    import jax
+
+    from conformer_tpu.train.pretrain import (gumbel_temperature_at,
+                                              init_byol_state,
+                                              init_wav2vec2_state,
+                                              make_byol_step,
+                                              make_wav2vec2_step)
+
+    # Match the recorded pretrain operating point (scan + remat).
+    cfg = cfg.override(**{"model.use_scan_layers": True,
+                          "model.use_remat": True})
+    mel_frames = num_samples // 160 + 1
+    rng = jax.random.PRNGKey(0)
+    audio = jax.device_put(
+        jax.random.normal(rng, (args.batch, num_samples), np.float32) * 0.1)
+    lengths = jax.device_put(np.full((args.batch,), num_samples, np.int32))
+    if args.mode == "pretrain":
+        state = jax.device_put(
+            init_wav2vec2_state(cfg, rng, tx, mel_frames=mel_frames))
+        step_fn = make_wav2vec2_step(cfg, tx)
+        temp = gumbel_temperature_at(cfg, 0)
+        run = lambda st, r: step_fn(st, audio, lengths, r, temp)
+    else:
+        state = jax.device_put(
+            init_byol_state(cfg, rng, tx, mel_frames=mel_frames))
+        step_fn = make_byol_step(cfg, tx)
+        run = lambda st, r: step_fn(st, audio, lengths, r)
+
+    for _ in range(3):
+        state, metrics = run(state, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["loss"])
+    with jax.profiler.trace(trace_dir):
+        for i in range(args.steps):
+            state, metrics = run(state, jax.random.PRNGKey(2 + i))
         jax.block_until_ready(metrics["loss"])
     print(f"trace written to {trace_dir}")
 
