@@ -336,8 +336,6 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
 
             c_h1 = jnp.concatenate([state.h1, ext_h1])
             c_h2 = jnp.concatenate([state.h2, ext_h2])
-            c_len = jnp.concatenate([state.plen, state.plen[ext_parent] + 1])
-            c_last = jnp.concatenate([state.last, ext_tok])
             c_pb = jnp.concatenate([keep_pb, jnp.full((w * k,), NEG)])
             c_pnb = jnp.concatenate([keep_pnb, ext_pnb])
             c_parent = jnp.concatenate([jnp.arange(w), ext_parent])
@@ -348,14 +346,18 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             # moves all operands inside the vectorized sort network);
             # argsort + per-array x[order] gathers lowered to SERIAL
             # scalar-core gathers and dominated the whole search (~0.8 ms
-            # per gather per frame at W=190, measured).
+            # per gather per frame at W=190, measured). The (h1, h2) pair
+            # is the SAME 64-bit rolling double hash that already keys
+            # cross-frame merging (BeamState.h1/h2), so it alone defines
+            # prefix identity here too — co-sorting plen/last as extra
+            # equality guards (r2) only repeated information the hash
+            # already encodes, at ~28% more sort traffic.
             iota = jnp.arange(c_h1.shape[0], dtype=jnp.int32)
-            (s_h1, s_h2, s_len, s_last, s_pb, s_pnb, order) = jax.lax.sort(
-                (c_h1, c_h2, c_len, c_last, c_pb, c_pnb, iota), num_keys=2)
+            (s_h1, s_h2, s_pb, s_pnb, order) = jax.lax.sort(
+                (c_h1, c_h2, c_pb, c_pnb, iota), num_keys=2)
             same = lambda x: x[1:] == x[:-1]
             boundary = jnp.concatenate([
-                jnp.ones((1,), bool),
-                ~(same(s_h1) & same(s_h2) & same(s_len) & same(s_last))])
+                jnp.ones((1,), bool), ~(same(s_h1) & same(s_h2))])
             suf_pb = _segmented_suffix_logsumexp(s_pb, boundary)
             suf_pnb = _segmented_suffix_logsumexp(s_pnb, boundary)
             head_score = jnp.where(boundary,

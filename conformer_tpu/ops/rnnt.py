@@ -124,15 +124,14 @@ def _tree_gather(tree, idx):
 
 
 def _merge_topk(score, h1, h2, clen, k_out):
-    """Merge duplicate hypotheses (same rolling hashes + length) by
+    """Merge duplicate hypotheses (same 64-bit rolling double hash) by
     log-sum-exp, then keep the top ``k_out`` -> (gather idx, merged scores).
 
     Same device merge scheme as the CTC prefix search
-    (ops/beam_search_device.py): sort on h1, segmented suffix-scan
-    logsumexp over runs where (h1, h2, len) all match (an
-    ``associative_scan``, no TPU-serializing scatters). A missed merge
-    from an h1 sort tie is score-conservative; a false merge needs a
-    simultaneous 2x32-bit collision.
+    (ops/beam_search_device.py): sort on (h1, h2), segmented suffix-scan
+    logsumexp over equal-hash runs (an ``associative_scan``, no
+    TPU-serializing scatters). A false merge needs a simultaneous 2x32-bit
+    collision.
     """
     from conformer_tpu.ops.beam_search_device import (
         _segmented_suffix_logsumexp)
@@ -140,15 +139,20 @@ def _merge_topk(score, h1, h2, clen, k_out):
     # Variadic co-sort (one vectorized sort network) instead of argsort +
     # per-array gathers — TPU dynamic gathers serialize on the scalar core
     # (see the same rewrite in ops/beam_search_device.py).
+    # The 64-bit (h1, h2) double hash alone defines hypothesis identity
+    # (it is already the cross-step merge key); carrying clen as an extra
+    # equality guard only repeated information the hash encodes (r3: same
+    # slimming as the CTC search).
+    del clen
     iota = jnp.arange(score.shape[0], dtype=jnp.int32)
-    s_h1, s_h2, s_len, s_score, order = jax.lax.sort(
-        (h1, h2, clen, score, iota), num_keys=2)
+    s_h1, s_h2, s_score, order = jax.lax.sort(
+        (h1, h2, score, iota), num_keys=2)
 
     def same(x):
         return x[1:] == x[:-1]
 
     boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), ~(same(s_h1) & same(s_h2) & same(s_len))])
+        [jnp.ones((1,), bool), ~(same(s_h1) & same(s_h2))])
     suf = _segmented_suffix_logsumexp(s_score, boundary)
     head = jnp.where(boundary, suf, NEG)
     top_s, top_pos = jax.lax.top_k(head, k_out)
