@@ -65,9 +65,9 @@ class RelativeMultiHeadAttention(nn.Module):
         dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype,
                                       param_dtype=jnp.float32, name=name)
 
-        q = dense("query")(x).reshape(b, l, h, dh)
-        k = dense("key")(x).reshape(b, l, h, dh)
-        v = dense("value")(x).reshape(b, l, h, dh)
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
 
         u = self.param("content_bias", nn.initializers.xavier_uniform(), (h, dh),
                        jnp.float32).astype(self.dtype)
@@ -82,6 +82,10 @@ class RelativeMultiHeadAttention(nn.Module):
         if self.impl == "pallas":
             # Fully-fused shift-free kernel: scores never touch HBM, fused
             # backward, in-kernel dropout — used for training and inference.
+            # Head-in-lanes (packed) operands: q/k/v stay in the Dense
+            # output layout (B, L, D) and the per-head biases broadcast as
+            # flat (D,) rows, so NO (0,2,1,3) head-split relayouts exist on
+            # either side of the kernel (they were ~2.4 ms/step at b56).
             # Under an active mesh (jax.set_mesh) the call is shard_mapped
             # over the data/model axes (pallas has no GSPMD partition rule).
             from conformer_tpu.ops.pallas.sincos_attention import (
@@ -98,13 +102,12 @@ class RelativeMultiHeadAttention(nn.Module):
                     self.make_rng("dropout"), (), 0,
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
             context = rel_attention_sincos_sharded(
-                jnp.transpose(q + u, (0, 2, 1, 3)),
-                jnp.transpose(q + vb, (0, 2, 1, 3)),
-                jnp.transpose(k, (0, 2, 1, 3)),
-                jnp.transpose(v, (0, 2, 1, 3)),
-                wh, lengths, scale, rate, seed)
-            context = jnp.transpose(context, (0, 2, 1, 3))
+                q + u.reshape(-1), q + vb.reshape(-1), k, v,
+                wh, lengths, scale, rate, seed, packed=True)
         else:
+            q = q.reshape(b, l, h, dh)
+            k = k.reshape(b, l, h, dh)
+            v = v.reshape(b, l, h, dh)
             # Position projection has no batch dim: (2L-1, D) -> (2L-1, H, dh)
             p = dense("pos")(pos_emb).reshape(-1, h, dh)
             # (B, H, L, L) content scores + shifted position scores.

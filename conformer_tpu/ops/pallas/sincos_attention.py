@@ -179,24 +179,38 @@ def _dropout_keep(seed, bi, hi, qi, shape, rate):
 def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, out_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float,
-                probs_bf16: bool = False):
+                probs_bf16: bool = False, packed: bool = False):
     """One (batch-block, q-tile) program; ALL heads — and NB batch rows —
     are processed in an unrolled loop. Grid programs cost ~3us of dispatch
     each: a (B, H, L/TQ) grid of tiny per-head programs was dispatch-bound
     (the matmuls are sub-us), per-program operands (the sin/cos tables) were
     re-fetched per head, and at short L even one-batch-per-program leaves
-    the pipeline dispatch-bound (48 programs x ~3us vs ~0.6 GFLOP each)."""
+    the pipeline dispatch-bound (48 programs x ~3us vs ~0.6 GFLOP each).
+
+    ``packed``: qu/qv/k/v/out refs are (NB, rows, HB*dh) with head h in
+    lanes [h*dh, (h+1)*dh) — the natural layout of the producing Dense
+    matmuls, so XLA feeds the kernel with ZERO head-split transposes (the
+    (0,2,1,3) relayouts were ~2.4 ms/step at b56). Head tiles become
+    static lane slices instead of middle-axis indexing."""
     bi, hb, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb = qu_ref.shape[0]               # batch rows in this block
-    n_heads = qu_ref.shape[1]          # heads in this block
-    tq = qu_ref.shape[2]
-    l = k_ref.shape[2]
+    n_heads = wh_ref.shape[0]          # heads in this block
+    dh = wh_ref.shape[1]
+    if packed:
+        tq = qu_ref.shape[1]
+        l = k_ref.shape[1]
+        read = lambda ref, bb, h: ref[bb, :, h * dh:(h + 1) * dh]
+    else:
+        tq = qu_ref.shape[2]
+        l = k_ref.shape[2]
+        read = lambda ref, bb, h: ref[bb, h]
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
     for bb in range(nb):
         length = jnp.minimum(len_ref[bi * nb + bb], l_valid)
         valid = col < length
         for h in range(n_heads):
-            scores, _, _ = _scores(qu_ref[bb, h], qv_ref[bb, h], k_ref[bb, h],
+            scores, _, _ = _scores(read(qu_ref, bb, h), read(qv_ref, bb, h),
+                                   read(k_ref, bb, h),
                                    wh_ref[h], sq_ref, cq_ref, sk_ref, ck_ref,
                                    scale, d2)
             scores = jnp.where(valid, scores, NEG_INF)
@@ -224,17 +238,20 @@ def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                                      hb * n_heads + h, qi, (tq, l), rate)
                 p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
             out = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[bb, h],
+                p.astype(v_ref.dtype), read(v_ref, bb, h),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            out_ref[bb, h] = out.astype(out_ref.dtype)
+            if packed:
+                out_ref[bb, :, h * dh:(h + 1) * dh] = out.astype(out_ref.dtype)
+            else:
+                out_ref[bb, h] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, do_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dwh_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float,
-                probs_bf16: bool = False):
+                probs_bf16: bool = False, packed: bool = False):
     """Recompute the probability tile (flash-style: no saved score tensors),
     then emit all five gradients; all heads and NB batch rows per program
     (see _fwd_kernel). dk/dv/dwh accumulate across the q-tile grid dimension
@@ -244,12 +261,22 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
     its out-of-range rows read unspecified values, so every contraction
     over the q dimension (dv/dk/dwh) masks those rows to zero first;
     row-shaped outputs (dqu/dqv) rely on Pallas masking partial-block
-    writes."""
+    writes.
+
+    ``packed``: head-in-lanes layout for all (B, ., .) refs — see
+    _fwd_kernel."""
     bi, hb, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nb = qu_ref.shape[0]
-    n_heads = qu_ref.shape[1]
-    tq = qu_ref.shape[2]
-    l = k_ref.shape[2]
+    n_heads = wh_ref.shape[0]
+    dh = wh_ref.shape[1]
+    if packed:
+        tq = qu_ref.shape[1]
+        l = k_ref.shape[1]
+        read = lambda ref, bb, h: ref[bb, :, h * dh:(h + 1) * dh]
+    else:
+        tq = qu_ref.shape[2]
+        l = k_ref.shape[2]
+        read = lambda ref, bb, h: ref[bb, h]
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, l), 1)
     partial_tile = l_valid % tq != 0          # static: only then mask rows
     if partial_tile:
@@ -269,12 +296,12 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
       length = jnp.minimum(len_ref[bi * nb + bb], l_valid)
       valid = col < length
       for h in range(n_heads):
-        qu = qu_ref[bb, h]
-        qv = qv_ref[bb, h]
-        k = k_ref[bb, h]
-        v = v_ref[bb, h]
+        qu = read(qu_ref, bb, h)
+        qv = read(qv_ref, bb, h)
+        k = read(k_ref, bb, h)
+        v = read(v_ref, bb, h)
         wh = wh_ref[h]                                         # (dh, D)
-        do = do_ref[bb, h].astype(jnp.float32)
+        do = read(do_ref, bb, h).astype(jnp.float32)
         if partial_tile:
             zero = jnp.zeros((), qu.dtype)
             qu = jnp.where(row_ok, qu, zero)
@@ -353,14 +380,24 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             qv, da_c_c, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        dqu_ref[bb, h] = dqu.astype(dqu_ref.dtype)
-        dqv_ref[bb, h] = dqv.astype(dqv_ref.dtype)
+        if packed:
+            sl = slice(h * dh, (h + 1) * dh)
+            dqu_ref[bb, :, sl] = dqu.astype(dqu_ref.dtype)
+            dqv_ref[bb, :, sl] = dqv.astype(dqv_ref.dtype)
+        else:
+            dqu_ref[bb, h] = dqu.astype(dqu_ref.dtype)
+            dqv_ref[bb, h] = dqv.astype(dqv_ref.dtype)
 
         @pl.when(qi == 0)
         def _init(bb=bb, h=h, dk_c=dk_c, dv_c=dv_c,
                   dwh_s=dwh_s, dwh_c=dwh_c):
-            dk_ref[bb, h] = dk_c.astype(dk_ref.dtype)
-            dv_ref[bb, h] = dv_c.astype(dv_ref.dtype)
+            if packed:
+                sl = slice(h * dh, (h + 1) * dh)
+                dk_ref[bb, :, sl] = dk_c.astype(dk_ref.dtype)
+                dv_ref[bb, :, sl] = dv_c.astype(dv_ref.dtype)
+            else:
+                dk_ref[bb, h] = dk_c.astype(dk_ref.dtype)
+                dv_ref[bb, h] = dv_c.astype(dv_ref.dtype)
             if bb == 0:
                 dwh_ref[0, h, :, :d2] = dwh_s.astype(dwh_ref.dtype)
                 dwh_ref[0, h, :, d2:] = dwh_c.astype(dwh_ref.dtype)
@@ -371,8 +408,13 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
         @pl.when(qi > 0)
         def _acc(bb=bb, h=h, dk_c=dk_c, dv_c=dv_c,
                  dwh_s=dwh_s, dwh_c=dwh_c):
-            dk_ref[bb, h] += dk_c.astype(dk_ref.dtype)
-            dv_ref[bb, h] += dv_c.astype(dv_ref.dtype)
+            if packed:
+                sl = slice(h * dh, (h + 1) * dh)
+                dk_ref[bb, :, sl] += dk_c.astype(dk_ref.dtype)
+                dv_ref[bb, :, sl] += dv_c.astype(dv_ref.dtype)
+            else:
+                dk_ref[bb, h] += dk_c.astype(dk_ref.dtype)
+                dv_ref[bb, h] += dv_c.astype(dv_ref.dtype)
             dwh_ref[0, h, :, :d2] += dwh_s.astype(dwh_ref.dtype)
             dwh_ref[0, h, :, d2:] += dwh_c.astype(dwh_ref.dtype)
 
@@ -409,16 +451,23 @@ def _program_bytes(hb, nb, l, tq, dh, d, itemsize, bwd):
     return 2 * (nb * hb * per_head_batch + shared + tables + out_bytes)
 
 
-def _block_sizes(h, b, l, tq, dh, d, itemsize, bwd):
+def _block_sizes(h, b, l, tq, dh, d, itemsize, bwd, packed=False):
     """(head-block, batch-block) sizes whose per-program buffers fit the
     VMEM budget. All heads per program kills grid dispatch overhead at short
     L (long L needs smaller head blocks); once all heads fit, additionally
     packing batch rows amortizes the ~3us program dispatch at short L where
     per-program work is tiny (measured: B48/L199 fwd+bwd is dispatch-bound
-    at nb=1)."""
-    hb = 1
+    at nb=1).
+
+    In packed (head-in-lanes) mode the head block is also the lane-block
+    size of the D dimension, so hb*dh must be a multiple of the 128-wide
+    lane tile; hb=0 signals no valid block fits (caller falls back to the
+    per-head layout)."""
+    hb = 0 if packed else 1
     for cand in (h, *(2 ** i for i in range(10, -1, -1))):
         if cand > h or h % cand:
+            continue
+        if packed and (cand * dh) % 128:
             continue
         if _program_bytes(cand, 1, l, tq, dh, d, itemsize, bwd) <= _VMEM_BUDGET:
             hb = cand
@@ -435,28 +484,43 @@ def _block_sizes(h, b, l, tq, dh, d, itemsize, bwd):
     return hb, nb
 
 
-def _common_specs(b, h, hb, nb, l, tq, dh, d):
+def _common_specs(b, h, hb, nb, l, tq, dh, d, packed=False):
     """Grid (B/NB, H/HB, L/TQ); every spec carries HB heads x NB batch rows
-    per program."""
+    per program. Packed mode blocks the lane (D) dimension by hb*dh instead
+    of carrying a separate head axis."""
     d2 = d // 2
     vm = dict(memory_space=pltpu.VMEM) if pltpu is not None else {}
+    if packed:
+        q_spec = pl.BlockSpec((nb, tq, hb * dh),
+                              lambda bi, hi, qi, *_: (bi, qi, hi), **vm)
+        kv_spec = pl.BlockSpec((nb, l, hb * dh),
+                               lambda bi, hi, qi, *_: (bi, 0, hi), **vm)
+    else:
+        q_spec = pl.BlockSpec((nb, hb, tq, dh),
+                              lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm)
+        kv_spec = pl.BlockSpec((nb, hb, l, dh),
+                               lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm)
     in_specs = [
-        pl.BlockSpec((nb, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-        pl.BlockSpec((nb, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-        pl.BlockSpec((nb, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
-        pl.BlockSpec((nb, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+        q_spec,
+        q_spec,
+        kv_spec,
+        kv_spec,
         pl.BlockSpec((hb, dh, d), lambda bi, hi, qi, *_: (hi, 0, 0), **vm),
         pl.BlockSpec((tq, d2), lambda bi, hi, qi, *_: (qi, 0), **vm),
         pl.BlockSpec((tq, d2), lambda bi, hi, qi, *_: (qi, 0), **vm),
         pl.BlockSpec((l, d2), lambda bi, hi, qi, *_: (0, 0), **vm),
         pl.BlockSpec((l, d2), lambda bi, hi, qi, *_: (0, 0), **vm),
     ]
-    return in_specs, vm
+    return in_specs, vm, q_spec, kv_spec
 
 
 def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
-              probs_bf16=False):
-    b, h, l, dh = qu.shape
+              probs_bf16=False, packed=False):
+    h, dh = wh.shape[0], wh.shape[1]
+    if packed:
+        b, l, _ = qu.shape
+    else:
+        b, h, l, dh = qu.shape
     d = wh.shape[-1]
     tq = min(tq, ((l + 7) // 8) * 8)
     lengths = _prep_lengths(lengths, b, l)
@@ -464,29 +528,35 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
     sin_t, cos_t = sincos_tables(l, d, table_dtype)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
 
-    hb, nb = _block_sizes(h, b, l, tq, dh, d, qu.dtype.itemsize, bwd=False)
-    in_specs, vm = _common_specs(b, h, hb, nb, l, tq, dh, d)
+    hb, nb = _block_sizes(h, b, l, tq, dh, d, qu.dtype.itemsize, bwd=False,
+                          packed=packed)
+    assert hb, "packed path requires a lane-aligned head block (see caller)"
+    in_specs, vm, q_spec, _ = _common_specs(b, h, hb, nb, l, tq, dh, d, packed)
     kern = functools.partial(_fwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l, rate=rate,
-                             probs_bf16=probs_bf16)
+                             probs_bf16=probs_bf16, packed=packed)
+    out_shape = ((b, l, h * dh) if packed else (b, h, l, dh))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // nb, h // hb, pl.cdiv(l, tq)),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((nb, hb, tq, dh),
-                               lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
+        out_specs=q_spec,
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, l, dh), v.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, v.dtype),
         interpret=interpret,
     )(lengths, seed_arr, qu, qv, k, v, wh, sin_t, cos_t, sin_t, cos_t)
 
 
 def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
-              probs_bf16=False):
-    b, h, l, dh = qu.shape
+              probs_bf16=False, packed=False):
+    h, dh = wh.shape[0], wh.shape[1]
+    if packed:
+        b, l, _ = qu.shape
+    else:
+        b, h, l, dh = qu.shape
     d = wh.shape[-1]
     tq = min(tq, ((l + 7) // 8) * 8)
     lengths = _prep_lengths(lengths, b, l)
@@ -494,26 +564,29 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
     sin_t, cos_t = sincos_tables(l, d, table_dtype)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
 
-    hb, nb = _block_sizes(h, b, l, tq, dh, d, qu.dtype.itemsize, bwd=True)
-    in_specs, vm = _common_specs(b, h, hb, nb, l, tq, dh, d)
-    in_specs.append(pl.BlockSpec((nb, hb, tq, dh),
-                                 lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm))
+    hb, nb = _block_sizes(h, b, l, tq, dh, d, qu.dtype.itemsize, bwd=True,
+                          packed=packed)
+    assert hb, "packed path requires a lane-aligned head block (see caller)"
+    in_specs, vm, q_spec, kv_spec = _common_specs(b, h, hb, nb, l, tq, dh, d,
+                                                  packed)
+    in_specs.append(q_spec)
     kern = functools.partial(_bwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l, rate=rate,
-                             probs_bf16=probs_bf16)
+                             probs_bf16=probs_bf16, packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // nb, h // hb, pl.cdiv(l, tq)),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((nb, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-            pl.BlockSpec((nb, hb, tq, dh), lambda bi, hi, qi, *_: (bi, hi, qi, 0), **vm),
-            pl.BlockSpec((nb, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
-            pl.BlockSpec((nb, hb, l, dh), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
+            q_spec,
+            q_spec,
+            kv_spec,
+            kv_spec,
             pl.BlockSpec((1, hb, dh, d), lambda bi, hi, qi, *_: (bi, hi, 0, 0), **vm),
         ],
     )
     f32 = jnp.float32
+    row_shape = ((b, l, h * dh) if packed else (b, h, l, dh))
     # dqu/dqv are written exactly once per q-tile -> emit in input dtype
     # (no accumulation to protect); dk/dv/dwh accumulate across the q-tile
     # grid dimension in their output refs -> keep f32.
@@ -521,10 +594,10 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, l, dh), qu.dtype),
-            jax.ShapeDtypeStruct((b, h, l, dh), qu.dtype),
-            jax.ShapeDtypeStruct((b, h, l, dh), f32),
-            jax.ShapeDtypeStruct((b, h, l, dh), f32),
+            jax.ShapeDtypeStruct(row_shape, qu.dtype),
+            jax.ShapeDtypeStruct(row_shape, qu.dtype),
+            jax.ShapeDtypeStruct(row_shape, f32),
+            jax.ShapeDtypeStruct(row_shape, f32),
             jax.ShapeDtypeStruct((b // nb, h, dh, d), f32),
         ],
         interpret=interpret,
@@ -538,26 +611,27 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
 # Public entry point with custom VJP.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _fused(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
-           probs_bf16=False):
+           probs_bf16=False, packed=False):
     return _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
-                     interpret, probs_bf16)
+                     interpret, probs_bf16, packed)
 
 
 def _fused_fwd(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
-               probs_bf16=False):
+               probs_bf16=False, packed=False):
     out = _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
-                    interpret, probs_bf16)
+                    interpret, probs_bf16, packed)
     # seed is traced (changes every train step without recompiling); the
     # identical dropout mask is regenerated in the backward from it.
     return out, (qu, qv, k, v, wh, lengths, seed)
 
 
-def _fused_bwd(scale, rate, tq, interpret, probs_bf16, res, g):
+def _fused_bwd(scale, rate, tq, interpret, probs_bf16, packed, res, g):
     qu, qv, k, v, wh, lengths, seed = res
     dqu, dqv, dk, dv, dwh = _bwd_call(qu, qv, k, v, wh, lengths, seed, scale,
-                                      rate, tq, interpret, g, probs_bf16)
+                                      rate, tq, interpret, g, probs_bf16,
+                                      packed)
     return dqu, dqv, dk, dv, dwh, None, None
 
 
@@ -601,6 +675,45 @@ def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
                                 dropout_rate, seed)
 
 
+def rel_attention_sincos_packed(qu, qv, k, v, wh, lengths, scale: float,
+                                dropout_rate: float = 0.0,
+                                seed: Optional[int] = None,
+                                tq: Optional[int] = None,
+                                interpret: bool = False,
+                                probs_bf16: bool = False):
+    """Fused shift-free relative attention, head-in-lanes layout.
+
+    qu/qv/k/v and the output are (B, L, D) with head h occupying lanes
+    [h*dh, (h+1)*dh) — the NATIVE layout of the producing/consuming Dense
+    matmuls, so the caller needs zero (0,2,1,3) head-split transposes
+    (those relayouts measured ~2.4 ms/step at the b56 production point).
+    wh: (H, dh, D) from prep_pos_kernel; other args as rel_attention_sincos.
+
+    Falls back to the per-head layout (with explicit transposes) off-TPU or
+    when no lane-aligned head block fits the VMEM budget (hb*dh must be a
+    multiple of the 128-lane tile).
+    """
+    b, l, d = qu.shape
+    h, dh = wh.shape[0], wh.shape[1]
+    if tq is None:
+        tq = _auto_tq(l)
+    tq_eff = min(tq, ((l + 7) // 8) * 8)
+    on_tpu = interpret or jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        hb_ok = all(_block_sizes(h, b, l, tq_eff, dh, d, qu.dtype.itemsize,
+                                 bwd=bwd, packed=True)[0]
+                    for bwd in (False, True))
+        if hb_ok:
+            s = jnp.asarray(scale, qu.dtype)
+            return _fused(qu * s, qv * s, k, v, wh, lengths, seed, 1.0,
+                          dropout_rate, tq, interpret, probs_bf16, True)
+    unpack = lambda x: x.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+    out = rel_attention_sincos(unpack(qu), unpack(qv), unpack(k), unpack(v),
+                               wh, lengths, scale, dropout_rate, seed, tq,
+                               interpret, probs_bf16)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, d)
+
+
 def shardable_axes(mesh, b: int, h: int,
                    data_axis: str = "data", model_axis: str = "model"):
     """Which mesh axes the attention call can shard over: the batch over
@@ -621,7 +734,8 @@ def rel_attention_sincos_sharded(qu, qv, k, v, wh, lengths, scale: float,
                                  seed=None, tq: Optional[int] = None,
                                  interpret: bool = False, mesh=None,
                                  data_axis: str = "data",
-                                 model_axis: str = "model"):
+                                 model_axis: str = "model",
+                                 packed: bool = False):
     """shard_map wrapper: batch sharded over the data axis, heads over the
     model axis, everything inside each shard the plain fused kernel.
 
@@ -631,18 +745,26 @@ def rel_attention_sincos_sharded(qu, qv, k, v, wh, lengths, scale: float,
     pos-projection gradient across data shards. The dropout seed is mixed
     with the shard's axis indices so masks stay independent across shards.
     Falls back to the unsharded call when no axis is shardable.
+
+    ``packed``: qu/qv/k/v are (B, L, D) head-in-lanes (see
+    rel_attention_sincos_packed); the model axis then shards the lane
+    dimension, which coincides with head sharding because heads are
+    contiguous lane chunks.
     """
     from jax.sharding import PartitionSpec as P
 
     if mesh is None:
         mesh = jax.sharding.get_abstract_mesh()
-    b, h = qu.shape[0], qu.shape[1]
+    b, h = qu.shape[0], wh.shape[0]
+    l = qu.shape[1] if packed else qu.shape[2]
     d_ax, m_ax = shardable_axes(mesh, b, h, data_axis, model_axis)
+    plain = (rel_attention_sincos_packed if packed
+             else rel_attention_sincos)
     if d_ax is None and m_ax is None:
-        return rel_attention_sincos(qu, qv, k, v, wh, lengths, scale,
-                                    dropout_rate, seed, tq, interpret)
+        return plain(qu, qv, k, v, wh, lengths, scale,
+                     dropout_rate, seed, tq, interpret)
     if lengths is None:
-        lengths = jnp.full((b,), qu.shape[2], jnp.int32)
+        lengths = jnp.full((b,), l, jnp.int32)
     seed_arr = jnp.asarray(0 if seed is None else seed, jnp.int32)
 
     def body(qu, qv, k, v, wh, lengths, seed):
@@ -650,13 +772,13 @@ def rel_attention_sincos_sharded(qu, qv, k, v, wh, lengths, scale: float,
             seed = seed + jax.lax.axis_index(d_ax) * np.int32(40503)
         if m_ax is not None:
             seed = seed + jax.lax.axis_index(m_ax) * np.int32(2654435)
-        return rel_attention_sincos(qu, qv, k, v, wh, lengths, scale,
-                                    dropout_rate, seed, tq, interpret)
+        return plain(qu, qv, k, v, wh, lengths, scale,
+                     dropout_rate, seed, tq, interpret)
 
-    spec4 = P(d_ax, m_ax, None, None)
+    spec = P(d_ax, None, m_ax) if packed else P(d_ax, m_ax, None, None)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec4, spec4, spec4, spec4, P(m_ax, None, None),
+        in_specs=(spec, spec, spec, spec, P(m_ax, None, None),
                   P(d_ax), P()),
-        out_specs=spec4, check_vma=False,
+        out_specs=spec, check_vma=False,
     )(qu, qv, k, v, wh, lengths, seed_arr)

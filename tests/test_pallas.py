@@ -251,6 +251,52 @@ class TestSincosAttention:
         an = jnp.sum(gr * d)
         assert abs(float(fd - an)) / max(abs(float(an)), 1e-6) < 5e-2
 
+    @pytest.mark.parametrize("H,dh", [(4, 32), (3, 16)])
+    def test_packed_layout_parity(self, H, dh):
+        # Head-in-lanes entry point (models/attention.py feeds the kernel
+        # with zero head-split transposes): exact vs the per-head layout in
+        # forward, all gradients, and the dropout mask. (4, 32) exercises
+        # the packed kernel (hb*dh lane-aligned); (3, 16) has no 128-lane
+        # head block and must take the documented unpack fallback.
+        from conformer_tpu.ops.pallas.sincos_attention import (
+            rel_attention_sincos, rel_attention_sincos_packed,
+            sincos_attention_xla)
+        qu, qv, k, v, K, wh, lengths, mk = self._case(H=H, L=67, dh=dh,
+                                                      seed=5)
+        B, L = qu.shape[0], qu.shape[2]
+        D = H * dh
+        scale = 1 / np.sqrt(dh)
+        pack = lambda x: x.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+        def loss_packed(args):
+            qu, qv, k, v, wh = args
+            o = rel_attention_sincos_packed(pack(qu), pack(qv), pack(k),
+                                            pack(v), wh, lengths, scale,
+                                            interpret=True)
+            return jnp.sum(jnp.sin(o)), o
+
+        def loss_ref(args):
+            qu, qv, k, v, wh = args
+            o = sincos_attention_xla(qu, qv, k, v, wh, lengths, scale)
+            return jnp.sum(jnp.sin(pack(o))), pack(o)
+
+        args = (qu, qv, k, v, wh)
+        (_, op), gp = jax.value_and_grad(loss_packed, has_aux=True)(args)
+        (_, orf), gr = jax.value_and_grad(loss_ref, has_aux=True)(args)
+        np.testing.assert_allclose(np.asarray(op), np.asarray(orf), atol=2e-5)
+        for got, want in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5)
+
+        # Same seed -> the identical in-kernel dropout mask in both layouts.
+        o1 = rel_attention_sincos_packed(pack(qu), pack(qv), pack(k), pack(v),
+                                         wh, lengths, scale, 0.3,
+                                         seed=jnp.int32(7), interpret=True)
+        o2 = rel_attention_sincos(qu, qv, k, v, wh, lengths, scale, 0.3,
+                                  seed=jnp.int32(7), interpret=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(pack(o2)),
+                                   atol=1e-6)
+
     def test_module_parity_and_param_compat(self):
         from conformer_tpu.models.attention import MHSAModule
         from conformer_tpu.models.position import relative_positional_encoding
