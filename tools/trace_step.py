@@ -54,8 +54,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--mode", default="train",
-                    choices=["train", "pretrain", "pretrain_byol"],
-                    help="which fused step to trace (pretrain = wav2vec2)")
+                    choices=["train", "pretrain", "pretrain_byol",
+                             "beam_device"],
+                    help="which fused step to trace (pretrain = wav2vec2; "
+                         "beam_device = fwd + on-device beam190+wordLM)")
+    ap.add_argument("--width", type=int, default=190,
+                    help="beam width for --mode beam_device")
     ap.add_argument("--trace-dir", default=None,
                     help="parse an existing trace instead of running")
     args = ap.parse_args()
@@ -98,6 +102,9 @@ def _run_and_trace(args, trace_dir: str) -> None:
     tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
     if args.mode in ("pretrain", "pretrain_byol"):
         _run_and_trace_pretrain(args, trace_dir, cfg, tx, num_samples)
+        return
+    if args.mode == "beam_device":
+        _run_and_trace_beam_device(args, trace_dir, cfg, num_samples)
         return
     variables = init_variables(cfg, jax.random.PRNGKey(0),
                                mel_frames=num_samples // 160 + 1)
@@ -162,6 +169,67 @@ def _run_and_trace_pretrain(args, trace_dir: str, cfg, tx,
         for i in range(args.steps):
             state, metrics = run(state, jax.random.PRNGKey(2 + i))
         jax.block_until_ready(metrics["loss"])
+    print(f"trace written to {trace_dir}")
+
+
+def _run_and_trace_beam_device(args, trace_dir: str, cfg,
+                               num_samples: int) -> None:
+    """Trace the fully on-device beam+word-LM decode at the reference
+    operating point (VERDICT r2 #5b: attribute the w190 device-vs-host RTF
+    gap at the op level before designing a pruning lever). Mirrors
+    bench.py:_bench_beam_device exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from conformer_tpu.lm.device_table import (DeviceNgramTable,
+                                               DeviceWordVocab)
+    from conformer_tpu.lm.ngram import build_arpa
+    from conformer_tpu.ops.beam_search_device import ctc_beam_search_device
+    from conformer_tpu.data.dataset import synthetic_batch
+    from conformer_tpu.text.tokenizer import load_tokenizer
+    from conformer_tpu.train.steps import init_variables, make_forward
+
+    tok = load_tokenizer("vi")
+    root = tempfile.mkdtemp(prefix="trace_beam_dev_")
+    corpus = os.path.join(root, "corpus.txt")
+    rng = np.random.default_rng(0)
+    words = ["XIN", "CHÀO", "BẠN", "CẢM", "ƠN", "TẠM", "BIỆT", "LỖI",
+             "KHÔNG", "CÓ", "GÌ", "ĐÂU", "NHÉ", "ANH", "EM", "TÔI"]
+    with open(corpus, "w", encoding="utf8") as f:
+        for _ in range(2000):
+            f.write(" ".join(rng.choice(words, rng.integers(3, 9))) + "\n")
+    arpa = os.path.join(root, "lm.arpa")
+    build_arpa(corpus, arpa, 5)
+    table = DeviceNgramTable.from_arpa(arpa)
+    wv = DeviceWordVocab.build(tok.vocab, table.vocab)
+
+    variables = init_variables(cfg, jax.random.PRNGKey(0),
+                               mel_frames=num_samples // 160 + 1)
+    forward = make_forward(cfg)
+
+    @jax.jit
+    def decode(variables, audio, lengths):
+        logits, out_lengths = forward(variables, audio, lengths)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return ctc_beam_search_device(
+            lp, out_lengths, beam_width=args.width, top_k=8,
+            blank_id=tok.pad_id, unk_id=tok.unk_id,
+            max_len=cfg.data.max_tokens,
+            lm_tables=table.device_arrays(),
+            word_arrays=wv.device_arrays(), wv_n_probes=int(wv.n_probes),
+            lm_alpha=2.1, lm_beta=9.2, delim_id=tok.delim_id,
+            lm_bos_id=int(table.bos_id), lm_unk_logp=float(table.unk_logp),
+            lm_order=int(table.order), lm_n_probes=int(table.n_probes))
+
+    b = synthetic_batch(args.batch, num_samples, cfg.model.vocab_size, seed=0)
+    audio = jax.device_put(b.audio)
+    lengths = jax.device_put(jnp.full((args.batch,), num_samples, jnp.int32))
+    out = decode(variables, audio, lengths)
+    jax.block_until_ready(out)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.steps):
+            out = decode(variables, audio, lengths)
+        jax.block_until_ready(out)
     print(f"trace written to {trace_dir}")
 
 
