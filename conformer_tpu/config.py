@@ -124,13 +124,12 @@ class ModelConfig:
     # (+4.4% train throughput: no mask buffer ever round-trips HBM).
     # 'prng': jax PRNG (rbg/threefry) masks via flax nn.Dropout — the bit
     # buffer cannot fuse into its consumer (~4 ms/step across ~100 sites,
-    # tools/trace_step.py). 'hw': like 'hash' at the XLA level, but the
-    # fused attention kernel draws its in-kernel mask from the TPU hardware
-    # PRNG (pltpu.prng_random_bits, re-seeded per tile) — one vector op per
-    # tile instead of ~9 hash passes; opt-in pending an on-chip win.
-    # Not bit-compatible with each other; neither matches the reference's
-    # torch PRNG (dropout only affects training randomness, never
-    # inference numerics).
+    # tools/trace_step.py). Not bit-compatible with each other; neither
+    # matches the reference's torch PRNG (dropout only affects training
+    # randomness, never inference numerics). A third variant — the TPU
+    # hardware PRNG inside the fused attention kernel — measured NEUTRAL
+    # (3964 vs 3977 audio-s/s) and was deleted per win-or-delete
+    # (docs/PERFORMANCE.md negative results).
     dropout_impl: str = "hash"
     # Subsampling stack. 'conv2d' = two dense 3x3 stride-2 convs (reference
     # semantics, model/utils/convolution.py:34-57); the second conv

@@ -103,8 +103,7 @@ class RelativeMultiHeadAttention(nn.Module):
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
             context = rel_attention_sincos_sharded(
                 q + u.reshape(-1), q + vb.reshape(-1), k, v,
-                wh, lengths, scale, rate, seed, packed=True,
-                hw_dropout=self.dropout_impl == "hw")
+                wh, lengths, scale, rate, seed, packed=True)
         else:
             q = q.reshape(b, l, h, dh)
             k = k.reshape(b, l, h, dh)

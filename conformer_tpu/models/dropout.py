@@ -56,16 +56,13 @@ class Dropout(nn.Module):
     """Drop-in replacement for ``nn.Dropout`` with a selectable backend."""
 
     rate: float
-    # 'prng' (flax/jax PRNG) | 'hash' (fused, no HBM mask) | 'hw' (same as
-    # 'hash' at the XLA level; additionally selects the TPU hardware PRNG
-    # inside the fused attention kernel — models/attention.py).
-    impl: str = "prng"
+    impl: str = "prng"  # 'prng' (flax/jax PRNG) | 'hash' (fused, no HBM mask)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         if deterministic or self.rate == 0.0:
             return x
-        if self.impl not in ("hash", "hw"):
+        if self.impl != "hash":
             return nn.Dropout(self.rate, deterministic=False)(x)
         key = self.make_rng("dropout")  # folds in the module path: per-site
         seed_words = jnp.ravel(jax.random.key_data(key)).astype(jnp.uint32)

@@ -20,7 +20,9 @@ and per-head projection a_i = W_h qv_i (W_h = pos-kernel head slice):
 i.e. two plain MXU matmuls against constant (L, D/2) sin/cos tables — no
 gather, no shift, no (B, H, L, L) tensor in HBM. The kernel fuses content
 scores, position scores, length masking, fp32 softmax, attention-probability
-dropout (in-kernel hardware PRNG), and the value contraction; the backward
+dropout (in-kernel stateless hash mask; the TPU hardware-PRNG variant
+measured neutral and was deleted — docs/PERFORMANCE.md negative results),
+and the value contraction; the backward
 kernel recomputes the probabilities (flash-style) and emits dqu/dqv/dk/dv and
 the position-projection gradient, so training takes the fused path too.
 
@@ -176,37 +178,10 @@ def _dropout_keep(seed, bi, hi, qi, shape, rate):
     return x >= thresh  # P(keep) = 1 - rate
 
 
-def _dropout_keep_hw(seed, bi, hi, qi, shape, rate):
-    """Keep mask from the TPU hardware PRNG (pltpu.prng_random_bits): ONE
-    vector op per tile instead of the ~9 VPU passes of the murmur-style
-    hash above. Re-seeded per (batch-row, head, q-tile) from the same
-    coordinates in forward and backward, so both kernels regenerate the
-    identical mask — same contract as the stateless hash, different bit
-    pattern. Unavailable in interpret mode (callers fall back to the hash
-    there; the fwd/bwd pair always agrees because both take the same
-    flag)."""
-    # Mosaic caps prng_seed at TWO words: mix the tile coordinates into the
-    # second (the same formula in fwd and bwd keeps the masks identical).
-    mix = (jnp.asarray(bi, jnp.int32) * np.int32(-1640531527)      # 0x9E3779B9
-           + jnp.asarray(hi, jnp.int32) * np.int32(-2048144789)    # 0x85EBCA6B
-           + jnp.asarray(qi, jnp.int32) * np.int32(-1028477387))   # 0xC2B2AE35
-    pltpu.prng_seed(seed, mix)
-    bits = pltpu.prng_random_bits(shape)
-    bits = bits.astype(jnp.uint32)  # same-width int conversions preserve bits
-    thresh = np.uint32(int(rate * 4294967296.0) & 0xFFFFFFFF)
-    return bits >= thresh  # P(keep) = 1 - rate
-
-
-def _keep_mask(seed, bi, hi, qi, shape, rate, hw_rng):
-    fn = _dropout_keep_hw if hw_rng else _dropout_keep
-    return fn(seed, bi, hi, qi, shape, rate)
-
-
 def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, out_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float,
-                probs_bf16: bool = False, packed: bool = False,
-                hw_rng: bool = False):
+                probs_bf16: bool = False, packed: bool = False):
     """One (batch-block, q-tile) program; ALL heads — and NB batch rows —
     are processed in an unrolled loop. Grid programs cost ~3us of dispatch
     each: a (B, H, L/TQ) grid of tiny per-head programs was dispatch-bound
@@ -259,8 +234,8 @@ def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 e = jnp.exp(x)
                 s = jnp.sum(e, axis=-1, keepdims=True)
             if rate > 0.0:
-                keep = _keep_mask(seed_ref[0], bi * nb + bb,
-                                  hb * n_heads + h, qi, (tq, l), rate, hw_rng)
+                keep = _dropout_keep(seed_ref[0], bi * nb + bb,
+                                     hb * n_heads + h, qi, (tq, l), rate)
                 e = jnp.where(keep, e * (1.0 / (1.0 - rate)), 0.0)
             out = jax.lax.dot_general(
                 e.astype(v_ref.dtype), read(v_ref, bb, h),
@@ -280,8 +255,7 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, do_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dwh_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float,
-                probs_bf16: bool = False, packed: bool = False,
-                hw_rng: bool = False):
+                probs_bf16: bool = False, packed: bool = False):
     """Recompute the probability tile (flash-style: no saved score tensors),
     then emit all five gradients; all heads and NB batch rows per program
     (see _fwd_kernel). dk/dv/dwh accumulate across the q-tile grid dimension
@@ -362,8 +336,8 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                # (TQ, L)
         if rate > 0.0:
-            keep = _keep_mask(seed_ref[0], bi * nb + bb,
-                              hb * n_heads + h, qi, (tq, l), rate, hw_rng)
+            keep = _dropout_keep(seed_ref[0], bi * nb + bb,
+                                 hb * n_heads + h, qi, (tq, l), rate)
             inv = 1.0 / (1.0 - rate)
             p_drop = jnp.where(keep, p * inv, 0.0)
             dp = jnp.where(keep, dov * inv, 0.0)
@@ -545,7 +519,7 @@ def _common_specs(b, h, hb, nb, l, tq, dh, d, packed=False):
 
 
 def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
-              probs_bf16=False, packed=False, hw_rng=False):
+              probs_bf16=False, packed=False):
     h, dh = wh.shape[0], wh.shape[1]
     if packed:
         b, l, _ = qu.shape
@@ -564,8 +538,7 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
     in_specs, vm, q_spec, _ = _common_specs(b, h, hb, nb, l, tq, dh, d, packed)
     kern = functools.partial(_fwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l, rate=rate,
-                             probs_bf16=probs_bf16, packed=packed,
-                             hw_rng=hw_rng and not interpret)
+                             probs_bf16=probs_bf16, packed=packed)
     out_shape = ((b, l, h * dh) if packed else (b, h, l, dh))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -582,7 +555,7 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
 
 
 def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
-              probs_bf16=False, packed=False, hw_rng=False):
+              probs_bf16=False, packed=False):
     h, dh = wh.shape[0], wh.shape[1]
     if packed:
         b, l, _ = qu.shape
@@ -603,8 +576,7 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
     in_specs.append(q_spec)
     kern = functools.partial(_bwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l, rate=rate,
-                             probs_bf16=probs_bf16, packed=packed,
-                             hw_rng=hw_rng and not interpret)
+                             probs_bf16=probs_bf16, packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // nb, h // hb, pl.cdiv(l, tq)),
@@ -643,27 +615,27 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
 # Public entry point with custom VJP.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _fused(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
-           probs_bf16=False, packed=False, hw_rng=False):
+           probs_bf16=False, packed=False):
     return _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
-                     interpret, probs_bf16, packed, hw_rng)
+                     interpret, probs_bf16, packed)
 
 
 def _fused_fwd(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
-               probs_bf16=False, packed=False, hw_rng=False):
+               probs_bf16=False, packed=False):
     out = _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
-                    interpret, probs_bf16, packed, hw_rng)
+                    interpret, probs_bf16, packed)
     # seed is traced (changes every train step without recompiling); the
     # identical dropout mask is regenerated in the backward from it.
     return out, (qu, qv, k, v, wh, lengths, seed)
 
 
-def _fused_bwd(scale, rate, tq, interpret, probs_bf16, packed, hw_rng, res, g):
+def _fused_bwd(scale, rate, tq, interpret, probs_bf16, packed, res, g):
     qu, qv, k, v, wh, lengths, seed = res
     dqu, dqv, dk, dv, dwh = _bwd_call(qu, qv, k, v, wh, lengths, seed, scale,
                                       rate, tq, interpret, g, probs_bf16,
-                                      packed, hw_rng)
+                                      packed)
     return dqu, dqv, dk, dv, dwh, None, None
 
 
@@ -682,8 +654,7 @@ def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
                          dropout_rate: float = 0.0,
                          seed: Optional[int] = None,
                          tq: Optional[int] = None, interpret: bool = False,
-                         probs_bf16: bool = False,
-                         hw_dropout: bool = False):
+                         probs_bf16: bool = False):
     """Fused shift-free relative attention.
 
     qu = q + content_bias, qv = q + position_bias: (B, H, L, dh);
@@ -703,8 +674,7 @@ def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
         # the qu/qv gradients.
         s = jnp.asarray(scale, qu.dtype)
         return _fused(qu * s, qv * s, k, v, wh, lengths, seed, 1.0,
-                      dropout_rate, tq, interpret, probs_bf16, False,
-                      hw_dropout)
+                      dropout_rate, tq, interpret, probs_bf16)
     return sincos_attention_xla(qu, qv, k, v, wh, lengths, scale,
                                 dropout_rate, seed)
 
@@ -714,8 +684,7 @@ def rel_attention_sincos_packed(qu, qv, k, v, wh, lengths, scale: float,
                                 seed: Optional[int] = None,
                                 tq: Optional[int] = None,
                                 interpret: bool = False,
-                                probs_bf16: bool = False,
-                                hw_dropout: bool = False):
+                                probs_bf16: bool = False):
     """Fused shift-free relative attention, head-in-lanes layout.
 
     qu/qv/k/v and the output are (B, L, D) with head h occupying lanes
@@ -741,12 +710,11 @@ def rel_attention_sincos_packed(qu, qv, k, v, wh, lengths, scale: float,
         if hb_ok:
             s = jnp.asarray(scale, qu.dtype)
             return _fused(qu * s, qv * s, k, v, wh, lengths, seed, 1.0,
-                          dropout_rate, tq, interpret, probs_bf16, True,
-                          hw_dropout)
+                          dropout_rate, tq, interpret, probs_bf16, True)
     unpack = lambda x: x.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
     out = rel_attention_sincos(unpack(qu), unpack(qv), unpack(k), unpack(v),
                                wh, lengths, scale, dropout_rate, seed, tq,
-                               interpret, probs_bf16, hw_dropout)
+                               interpret, probs_bf16)
     return out.transpose(0, 2, 1, 3).reshape(b, l, d)
 
 
@@ -771,8 +739,7 @@ def rel_attention_sincos_sharded(qu, qv, k, v, wh, lengths, scale: float,
                                  interpret: bool = False, mesh=None,
                                  data_axis: str = "data",
                                  model_axis: str = "model",
-                                 packed: bool = False,
-                                 hw_dropout: bool = False):
+                                 packed: bool = False):
     """shard_map wrapper: batch sharded over the data axis, heads over the
     model axis, everything inside each shard the plain fused kernel.
 
@@ -799,8 +766,7 @@ def rel_attention_sincos_sharded(qu, qv, k, v, wh, lengths, scale: float,
              else rel_attention_sincos)
     if d_ax is None and m_ax is None:
         return plain(qu, qv, k, v, wh, lengths, scale,
-                     dropout_rate, seed, tq, interpret,
-                     hw_dropout=hw_dropout)
+                     dropout_rate, seed, tq, interpret)
     if lengths is None:
         lengths = jnp.full((b,), l, jnp.int32)
     seed_arr = jnp.asarray(0 if seed is None else seed, jnp.int32)
@@ -811,8 +777,7 @@ def rel_attention_sincos_sharded(qu, qv, k, v, wh, lengths, scale: float,
         if m_ax is not None:
             seed = seed + jax.lax.axis_index(m_ax) * np.int32(2654435)
         return plain(qu, qv, k, v, wh, lengths, scale,
-                     dropout_rate, seed, tq, interpret,
-                     hw_dropout=hw_dropout)
+                     dropout_rate, seed, tq, interpret)
 
     spec = P(d_ax, None, m_ax) if packed else P(d_ax, m_ax, None, None)
     return jax.shard_map(

@@ -297,33 +297,6 @@ class TestSincosAttention:
         np.testing.assert_allclose(np.asarray(o1), np.asarray(pack(o2)),
                                    atol=1e-6)
 
-    def test_hw_dropout_interpret_fallback(self):
-        # dropout_impl='hw' selects the TPU hardware PRNG in-kernel; in
-        # interpret mode (no pltpu.prng) it falls back to the hash mask, so
-        # the flag must be output-identical there — this pins the plumbing
-        # (kernel flag, custom-VJP nondiff arg, sharded wrapper kwarg).
-        # The real hw path is validated on-chip by tools/check_hw_dropout.py.
-        from conformer_tpu.ops.pallas.sincos_attention import (
-            rel_attention_sincos)
-        qu, qv, k, v, K, wh, lengths, mk = self._case(H=4, L=40, dh=32,
-                                                      seed=9)
-        scale = 1 / np.sqrt(32)
-
-        def loss(args, hw):
-            o = rel_attention_sincos(*args, lengths, scale, 0.25,
-                                     seed=jnp.int32(3), interpret=True,
-                                     hw_dropout=hw)
-            return jnp.sum(jnp.sin(o)), o
-
-        args = (qu, qv, k, v, wh)
-        (_, o_hw), g_hw = jax.value_and_grad(
-            lambda a: loss(a, True), has_aux=True)(args)
-        (_, o_hash), g_hash = jax.value_and_grad(
-            lambda a: loss(a, False), has_aux=True)(args)
-        np.testing.assert_array_equal(np.asarray(o_hw), np.asarray(o_hash))
-        for a, b in zip(g_hw, g_hash):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
     def test_module_parity_and_param_compat(self):
         from conformer_tpu.models.attention import MHSAModule
         from conformer_tpu.models.position import relative_positional_encoding
