@@ -80,6 +80,8 @@ def main() -> None:
     # (~9x fewer FLOPs there); opt-in, not reference-checkpoint-compatible.
     if os.environ.get("BENCH_SUBSAMPLE"):
         overrides["model.subsample_impl"] = os.environ["BENCH_SUBSAMPLE"]
+    if os.environ.get("BENCH_NEGATIVES"):
+        overrides["pretrain.negatives_impl"] = os.environ["BENCH_NEGATIVES"]
     # 'hash': fused stateless-hash dropout masks (no HBM mask buffers).
     if os.environ.get("BENCH_DROPOUT"):
         overrides["model.dropout_impl"] = os.environ["BENCH_DROPOUT"]

@@ -303,6 +303,14 @@ class PretrainConfig:
     mask_span: int = 10
     # contrastive loss
     num_negatives: int = 100
+    # 'sampled' (default): K per-anchor uniform in-utterance negatives,
+    # fairseq-wav2vec2 semantics. 'all': full-softmax InfoNCE over every
+    # in-utterance candidate (same-quantized-target candidates masked) —
+    # gather-free: the sampled path's (B,T,K)-from-(B,T,T) gathers + the
+    # backward scatter measured ~31 ms of the ~150 ms pretrain step (21%,
+    # tools/trace_step.py --mode pretrain); 'all' removes them and uses a
+    # strictly larger negative set (w2v-BERT-style).
+    negatives_impl: str = "sampled"
     contrastive_temperature: float = 0.1
     diversity_weight: float = 0.1
     # byol

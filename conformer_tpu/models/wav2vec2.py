@@ -121,7 +121,9 @@ class Wav2Vec2Pretrain(nn.Module):
 def contrastive_loss(context: jnp.ndarray, target: jnp.ndarray,
                      mask_time_indices: jnp.ndarray, rng: jax.Array,
                      num_negatives: int = 100,
-                     temperature: float = 0.1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     temperature: float = 0.1,
+                     negatives_impl: str = "sampled"
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """InfoNCE over masked positions with in-utterance negatives.
 
     context/target: (B, T, D); mask_time_indices: (B, T) bool.
@@ -136,9 +138,42 @@ def contrastive_loss(context: jnp.ndarray, target: jnp.ndarray,
     tests/test_pretrain.py::test_contrastive_matches_gathered_vectors).
     Static shapes: negatives are sampled for every position; only masked
     positions contribute to the mean.
+
+    ``negatives_impl='all'`` skips the sampling entirely: full-softmax
+    InfoNCE over every in-utterance candidate (self = the positive;
+    candidates whose quantized target equals the positive's are masked,
+    exactly like the sampled path's same-target mask). Gather-free — the
+    sampled path's two (B,T,K)-from-(B,T,T) gathers plus the backward
+    scatter measured ~31 ms of the ~150 ms step (21%) on chip — and a
+    strictly larger negative set (w2v-BERT-style full softmax). `rng` and
+    `num_negatives` are ignored.
     """
     b, t, d = context.shape
     k = num_negatives
+
+    if negatives_impl == "all":
+        ctx_n = context / (jnp.linalg.norm(context, axis=-1, keepdims=True)
+                           + 1e-8)
+        tgt_n = target / (jnp.linalg.norm(target, axis=-1, keepdims=True)
+                          + 1e-8)
+        cos_all = jnp.einsum("btd,bsd->bts", ctx_n, tgt_n)      # (B, T, T)
+        tgt_sim = jax.lax.stop_gradient(
+            jnp.einsum("btd,bsd->bts", tgt_n, tgt_n))
+        eye = jnp.eye(t, dtype=bool)[None]
+        # Mask same-quantized-target candidates (they are indistinguishable
+        # from the positive) — but never the positive itself.
+        same = (tgt_sim > 1.0 - 1e-5) & ~eye
+        logits = jnp.where(same, -jnp.inf, cos_all / temperature)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        losses = -jnp.einsum("btt->bt", logp)                   # -logp[t, t]
+        m = mask_time_indices.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        loss = jnp.sum(losses * m) / denom
+        acc = jnp.sum(
+            (jnp.argmax(logits, axis=-1) == jnp.arange(t)[None]) * m) / denom
+        return loss, acc
+    if negatives_impl != "sampled":
+        raise ValueError(f"unknown negatives_impl: {negatives_impl!r}")
 
     # Sample negative indices != own position.
     neg_rng = jax.random.split(rng, b)

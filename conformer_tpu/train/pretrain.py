@@ -70,7 +70,8 @@ def make_wav2vec2_step(cfg: Config, tx: optax.GradientTransformation,
             c_loss, acc = contrastive_loss(
                 context, target, mask_idx, neg_rng,
                 num_negatives=pre.num_negatives,
-                temperature=pre.contrastive_temperature)
+                temperature=pre.contrastive_temperature,
+                negatives_impl=getattr(pre, "negatives_impl", "sampled"))
             gv = pre.num_groups * pre.num_vars
             d_loss = (gv - perplexity) / gv
             loss = c_loss + pre.diversity_weight * d_loss

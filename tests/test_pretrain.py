@@ -156,6 +156,44 @@ class TestContrastiveLoss:
         np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_contrastive_all_negatives_matches_naive(self):
+        """negatives_impl='all' (gather-free full-softmax InfoNCE) must
+        match a naive per-position loop that scores every in-utterance
+        candidate, masking same-quantized-target candidates."""
+        b, t, d = 2, 12, 8
+        context = jax.random.normal(jax.random.PRNGKey(0), (b, t, d))
+        codes = jax.random.normal(jax.random.PRNGKey(1), (4, d))
+        assign = jax.random.randint(jax.random.PRNGKey(2), (b, t), 0, 4)
+        target = codes[assign]
+        mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.6, (b, t))
+
+        losses = np.zeros((b, t))
+        correct = np.zeros((b, t))
+        ctx = np.asarray(context); tgt = np.asarray(target)
+        for bi in range(b):
+            for ti in range(t):
+                c = ctx[bi, ti] / (np.linalg.norm(ctx[bi, ti]) + 1e-8)
+                cands = tgt[bi] / (np.linalg.norm(tgt[bi], axis=-1,
+                                                  keepdims=True) + 1e-8)
+                cos = cands @ c
+                same = (np.asarray(assign[bi]) == int(assign[bi, ti]))
+                same[ti] = False                      # never mask self
+                logits = np.where(same, -np.inf, cos / 0.1)
+                lse = np.log(np.sum(np.exp(logits - logits.max()))) \
+                    + logits.max()
+                losses[bi, ti] = -(logits[ti] - lse)
+                correct[bi, ti] = float(np.argmax(logits) == ti)
+        m = np.asarray(mask, np.float32)
+        want_loss = (losses * m).sum() / max(m.sum(), 1.0)
+        want_acc = (correct * m).sum() / max(m.sum(), 1.0)
+
+        got_loss, got_acc = contrastive_loss(
+            context, target, mask, jax.random.PRNGKey(9),
+            temperature=0.1, negatives_impl="all")
+        np.testing.assert_allclose(float(got_loss), want_loss,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(got_acc), want_acc, atol=1e-6)
+
 
 class TestPretrainSteps:
     def test_wav2vec2_step_runs_and_improves(self):
