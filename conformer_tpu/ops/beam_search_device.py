@@ -72,6 +72,32 @@ class BeamState(NamedTuple):
     rcount: jnp.ndarray     # (W,) int32
 
 
+# Scan carry = BeamState WITHOUT the (W, U) prefix buffer. The per-frame
+# body never READS prefixes — it keys merging on the rolling hashes — so
+# carrying (and parent-gathering, and masked-updating) a (W, U) int32
+# buffer every frame was pure per-frame overhead (~11 MB of state at
+# W=190/U=256, plus its layout copies in the while-loop carry). Instead
+# the scan emits (parent, token) backpointers per frame and the prefix
+# buffer is rebuilt ONCE after the scan by a reverse walk + one scatter
+# (ctc_beam_search_device). plen stays carried (the buffer-full guard and
+# emission positions need it).
+class _Carry(NamedTuple):
+    plen: jnp.ndarray
+    last: jnp.ndarray
+    h1: jnp.ndarray
+    h2: jnp.ndarray
+    p_b: jnp.ndarray
+    p_nb: jnp.ndarray
+    lm_ctx: jnp.ndarray
+    lm_len: jnp.ndarray
+    wf1: jnp.ndarray
+    wf2: jnp.ndarray
+    wn: jnp.ndarray
+    rw1: jnp.ndarray
+    rw2: jnp.ndarray
+    rcount: jnp.ndarray
+
+
 def _logaddexp(a, b):
     m = jnp.maximum(a, b)
     dead = m <= NEG / 2
@@ -352,14 +378,35 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             # prefix identity here too — co-sorting plen/last as extra
             # equality guards (r2) only repeated information the hash
             # already encodes, at ~28% more sort traffic.
+            #
+            # A hash run holds AT MOST TWO live candidates, so the merge is
+            # a single shifted logaddexp at the run head (window-2) instead
+            # of two flag-reset associative scans (~90 (B, W(K+1)) vector
+            # ops per frame at the r2 design — the search is per-op
+            # dispatch-bound, tools/trace_step.py --mode beam_device).
+            # Proof: live keeps are the previous merge's distinct run heads
+            # (unique prefixes); two live extends parent_i+c == parent_j+c'
+            # force equal lengths, hence c == c' (same last token), hence
+            # parent_i == parent_j — so a run is at most one keep plus one
+            # extend. Dead slots (duplicate-candidate fill from top_k) DO
+            # share hashes with live beams, so the run-total score joins
+            # the sort key: within a run, live candidates sort first and
+            # the window-2 head sees all live mass. (A genuine 64-bit hash
+            # collision drops the colliding mass — score-conservative,
+            # same contract as the cross-frame merge; the r2 scan merged
+            # it into the wrong prefix instead.)
             iota = jnp.arange(c_h1.shape[0], dtype=jnp.int32)
-            (s_h1, s_h2, s_pb, s_pnb, order) = jax.lax.sort(
-                (c_h1, c_h2, c_pb, c_pnb, iota), num_keys=2)
+            neg_total = -_logaddexp(c_pb, c_pnb)
+            (s_h1, s_h2, _, s_pb, s_pnb, order) = jax.lax.sort(
+                (c_h1, c_h2, neg_total, c_pb, c_pnb, iota), num_keys=3)
             same = lambda x: x[1:] == x[:-1]
-            boundary = jnp.concatenate([
-                jnp.ones((1,), bool), ~(same(s_h1) & same(s_h2))])
-            suf_pb = _segmented_suffix_logsumexp(s_pb, boundary)
-            suf_pnb = _segmented_suffix_logsumexp(s_pnb, boundary)
+            same_prev = same(s_h1) & same(s_h2)
+            boundary = jnp.concatenate([jnp.ones((1,), bool), ~same_prev])
+            next_same = jnp.concatenate([same_prev, jnp.zeros((1,), bool)])
+            nxt = lambda x: jnp.concatenate([x[1:], jnp.full((1,), NEG,
+                                                             x.dtype)])
+            suf_pb = _logaddexp(s_pb, jnp.where(next_same, nxt(s_pb), NEG))
+            suf_pnb = _logaddexp(s_pnb, jnp.where(next_same, nxt(s_pnb), NEG))
             head_score = jnp.where(boundary,
                                    _logaddexp(suf_pb, suf_pnb), NEG)
 
@@ -428,11 +475,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             else:
                 new_ctx = state.lm_ctx[parent]
                 new_len = state.lm_len[parent]
-            new_state = BeamState(
-                prefixes=jnp.where(
-                    is_ext[:, None]
-                    & (jnp.arange(u)[None, :] == state.plen[parent][:, None]),
-                    tok[:, None], state.prefixes[parent]),
+            new_state = _Carry(
                 plen=jnp.where(is_ext, state.plen[parent] + 1,
                                state.plen[parent]),
                 last=jnp.where(is_ext, tok, state.last[parent]),
@@ -447,14 +490,40 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 lambda new, old: jnp.where(
                     jnp.reshape(active, (1,) * new.ndim), new, old),
                 new_state, state)
-            return new_state, None
+            # Backpointers: identity on inactive frames so the reverse
+            # walk passes through them unchanged.
+            bp_parent = jnp.where(active, parent, jnp.arange(w))
+            bp_tok = jnp.where(active, tok, -1)
+            return new_state, (bp_parent, bp_tok)
 
         # Unrolling amortizes per-op dispatch over several frames — the
         # per-frame body is hundreds of SMALL ops (sorts, windowed probes,
         # (W,)-gathers), so the search is op-overhead-bound (profiled).
-        final, _ = jax.lax.scan(step, init,
-                                (lp, jnp.arange(t, dtype=jnp.int32)),
-                                unroll=min(scan_unroll, max(t, 1)))
+        carry0 = _Carry(**{f: getattr(init, f) for f in _Carry._fields})
+        final, (parents, toks) = jax.lax.scan(
+            step, carry0, (lp, jnp.arange(t, dtype=jnp.int32)),
+            unroll=min(scan_unroll, max(t, 1)))
+
+        # Rebuild the prefix buffer from the backpointers: walk the parent
+        # chain backwards (toks land at their frame index under
+        # reverse=True), then place the emitted tokens after the carried-in
+        # prefix of the ORIGIN slot with one scatter.
+        def back(cur, pt):
+            par, tok_t = pt
+            return par[cur], tok_t[cur]
+
+        origin, path_toks = jax.lax.scan(back, jnp.arange(w),
+                                         (parents, toks), reverse=True)
+        emitted = path_toks >= 0                               # (T, W)
+        dest = (init.plen[origin][None, :]
+                + jnp.cumsum(emitted, axis=0) - 1)             # (T, W)
+        beam_idx = jnp.broadcast_to(jnp.arange(w)[None, :], dest.shape)
+        prefixes = init.prefixes[origin].at[
+            beam_idx.ravel(),
+            jnp.where(emitted, dest, u).ravel()].set(
+            jnp.maximum(path_toks, 0).ravel(), mode="drop")
+        final = BeamState(prefixes=prefixes, **final._asdict())
+
         score = _logaddexp(final.p_b, final.p_nb)
         if word_mode:
             # Score the trailing partial word into the final ranking, like
