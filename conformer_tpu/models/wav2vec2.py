@@ -164,8 +164,12 @@ def contrastive_loss(context: jnp.ndarray, target: jnp.ndarray,
         # from the positive) — but never the positive itself.
         same = (tgt_sim > 1.0 - 1e-5) & ~eye
         logits = jnp.where(same, -jnp.inf, cos_all / temperature)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        losses = -jnp.einsum("btt->bt", logp)                   # -logp[t, t]
+        # -logp[t, t] without a btt->bt diagonal extraction (a strided
+        # gather whose gradient is a scatter into (B,T,T)): the positive
+        # logit is the direct row dot, and the normalizer is a plain
+        # reduction.
+        pos = jnp.einsum("btd,btd->bt", ctx_n, tgt_n) / temperature
+        losses = jax.nn.logsumexp(logits, axis=-1) - pos
         m = mask_time_indices.astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(m), 1.0)
         loss = jnp.sum(losses * m) / denom

@@ -128,35 +128,47 @@ def _merge_topk(score, h1, h2, clen, k_out):
     log-sum-exp, then keep the top ``k_out`` -> (gather idx, merged scores).
 
     Same device merge scheme as the CTC prefix search
-    (ops/beam_search_device.py): sort on (h1, h2), segmented suffix-scan
-    logsumexp over equal-hash runs (an ``associative_scan``, no
-    TPU-serializing scatters). A false merge needs a simultaneous 2x32-bit
-    collision.
+    (ops/beam_search_device.py): one variadic co-sort, then a WINDOW-2
+    logaddexp at each run head. Window-2 is exact at every call site
+    because a hash run holds at most TWO live hypotheses: both input pools
+    (the finished pool and the blank-advances of the active pool) are
+    outputs of a previous merge, hence internally duplicate-free, so a run
+    is at most one element of each. Dead top-k fill slots DO share hashes
+    with live hypotheses, so the score joins the sort key to order live
+    entries first (their NEG mass is absorbed harmlessly). A genuine
+    2x32-bit collision drops the colliding mass — score-conservative, the
+    same contract as the cross-step merge. clen is not co-sorted: the
+    64-bit hash alone defines identity (it already keys cross-step
+    merging).
     """
-    from conformer_tpu.ops.beam_search_device import (
-        _segmented_suffix_logsumexp)
+    from conformer_tpu.ops.beam_search_device import _logaddexp
 
-    # Variadic co-sort (one vectorized sort network) instead of argsort +
-    # per-array gathers — TPU dynamic gathers serialize on the scalar core
-    # (see the same rewrite in ops/beam_search_device.py).
-    # The 64-bit (h1, h2) double hash alone defines hypothesis identity
-    # (it is already the cross-step merge key); carrying clen as an extra
-    # equality guard only repeated information the hash encodes (r3: same
-    # slimming as the CTC search).
     del clen
     iota = jnp.arange(score.shape[0], dtype=jnp.int32)
-    s_h1, s_h2, s_score, order = jax.lax.sort(
-        (h1, h2, score, iota), num_keys=2)
+    s_h1, s_h2, _, s_score, order = jax.lax.sort(
+        (h1, h2, -score, score, iota), num_keys=3)
 
     def same(x):
         return x[1:] == x[:-1]
 
-    boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), ~(same(s_h1) & same(s_h2))])
-    suf = _segmented_suffix_logsumexp(s_score, boundary)
-    head = jnp.where(boundary, suf, NEG)
+    same_prev = same(s_h1) & same(s_h2)
+    boundary = jnp.concatenate([jnp.ones((1,), bool), ~same_prev])
+    next_same = jnp.concatenate([same_prev, jnp.zeros((1,), bool)])
+    nxt = jnp.concatenate([s_score[1:], jnp.full((1,), NEG, s_score.dtype)])
+    merged = _logaddexp(s_score, jnp.where(next_same, nxt, NEG))
+    head = jnp.where(boundary, merged, NEG)
     top_s, top_pos = jax.lax.top_k(head, k_out)
     sel = order[top_pos]
+    return sel, jnp.where(top_s > NEG / 2, top_s, NEG)
+
+
+def _select_topk(score, k_out):
+    """Plain top-k for candidate pools that CANNOT contain duplicates:
+    the per-round emission pool — ext(i, c) == ext(j, c') forces equal
+    lengths, hence c == c', hence seq_i == seq_j, hence i == j because the
+    active pool is a previous merge's output. No sort-by-hash needed; dead
+    parents produce NEG scores that never win."""
+    top_s, sel = jax.lax.top_k(score, k_out)
     return sel, jnp.where(top_s > NEG / 2, top_s, NEG)
 
 
@@ -362,7 +374,9 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                 e_h1 = a_h1[parent] * _M1 + tu
                 e_h2 = a_h2[parent] * _M2 + tu
                 e_cnt = a_cnt[parent] + 1
-                sel, msc = _merge_topk(e_sc, e_h1, e_h2, e_cnt, w)
+                # Emission pools cannot contain duplicate sequences (see
+                # _select_topk) — skip the sort-merge entirely.
+                sel, msc = _select_topk(e_sc, w)
                 p, tk = parent[sel], tok[sel]
                 new_buf = jnp.where(
                     jnp.arange(u)[None, :] == a_cnt[p][:, None],
