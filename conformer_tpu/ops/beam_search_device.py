@@ -22,11 +22,13 @@ Algorithm (standard CTC prefix beam search, static shapes throughout):
   log p(nonblank-ending);
 - per frame: the top-K non-blank tokens generate W "keep" candidates
   (blank + repeat mass) and W*K "extend" candidates;
-- identical prefixes merge by sorting on hash1 and segment-logsumexp over
-  runs where (hash1, hash2, len, last) all match — the device analogue of
-  pyctcdecode's dict merge (a missed merge due to hash1 sort ties is
-  score-conservative; a false merge needs a simultaneous 2x32-bit collision);
-- the top-W unique prefixes by total mass survive.
+- identical prefixes merge by one variadic sort on (hash1, hash2, score)
+  and a window-2 logaddexp at each run head — exact because a run holds at
+  most two live candidates (proof at the merge site); the device analogue
+  of pyctcdecode's dict merge (mass lost to a genuine 2x32-bit hash
+  collision is score-conservative);
+- the top-W unique prefixes by total mass survive; the prefix token buffer
+  is rebuilt from per-frame backpointers after the scan.
 """
 
 from __future__ import annotations
@@ -104,43 +106,6 @@ def _logaddexp(a, b):
     safe = jnp.where(dead, 0.0, m)
     out = safe + jnp.log(jnp.exp(a - safe) + jnp.exp(b - safe))
     return jnp.where(dead, NEG, out)
-
-
-def _segment_logsumexp(values, seg_ids, num_segments):
-    m = jax.ops.segment_max(values, seg_ids, num_segments)
-    safe = jnp.where(m <= NEG / 2, 0.0, m)
-    s = jax.ops.segment_sum(jnp.exp(values - safe[seg_ids]), seg_ids,
-                            num_segments)
-    out = safe + jnp.log(jnp.maximum(s, 1e-38))
-    return jnp.where(m <= NEG / 2, NEG, out)
-
-
-def _segmented_suffix_logsumexp(values, boundary):
-    """Per-element logsumexp over the SUFFIX of its contiguous run.
-
-    values (N,) sorted so that equal-prefix candidates are contiguous;
-    boundary (N,) bool marks the FIRST element of each run. Returns s with
-    s[i] = logsumexp(values[i : end_of_run(i)]) — so the run HEAD holds
-    the full run total.
-
-    Replaces jax.ops.segment_max/segment_sum in the merge: those lower to
-    scatters, which serialize on TPU; this is a flag-reset
-    ``associative_scan`` (O(log N) elementwise passes, no scatter). The
-    flag-reset operator (value resets where a new segment begins) is the
-    textbook segmented-scan monoid, run right-to-left.
-    """
-    end_flag = jnp.concatenate(
-        [boundary[1:], jnp.ones((1,), bool)])
-    y = values[::-1]
-    g = end_flag[::-1]
-
-    def op(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, _logaddexp(av, bv)), af | bf
-
-    pv, _ = jax.lax.associative_scan(op, (y, g))
-    return pv[::-1]
 
 
 def ctc_beam_search_device(log_probs: jnp.ndarray,
