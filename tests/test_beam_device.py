@@ -51,6 +51,25 @@ class TestAgainstBruteForce:
             # With beam 64 >> #prefixes, scores should be near-exact.
             assert abs(float(scores[0, 0]) - want[0][1]) < 5e-3
 
+    def test_max_len_caps_emissions(self):
+        # Peaked alternating logits force an emission every frame; with a
+        # tiny max_len the buffer-full guard must stop extensions at the
+        # cap and the backpointer-rebuilt buffer must stay in bounds (the
+        # rebuild scatters emissions at init_plen + cumulative count — any
+        # off-by-one would spill past the cap or wrap).
+        t, v, cap = 9, 4, 3
+        lp = np.full((t, v), -20.0, np.float32)
+        for i in range(t):
+            lp[i, 1 + (i % 2)] = 0.0                       # tokens 1,2,1,2,...
+        prefixes, plens, scores = ctc_beam_search_device(
+            jnp.asarray(lp[None]), beam_width=8, top_k=3, max_len=cap)
+        plens = np.asarray(plens)
+        prefixes = np.asarray(prefixes)
+        assert prefixes.shape[-1] == cap
+        assert int(plens[0, 0]) == cap
+        assert tuple(prefixes[0, 0]) == (1, 2, 1)
+        assert (plens <= cap).all()
+
     def test_wide_beam_recovers_topk_ranking(self):
         rng = np.random.default_rng(3)
         lp = rand_logprobs(rng, 4, 4)
