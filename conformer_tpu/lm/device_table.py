@@ -30,6 +30,9 @@ _FNV_PRIME = np.uint32(16777619)
 _FNV_BASIS = np.uint32(2166136261)
 _EMPTY = np.uint32(0)          # reserved key for empty slots
 _PROBES = 8
+# Builders grow their tables until the max insertion displacement is below
+# this, so probe windows (= per-query device gather width) stay narrow.
+_TARGET_DISP = 4
 
 
 def _fingerprint_np(ids: Sequence[int]) -> np.uint32:
@@ -65,32 +68,42 @@ class DeviceNgramTable:
         order = lm.order
         total = max(sum(len(t) for t in lm.tables), 1)
         n_slots = 1 << int(np.ceil(np.log2(max(total * slots_per_entry, 64))))
-        keys = np.zeros((order, n_slots), np.uint32)
-        logps = np.zeros((order, n_slots), np.float32)
-        backoffs = np.zeros((order, n_slots), np.float32)
-        mask = n_slots - 1
-        max_disp = 0
-        for m, table in enumerate(lm.tables):
-            for ids, (logp, backoff) in table.items():
-                fp = _fingerprint_np(ids)
-                slot = int(fp) & mask
-                for disp in range(n_slots):
-                    if keys[m, slot] == _EMPTY:
-                        keys[m, slot] = fp
-                        logps[m, slot] = logp
-                        backoffs[m, slot] = backoff
-                        max_disp = max(max_disp, disp)
-                        break
-                    if keys[m, slot] == fp:
-                        break  # fingerprint collision: first writer wins
-                    slot = (slot + 1) & mask
+        # The probe window width IS the per-query gather width on device —
+        # every frame of the device beam search gathers (B, W, n_probes)
+        # elements per probe through the SERIALIZING scalar-core gather
+        # (~6.6 ns/element measured), so small max displacement buys real
+        # decode time. Grow the table (halve the load factor) until the
+        # max insertion displacement is tiny; HBM slots are cheap.
+        for _ in range(4):
+            keys = np.zeros((order, n_slots), np.uint32)
+            logps = np.zeros((order, n_slots), np.float32)
+            backoffs = np.zeros((order, n_slots), np.float32)
+            mask = n_slots - 1
+            max_disp = 0
+            for m, table in enumerate(lm.tables):
+                for ids, (logp, backoff) in table.items():
+                    fp = _fingerprint_np(ids)
+                    slot = int(fp) & mask
+                    for disp in range(n_slots):
+                        if keys[m, slot] == _EMPTY:
+                            keys[m, slot] = fp
+                            logps[m, slot] = logp
+                            backoffs[m, slot] = backoff
+                            max_disp = max(max_disp, disp)
+                            break
+                        if keys[m, slot] == fp:
+                            break  # fingerprint collision: first writer wins
+                        slot = (slot + 1) & mask
+            if max_disp < _TARGET_DISP:
+                break
+            n_slots *= 2
         unk = lm.vocab.get("<unk>")
         unk_logp = (lm.tables[0][(unk,)][0]
                     if unk is not None and (unk,) in lm.tables[0] else -99.0)
         return cls(order=order, n_slots=n_slots, keys=keys, logps=logps,
                    backoffs=backoffs, unk_logp=float(unk_logp),
                    vocab=dict(lm.vocab), bos_id=lm.vocab.get("<s>", -1),
-                   n_probes=max(max_disp + 1, _PROBES))
+                   n_probes=max_disp + 1)
 
     def device_arrays(self):
         import jax.numpy as jnp
@@ -170,26 +183,30 @@ class DeviceWordVocab:
                  if w not in ("<s>", "</s>", "<unk>")]
         n_slots = 1 << int(np.ceil(np.log2(
             max(len(words) * slots_per_entry, 64))))
-        keys1 = np.zeros((n_slots,), np.uint32)
-        keys2 = np.zeros((n_slots,), np.uint32)
-        ids = np.full((n_slots,), -1, np.int32)
-        mask = n_slots - 1
-        max_disp = 0
-        for w, wid in words:
-            h1 = _poly_hash_np(w, _POLY1)
-            h2 = _poly_hash_np(w, _POLY2)
-            slot = int(h1) & mask
-            for disp in range(n_slots):
-                if ids[slot] < 0:
-                    keys1[slot], keys2[slot], ids[slot] = h1, h2, wid
-                    max_disp = max(max_disp, disp)
-                    break
-                if keys1[slot] == h1 and keys2[slot] == h2:
-                    break  # duplicate spelling: first writer wins
-                slot = (slot + 1) & mask
+        for _ in range(4):  # small max displacement = narrow device gathers
+            keys1 = np.zeros((n_slots,), np.uint32)
+            keys2 = np.zeros((n_slots,), np.uint32)
+            ids = np.full((n_slots,), -1, np.int32)
+            mask = n_slots - 1
+            max_disp = 0
+            for w, wid in words:
+                h1 = _poly_hash_np(w, _POLY1)
+                h2 = _poly_hash_np(w, _POLY2)
+                slot = int(h1) & mask
+                for disp in range(n_slots):
+                    if ids[slot] < 0:
+                        keys1[slot], keys2[slot], ids[slot] = h1, h2, wid
+                        max_disp = max(max_disp, disp)
+                        break
+                    if keys1[slot] == h1 and keys2[slot] == h2:
+                        break  # duplicate spelling: first writer wins
+                    slot = (slot + 1) & mask
+            if max_disp < _TARGET_DISP:
+                break
+            n_slots *= 2
         return cls(tok_a1=tok_a1, tok_b1=tok_b1, tok_a2=tok_a2,
                    tok_b2=tok_b2, keys1=keys1, keys2=keys2, ids=ids,
-                   n_probes=max(max_disp + 1, _PROBES))
+                   n_probes=max_disp + 1)
 
     def device_arrays(self):
         import jax.numpy as jnp
@@ -239,25 +256,31 @@ class DeviceHotwords:
                 phrases.append(ws)
         n_slots = 1 << int(np.ceil(np.log2(
             max(len(phrases) * slots_per_entry, 16))))
-        keys1 = np.zeros((n_slots,), np.uint32)
-        keys2 = np.zeros((n_slots,), np.uint32)
-        ids = np.full((n_slots,), -1, np.int32)
-        mask = n_slots - 1
-        max_disp = 0
-        for ws in phrases:
-            fp1 = _fold_word_seq_np([_poly_hash_np(w, _POLY1) for w in ws])
-            fp2 = _fold_word_seq_np([_poly_hash_np(w, _POLY2) for w in ws])
-            slot = int(fp1) & mask
-            for disp in range(n_slots):
-                if ids[slot] < 0:
-                    keys1[slot], keys2[slot], ids[slot] = fp1, fp2, 1
-                    max_disp = max(max_disp, disp)
-                    break
-                if keys1[slot] == fp1 and keys2[slot] == fp2:
-                    break
-                slot = (slot + 1) & mask
+        for _ in range(4):  # small max displacement = narrow device gathers
+            keys1 = np.zeros((n_slots,), np.uint32)
+            keys2 = np.zeros((n_slots,), np.uint32)
+            ids = np.full((n_slots,), -1, np.int32)
+            mask = n_slots - 1
+            max_disp = 0
+            for ws in phrases:
+                fp1 = _fold_word_seq_np(
+                    [_poly_hash_np(w, _POLY1) for w in ws])
+                fp2 = _fold_word_seq_np(
+                    [_poly_hash_np(w, _POLY2) for w in ws])
+                slot = int(fp1) & mask
+                for disp in range(n_slots):
+                    if ids[slot] < 0:
+                        keys1[slot], keys2[slot], ids[slot] = fp1, fp2, 1
+                        max_disp = max(max_disp, disp)
+                        break
+                    if keys1[slot] == fp1 and keys2[slot] == fp2:
+                        break
+                    slot = (slot + 1) & mask
+            if max_disp < _TARGET_DISP:
+                break
+            n_slots *= 2
         return cls(keys1=keys1, keys2=keys2, ids=ids,
-                   n_probes=max(max_disp + 1, _PROBES))
+                   n_probes=max_disp + 1)
 
     def device_arrays(self):
         import jax.numpy as jnp

@@ -38,7 +38,6 @@ FLOPs are cheap; HBM bytes are not.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -53,10 +52,6 @@ except Exception:  # pragma: no cover — non-TPU build
     pltpu = None
 
 NEG_INF = float(np.finfo(np.float32).min)
-
-# Experiment switch (bench via env, no API churn): all-matmuls-first
-# backward decomposition — see the `split` branch in _bwd_kernel.
-_BWD_SPLIT = os.environ.get("SINCOS_BWD_SPLIT", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -260,8 +255,7 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, do_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dwh_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float,
-                probs_bf16: bool = False, packed: bool = False,
-                split: bool = False):
+                probs_bf16: bool = False, packed: bool = False):
     """Recompute the probability tile (flash-style: no saved score tensors),
     then emit all five gradients; all heads and NB batch rows per program
     (see _fwd_kernel). dk/dv/dwh accumulate across the q-tile grid dimension
@@ -350,82 +344,31 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             keep = None
             dp = dov
 
-        if split:
-            # All-matmuls-first decomposition (same trick as the forward
-            # normalization fold): with p = e/s,
-            #   ds = p*(dp - sum(p*dp)) = inv_s*(e.dp) - (su*inv_s^2)*e,
-            # so every gradient contraction consumes the UNnormalized e /
-            # e.dp tiles and the softmax reductions (ssum, su) apply as
-            # row scalings on the SMALL outputs (or on the (TQ, dh)
-            # operands for the q-contracted dk/dv/dwh). The big MXU work
-            # issues without waiting on any reduction — the reductions run
-            # concurrently on the VPU — at the price of a second matmul
-            # for each ds-consumer (dqu/dk/dalpha/dbeta, ~+32% kernel
-            # FLOPs). Wins iff the backward was dependency-bound, not
-            # MXU-bound (flag-gated; win-or-delete after on-chip timing).
-            e32 = e.astype(jnp.float32)
-            inv_s = 1.0 / jnp.maximum(ssum, 1e-9)
-            su = jnp.sum(e32 * dp, axis=-1, keepdims=True)
-            if partial_tile:
-                e32 = jnp.where(row_ok, e32, 0.0)
-                inv_s = jnp.where(row_ok, inv_s, 0.0)
-                su = jnp.where(row_ok, su, 0.0)
-            s1 = inv_s * scale                                 # (TQ, 1)
-            s2 = su * inv_s * inv_s * scale
-            edp = (e32 * dp).astype(k.dtype)
-            e_c = e32.astype(k.dtype)
-            e_drop = (jnp.where(keep, e32 * inv, 0.0) if keep is not None
-                      else e32)
-            qu32 = qu.astype(jnp.float32)
-            dv_c = jax.lax.dot_general(                        # (L, dh)
-                e_drop.astype(do_ref.dtype),
-                (do * inv_s).astype(do_ref.dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            mm = lambda a, b: jax.lax.dot_general(
-                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dqu = (mm(edp, k) * s1 - mm(e_c, k) * s2)          # (TQ, dh)
-            dk_c = (jax.lax.dot_general(                       # (L, dh)
-                edp, (qu32 * s1).astype(k.dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-                - jax.lax.dot_general(
-                e_c, (qu32 * s2).astype(k.dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dalpha = mm(edp, ck_ref[...]) * s1 \
-                - mm(e_c, ck_ref[...]) * s2                    # (TQ, D/2)
-            dbeta = mm(edp, sk_ref[...]) * s1 \
-                - mm(e_c, sk_ref[...]) * s2
-        else:
-            p_drop = (jnp.where(keep, p * inv, 0.0) if keep is not None
-                      else p)
-            # softmax bwd: ds = p*(dp - sum_j p*dp); delta = dO.O = sum p*dp.
-            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-            ds = p * (dp - delta)                              # (TQ, L) fp32
-            if scale != 1.0:  # scale folded into qu/qv by the public wrapper
-                ds = ds * scale
+        p_drop = (jnp.where(keep, p * inv, 0.0) if keep is not None
+                  else p)
+        # softmax bwd: ds = p*(dp - sum_j p*dp); delta = dO.O = sum p*dp.
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta)                                  # (TQ, L) fp32
+        if scale != 1.0:  # scale folded into qu/qv by the public wrapper
+            ds = ds * scale
 
-            dv_c = jax.lax.dot_general(                        # (L, dh)
-                p_drop.astype(do_ref.dtype), do.astype(do_ref.dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds_c = ds.astype(k.dtype)
-            dqu = jax.lax.dot_general(                         # (TQ, dh)
-                ds_c, k, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dk_c = jax.lax.dot_general(                        # (L, dh)
-                ds_c, qu, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dalpha = jax.lax.dot_general(                      # (TQ, D/2)
-                ds_c, ck_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbeta = jax.lax.dot_general(
-                ds_c, sk_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        dv_c = jax.lax.dot_general(                            # (L, dh)
+            p_drop.astype(do_ref.dtype), do.astype(do_ref.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds_c = ds.astype(k.dtype)
+        dqu = jax.lax.dot_general(                             # (TQ, dh)
+            ds_c, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_c = jax.lax.dot_general(                            # (L, dh)
+            ds_c, qu, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dalpha = jax.lax.dot_general(                          # (TQ, D/2)
+            ds_c, ck_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbeta = jax.lax.dot_general(
+            ds_c, sk_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         da_s = dalpha * sq - dbeta * cq
         da_c = dalpha * cq + dbeta * sq
         da_s_c = da_s.astype(wh.dtype)
@@ -635,8 +578,7 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
     in_specs.append(q_spec)
     kern = functools.partial(_bwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l, rate=rate,
-                             probs_bf16=probs_bf16, packed=packed,
-                             split=_BWD_SPLIT)
+                             probs_bf16=probs_bf16, packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // nb, h // hb, pl.cdiv(l, tq)),
