@@ -100,6 +100,30 @@ class _Carry(NamedTuple):
     rcount: jnp.ndarray
 
 
+# The 13+m_ctx parent-indexed per-beam columns live PACKED in one (W, C)
+# int32 matrix inside the scan: every per-frame `state.X[parent]` gather
+# ran as its own serializing scalar-core gather (~10 per frame, each a
+# full dispatch); packing makes parent propagation ONE row gather plus
+# static lane slices. h1/h2/p_b/p_nb stay separate — they come from the
+# co-sorted candidate arrays, not from a parent gather, and p_b/p_nb do
+# f32 arithmetic every frame.
+def _pack_cols(plen, last, lm_len, wn, rcount, wf1, wf2, rw1, rw2, lm_ctx):
+    u2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.concatenate([
+        plen[:, None], last[:, None], lm_len[:, None], wn[:, None],
+        rcount[:, None], u2i(wf1)[:, None], u2i(wf2)[:, None],
+        u2i(rw1), u2i(rw2), lm_ctx], axis=1)
+
+
+def _unpack_cols(S, h1, h2, p_b, p_nb, m_ctx):
+    i2u = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return _Carry(plen=S[:, 0], last=S[:, 1], h1=h1, h2=h2, p_b=p_b,
+                  p_nb=p_nb, lm_ctx=S[:, 13:13 + m_ctx], lm_len=S[:, 2],
+                  wn=S[:, 3], rcount=S[:, 4], wf1=i2u(S[:, 5]),
+                  wf2=i2u(S[:, 6]), rw1=i2u(S[:, 7:10]),
+                  rw2=i2u(S[:, 10:13]))
+
+
 def _logaddexp(a, b):
     m = jnp.maximum(a, b)
     dead = m <= NEG / 2
@@ -248,7 +272,9 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                     any_hit, hot_weight * _LOG10_TO_LN, 0.0)
             return delta, wid
 
-        def step(state: BeamState, inputs):
+        def step(carry, inputs):
+            S, c_h1p, c_h2p, c_pbp, c_pnbp = carry
+            state = _unpack_cols(S, c_h1p, c_h2p, c_pbp, c_pnbp, m_ctx)
             frame, t_idx = inputs
             active = (t_idx >= start) & (t_idx < n)
 
@@ -385,19 +411,19 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             parent = c_parent[sel]
             tok = c_tok[sel]
             is_ext = tok >= 0
-            new_wf1, new_wf2 = state.wf1[parent], state.wf2[parent]
-            new_wn = state.wn[parent]
-            new_rw1, new_rw2 = state.rw1[parent], state.rw2[parent]
-            new_rcount = state.rcount[parent]
+            # ONE row gather propagates every parent-indexed column.
+            par = _unpack_cols(S[parent], None, None, None, None, m_ctx)
+            new_wf1, new_wf2 = par.wf1, par.wf2
+            new_wn = par.wn
+            new_rw1, new_rw2 = par.rw1, par.rw2
+            new_rcount = par.rcount
             if use_lm:
                 new_tok_lm = tok2lm[jnp.maximum(tok, 0)]
                 shifted = jnp.concatenate(
-                    [state.lm_ctx[parent][:, 1:], new_tok_lm[:, None]], 1)
-                new_ctx = jnp.where(is_ext[:, None], shifted,
-                                    state.lm_ctx[parent])
+                    [par.lm_ctx[:, 1:], new_tok_lm[:, None]], 1)
+                new_ctx = jnp.where(is_ext[:, None], shifted, par.lm_ctx)
                 new_len = jnp.where(
-                    is_ext, jnp.minimum(state.lm_len[parent] + 1, m_ctx),
-                    state.lm_len[parent])
+                    is_ext, jnp.minimum(par.lm_len + 1, m_ctx), par.lm_len)
             elif word_mode:
                 tok_safe = jnp.maximum(tok, 0)
                 is_delim = is_ext & (tok == delim_id)
@@ -416,58 +442,60 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 new_wn = jnp.where(grow, new_wn + 1,
                                    jnp.where(is_delim, 0, new_wn))
                 # Word completed: shift its LM id into the word context.
-                completed = is_delim & (state.wn[parent] > 0)
+                completed = is_delim & (par.wn > 0)
                 shifted = jnp.concatenate(
-                    [state.lm_ctx[parent][:, 1:],
-                     wid_done[parent][:, None]], 1)
-                new_ctx = jnp.where(completed[:, None], shifted,
-                                    state.lm_ctx[parent])
+                    [par.lm_ctx[:, 1:], wid_done[parent][:, None]], 1)
+                new_ctx = jnp.where(completed[:, None], shifted, par.lm_ctx)
                 new_len = jnp.where(
-                    completed, jnp.minimum(state.lm_len[parent] + 1, m_ctx),
-                    state.lm_len[parent])
+                    completed, jnp.minimum(par.lm_len + 1, m_ctx),
+                    par.lm_len)
                 if hot_arrays is not None:
                     # Shift the completed word's char hashes into the
                     # hotword ring (most recent last).
                     r1 = jnp.concatenate(
-                        [new_rw1[:, 1:], state.wf1[parent][:, None]], 1)
+                        [new_rw1[:, 1:], par.wf1[:, None]], 1)
                     r2 = jnp.concatenate(
-                        [new_rw2[:, 1:], state.wf2[parent][:, None]], 1)
+                        [new_rw2[:, 1:], par.wf2[:, None]], 1)
                     new_rw1 = jnp.where(completed[:, None], r1, new_rw1)
                     new_rw2 = jnp.where(completed[:, None], r2, new_rw2)
                     new_rcount = jnp.where(
                         completed, jnp.minimum(new_rcount + 1, 3),
                         new_rcount)
             else:
-                new_ctx = state.lm_ctx[parent]
-                new_len = state.lm_len[parent]
-            new_state = _Carry(
-                plen=jnp.where(is_ext, state.plen[parent] + 1,
-                               state.plen[parent]),
-                last=jnp.where(is_ext, tok, state.last[parent]),
-                h1=c_h1[sel], h2=c_h2[sel],
-                p_b=jnp.where(alive, suf_pb[top_pos], NEG),
-                p_nb=jnp.where(alive, suf_pnb[top_pos], NEG),
-                lm_ctx=new_ctx, lm_len=new_len,
-                wf1=new_wf1, wf2=new_wf2, wn=new_wn,
-                rw1=new_rw1, rw2=new_rw2, rcount=new_rcount)
-
-            new_state = jax.tree_util.tree_map(
+                new_ctx = par.lm_ctx
+                new_len = par.lm_len
+            new_S = _pack_cols(
+                plen=jnp.where(is_ext, par.plen + 1, par.plen),
+                last=jnp.where(is_ext, tok, par.last),
+                lm_len=new_len, wn=new_wn, rcount=new_rcount,
+                wf1=new_wf1, wf2=new_wf2, rw1=new_rw1, rw2=new_rw2,
+                lm_ctx=new_ctx)
+            new_carry = (new_S, c_h1[sel], c_h2[sel],
+                         jnp.where(alive, suf_pb[top_pos], NEG),
+                         jnp.where(alive, suf_pnb[top_pos], NEG))
+            new_carry = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(
                     jnp.reshape(active, (1,) * new.ndim), new, old),
-                new_state, state)
+                new_carry, carry)
             # Backpointers: identity on inactive frames so the reverse
             # walk passes through them unchanged.
             bp_parent = jnp.where(active, parent, jnp.arange(w))
             bp_tok = jnp.where(active, tok, -1)
-            return new_state, (bp_parent, bp_tok)
+            return new_carry, (bp_parent, bp_tok)
 
         # Unrolling amortizes per-op dispatch over several frames — the
         # per-frame body is hundreds of SMALL ops (sorts, windowed probes,
         # (W,)-gathers), so the search is op-overhead-bound (profiled).
-        carry0 = _Carry(**{f: getattr(init, f) for f in _Carry._fields})
-        final, (parents, toks) = jax.lax.scan(
+        carry0 = (_pack_cols(plen=init.plen, last=init.last,
+                             lm_len=init.lm_len, wn=init.wn,
+                             rcount=init.rcount, wf1=init.wf1,
+                             wf2=init.wf2, rw1=init.rw1, rw2=init.rw2,
+                             lm_ctx=init.lm_ctx),
+                  init.h1, init.h2, init.p_b, init.p_nb)
+        final_carry, (parents, toks) = jax.lax.scan(
             step, carry0, (lp, jnp.arange(t, dtype=jnp.int32)),
             unroll=min(scan_unroll, max(t, 1)))
+        final = _unpack_cols(*final_carry, m_ctx)
 
         # Rebuild the prefix buffer from the backpointers: walk the parent
         # chain backwards (toks land at their frame index under
