@@ -389,6 +389,49 @@ def _probe(keys, values, fp, n_probes: int = _PROBES,
     return found, out
 
 
+def _probe_rows(keys2d, values2d, fps, rows, n_probes: int = _PROBES,
+                axis_name=None, n_slots_global: int = 0):
+    """Batched open-addressing lookup across table ROWS: one flattened
+    gather replaces G separate _probe calls. keys2d/values2d: (order, S);
+    fps: (..., G) uint32; rows: (G,) host ints — probe g looks up fps[..., g]
+    in row rows[g]. -> (found (..., G) bool, value (..., G)).
+
+    Per-op dispatch on the serializing scalar-core gather path is the cost
+    this batches away (gathered ELEMENTS are unchanged — that is the probe
+    window's job); the device beam search issues ~15 probes per frame.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rows_u = jnp.asarray(np.asarray(rows, np.uint32))
+    window = jnp.arange(n_probes, dtype=jnp.uint32)
+    if axis_name is None:
+        s_row = keys2d.shape[1]
+        mask = np.uint32(s_row - 1)
+        slots = (fps[..., None] + window) & mask            # (..., G, P)
+        flat = (rows_u[:, None] * np.uint32(s_row) + slots).astype(jnp.int32)
+        hit = keys2d.reshape(-1)[flat] == fps[..., None]
+        found = hit.any(-1)
+        out = jnp.where(hit, values2d.reshape(-1)[flat], 0).sum(-1)
+        return found, out.astype(values2d.dtype)
+
+    s_local = keys2d.shape[1]
+    mask = np.uint32(n_slots_global - 1)
+    off = (jax.lax.axis_index(axis_name).astype(jnp.uint32)
+           * np.uint32(s_local))
+    slots = (fps[..., None] + window) & mask                # (..., G, P)
+    local = slots - off                                      # uint32 wrap
+    in_rng = local < np.uint32(s_local)
+    li = jnp.where(in_rng, local, np.uint32(0))
+    flat = (rows_u[:, None] * np.uint32(s_local) + li).astype(jnp.int32)
+    hit = in_rng & (keys2d.reshape(-1)[flat] == fps[..., None])
+    found = hit.any(-1)
+    out = jnp.where(hit, values2d.reshape(-1)[flat], 0).sum(-1)
+    found = jax.lax.psum(found.astype(jnp.int32), axis_name) > 0
+    out = jax.lax.psum(out.astype(values2d.dtype), axis_name)
+    return found, out
+
+
 def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
                  n_probes: int = _PROBES,
                  axis_name=None, n_slots_global: int = 0):
@@ -413,25 +456,37 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
 
     # For each use-length u (number of context ids used, longest first),
     # compute: found_u, logp_u for (ctx[-u:], tok); bo_found_u, bo_u for
-    # the context entry ctx[-u:] (order u).
-    found_list, logp_list, bo_list = [], [], []
+    # the context entry ctx[-u:] (order u). Fingerprints are elementwise;
+    # the 2*order-1 table probes batch into TWO flattened gathers
+    # (_probe_rows) instead of one serializing gather launch each.
+    fp_list, bo_fp_list, usable_list = [], [], []
     for u in range(m_ctx, -1, -1):
         # sequence = ctx[-u:] + [tok]; valid only if ctx_len >= u.
         ids = jnp.concatenate(
             [ctx[..., m_ctx - u:], tok[..., None].astype(jnp.int32)], -1)
-        valid = jnp.ones(ids.shape, bool)
-        fp = _fingerprint_jnp(ids, valid)
-        f, lp = _probe(keys[u], logps[u], fp, n_probes,
-                       axis_name, n_slots_global)
-        usable = ctx_len >= u
-        found_list.append(f & usable)
-        logp_list.append(lp)
+        fp_list.append(_fingerprint_jnp(ids, jnp.ones(ids.shape, bool)))
+        usable_list.append(ctx_len >= u)
         if u >= 1:
             ctx_ids = ctx[..., m_ctx - u:]
-            bo_fp = _fingerprint_jnp(ctx_ids, jnp.ones(ctx_ids.shape, bool))
-            bf, bo = _probe(keys[u - 1], backoffs[u - 1], bo_fp, n_probes,
-                            axis_name, n_slots_global)
-            bo_list.append(jnp.where(bf & usable, bo, 0.0))
+            bo_fp_list.append(
+                _fingerprint_jnp(ctx_ids, jnp.ones(ctx_ids.shape, bool)))
+    lp_rows = list(range(m_ctx, -1, -1))
+    f_all, lp_all = _probe_rows(keys, logps, jnp.stack(fp_list, -1),
+                                lp_rows, n_probes,
+                                axis_name, n_slots_global)
+    found_list = [f_all[..., i] & usable_list[i]
+                  for i in range(len(lp_rows))]
+    logp_list = [lp_all[..., i] for i in range(len(lp_rows))]
+    bo_rows = [u - 1 for u in range(m_ctx, 0, -1)]
+    bo_list = []
+    if bo_rows:
+        bf_all, bo_all = _probe_rows(keys, backoffs,
+                                     jnp.stack(bo_fp_list, -1),
+                                     bo_rows, n_probes,
+                                     axis_name, n_slots_global)
+        bo_list = [jnp.where(bf_all[..., i] & usable_list[i],
+                             bo_all[..., i], 0.0)
+                   for i in range(len(bo_rows))]
 
     # Sequential backoff emulation: first found level (longest) wins; the
     # accumulated backoff is the sum of bo over levels longer than it.

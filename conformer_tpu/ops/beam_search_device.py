@@ -252,22 +252,27 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             delta = lm_alpha * _LOG10_TO_LN * lm10 + lm_beta
             if hot_arrays is not None and hot_weight:
                 # Fold the last-k completed-word hashes (k = 1..4, the
-                # current word last) and probe the hotword phrase table.
+                # current word last) and probe the hotword phrase table —
+                # all four spans in ONE batched lookup (fold = elementwise;
+                # the gather launch is the serializing cost).
                 basis = jnp.uint32(_FNV_BASIS)
                 prime = jnp.uint32(_FNV_PRIME)
-                any_hit = jnp.zeros((w,), bool)
+                fp1s, fp2s = [], []
                 for span in range(1, 5):
                     fp1 = jnp.full((w,), basis)
                     fp2 = jnp.full((w,), basis)
                     for j in range(3 - (span - 1), 3):
                         fp1 = (fp1 ^ state.rw1[:, j]) * prime
                         fp2 = (fp2 ^ state.rw2[:, j]) * prime
-                    fp1 = (fp1 ^ state.wf1) * prime
-                    fp2 = (fp2 ^ state.wf2) * prime
-                    hit = lookup_pair(hot_arrays[0], hot_arrays[1],
-                                      hot_arrays[2], fp1, fp2,
-                                      hot_n_probes) >= 0
-                    any_hit = any_hit | (hit & (state.rcount >= span - 1))
+                    fp1s.append((fp1 ^ state.wf1) * prime)
+                    fp2s.append((fp2 ^ state.wf2) * prime)
+                hits = lookup_pair(hot_arrays[0], hot_arrays[1],
+                                   hot_arrays[2], jnp.stack(fp1s, -1),
+                                   jnp.stack(fp2s, -1),
+                                   hot_n_probes) >= 0          # (W, 4)
+                spans_ok = (state.rcount[:, None]
+                            >= jnp.arange(4)[None, :])
+                any_hit = jnp.any(hits & spans_ok, axis=-1)
                 delta = delta + jnp.where(
                     any_hit, hot_weight * _LOG10_TO_LN, 0.0)
             return delta, wid
