@@ -9,9 +9,18 @@ backoff scorer that is exact with respect to the ARPA (verified against the
 Python scorer in tests/test_device_lm.py).
 
 Layout: one slot pool per n-gram order. Each entry is (key: uint32 fingerprint
-of the id sequence, logp: f32, backoff: f32). Lookup = H probes of
-linear open addressing — fully vectorized gathers, no data-dependent control
-flow, so the beam search can score (B, W, K) candidates in one fused op.
+of the id sequence, logp: f32, backoff: f32). Lookup = gathers of exactly TWO
+cuckoo choice slots per query — no data-dependent control flow, so the beam
+search can score (B, W, K) candidates in one fused op. Two slots is the
+information-theoretic floor for a hash table that must detect misses with
+one-round gathers, and gathered ELEMENTS are the decode-time currency: TPU
+dynamic gathers serialize on the scalar core at ~6.6 ns/element, and the
+device beam search at the reference operating point is gather-element-bound
+(ops/beam_search_device.py). Linear probing (the round-2 scheme) needed a
+probe WINDOW covering the max insertion displacement — ≥4 at any realistic
+load factor, and irreducible by growth at real LM sizes (reaching max
+displacement <2 by growth alone needs O(entries^1.5) slots) — so cuckoo
+halves the dominant gather term outright.
 
 No reference counterpart: the reference's LM work is sequential host Python
 over pyctcdecode (reference: processing/lm.py:62-75); SURVEY §2.10 names
@@ -29,10 +38,57 @@ import numpy as np
 _FNV_PRIME = np.uint32(16777619)
 _FNV_BASIS = np.uint32(2166136261)
 _EMPTY = np.uint32(0)          # reserved key for empty slots
-_PROBES = 8
-# Builders grow their tables until the max insertion displacement is below
-# this, so probe windows (= per-query device gather width) stay narrow.
-_TARGET_DISP = 4
+_PROBES = 2                    # cuckoo: every key sits in one of two slots
+# Cuckoo eviction chains longer than this trigger a table doubling. 128
+# kicks at load factor <=0.5 fails with vanishing probability; growth is
+# the (always-terminating) fallback.
+_MAX_KICKS = 128
+
+
+def _mix_np(fp: np.uint32) -> np.uint32:
+    """Second cuckoo choice: a full-avalanche uint32 mix (murmur3 finalizer)
+    of the fingerprint. Must match _mix_jnp bit-for-bit."""
+    h = int(fp) & 0xFFFFFFFF
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return np.uint32(h)
+
+
+def _mix_jnp(fp):
+    """Device twin of _mix_np (elementwise on uint32 arrays)."""
+    h = fp ^ (fp >> 16)
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * np.uint32(0xC2B2AE35)
+    return h ^ (h >> 16)
+
+
+def _cuckoo_layout(choices) -> "list | None":
+    """Assign each item a slot from its (s1, s2) choice pair via cuckoo
+    eviction. choices: list of (int, int). Returns slot per item, or None
+    if an eviction chain exceeds _MAX_KICKS (caller doubles and retries).
+    Items must be pre-deduplicated by key."""
+    owner = {}                     # slot -> item index
+    pos = [None] * len(choices)
+    for i, (s1, _) in enumerate(choices):
+        cur, slot = i, s1
+        for _ in range(_MAX_KICKS):
+            prev = owner.get(slot)
+            owner[slot] = cur
+            pos[cur] = slot
+            if prev is None:
+                break
+            cur = prev
+            c1, c2 = choices[cur]
+            # The evicted item moves to its OTHER choice (it occupied
+            # `slot`, which equals one of its choices).
+            slot = c2 if slot == c1 else c1
+        else:
+            return None
+    return pos
 
 
 def _fingerprint_np(ids: Sequence[int]) -> np.uint32:
@@ -57,7 +113,7 @@ class DeviceNgramTable:
     unk_logp: float
     vocab: dict                        # word/token string -> LM id
     bos_id: int
-    n_probes: int                      # max insertion displacement + 1
+    n_probes: int                      # always 2 (cuckoo choice slots)
 
     @classmethod
     def from_arpa(cls, arpa_path: str, slots_per_entry: float = 2.0
@@ -68,33 +124,37 @@ class DeviceNgramTable:
         order = lm.order
         total = max(sum(len(t) for t in lm.tables), 1)
         n_slots = 1 << int(np.ceil(np.log2(max(total * slots_per_entry, 64))))
-        # The probe window width IS the per-query gather width on device —
-        # every frame of the device beam search gathers (B, W, n_probes)
-        # elements per probe through the SERIALIZING scalar-core gather
-        # (~6.6 ns/element measured), so small max displacement buys real
-        # decode time. Grow the table (halve the load factor) until the
-        # max insertion displacement is tiny; HBM slots are cheap.
-        for _ in range(4):
+        # Per-order entry lists, deduplicated by fingerprint (first writer
+        # wins on a genuine 32-bit collision — same contract as the lookup's
+        # at-most-one-slot guarantee).
+        rows = []
+        for table in lm.tables:
+            seen, items = set(), []
+            for ids, (logp, backoff) in table.items():
+                fp = _fingerprint_np(ids)
+                if int(fp) in seen:
+                    continue
+                seen.add(int(fp))
+                items.append((fp, _mix_np(fp), logp, backoff))
+            rows.append(items)
+        while True:
             keys = np.zeros((order, n_slots), np.uint32)
             logps = np.zeros((order, n_slots), np.float32)
             backoffs = np.zeros((order, n_slots), np.float32)
             mask = n_slots - 1
-            max_disp = 0
-            for m, table in enumerate(lm.tables):
-                for ids, (logp, backoff) in table.items():
-                    fp = _fingerprint_np(ids)
-                    slot = int(fp) & mask
-                    for disp in range(n_slots):
-                        if keys[m, slot] == _EMPTY:
-                            keys[m, slot] = fp
-                            logps[m, slot] = logp
-                            backoffs[m, slot] = backoff
-                            max_disp = max(max_disp, disp)
-                            break
-                        if keys[m, slot] == fp:
-                            break  # fingerprint collision: first writer wins
-                        slot = (slot + 1) & mask
-            if max_disp < _TARGET_DISP:
+            ok = True
+            for m, items in enumerate(rows):
+                pos = _cuckoo_layout(
+                    [(int(fp) & mask, int(fp2) & mask)
+                     for fp, fp2, _, _ in items])
+                if pos is None:
+                    ok = False
+                    break
+                for (fp, _, logp, backoff), slot in zip(items, pos):
+                    keys[m, slot] = fp
+                    logps[m, slot] = logp
+                    backoffs[m, slot] = backoff
+            if ok:
                 break
             n_slots *= 2
         unk = lm.vocab.get("<unk>")
@@ -103,7 +163,7 @@ class DeviceNgramTable:
         return cls(order=order, n_slots=n_slots, keys=keys, logps=logps,
                    backoffs=backoffs, unk_logp=float(unk_logp),
                    vocab=dict(lm.vocab), bos_id=lm.vocab.get("<s>", -1),
-                   n_probes=max_disp + 1)
+                   n_probes=_PROBES)
 
     def device_arrays(self):
         import jax.numpy as jnp
@@ -115,6 +175,41 @@ class DeviceNgramTable:
 # ---------------------------------------------------------------------------
 # Word-level fusion: character-rolling-hash word vocabulary.
 # ---------------------------------------------------------------------------
+
+def _build_pair_table(items, n_slots: int):
+    """Hash table keyed by (h1, h2) uint32 pairs. items: deduplicated
+    (h1, h2, value) triples. Returns (keys1, keys2, ids, n_probes) with
+    ids -1 = empty.
+
+    Tries DIRECT placement first (every item at h1 & mask, collision-free
+    → lookups gather ONE slot), growing up to 2 doublings — small tables
+    (hotword sets, toy vocabularies) usually fit, and one gathered element
+    beats two. Falls back to cuckoo (choices h1 & mask / h2 & mask, two
+    gathered slots), doubling until the layout succeeds."""
+    for _ in range(3):
+        mask = n_slots - 1
+        slots = [int(h1) & mask for h1, _, _ in items]
+        if len(set(slots)) == len(slots):
+            pos, n_probes = slots, 1
+            break
+        n_slots *= 2
+    else:
+        n_slots = max(n_slots >> 3, 64)  # cuckoo packs tighter; reset
+        while True:
+            mask = n_slots - 1
+            pos = _cuckoo_layout(
+                [(int(h1) & mask, int(h2) & mask) for h1, h2, _ in items])
+            if pos is not None:
+                break
+            n_slots *= 2
+        n_probes = 2
+    keys1 = np.zeros((n_slots,), np.uint32)
+    keys2 = np.zeros((n_slots,), np.uint32)
+    ids = np.full((n_slots,), -1, np.int32)
+    for (h1, h2, val), slot in zip(items, pos):
+        keys1[slot], keys2[slot], ids[slot] = h1, h2, val
+    return keys1, keys2, ids, n_probes
+
 
 # Polynomial rolling hash over unicode code points: H(s) = sum ord(s_i) *
 # MULT^(n-1-i) mod 2^32. Unlike FNV it is affine in the running state
@@ -181,32 +276,20 @@ class DeviceWordVocab:
 
         words = [(w, wid) for w, wid in word_vocab.items()
                  if w not in ("<s>", "</s>", "<unk>")]
+        seen, items = set(), []
+        for w, wid in words:
+            h1 = _poly_hash_np(w, _POLY1)
+            h2 = _poly_hash_np(w, _POLY2)
+            if (int(h1), int(h2)) in seen:
+                continue  # duplicate spelling: first writer wins
+            seen.add((int(h1), int(h2)))
+            items.append((h1, h2, wid))
         n_slots = 1 << int(np.ceil(np.log2(
-            max(len(words) * slots_per_entry, 64))))
-        for _ in range(4):  # small max displacement = narrow device gathers
-            keys1 = np.zeros((n_slots,), np.uint32)
-            keys2 = np.zeros((n_slots,), np.uint32)
-            ids = np.full((n_slots,), -1, np.int32)
-            mask = n_slots - 1
-            max_disp = 0
-            for w, wid in words:
-                h1 = _poly_hash_np(w, _POLY1)
-                h2 = _poly_hash_np(w, _POLY2)
-                slot = int(h1) & mask
-                for disp in range(n_slots):
-                    if ids[slot] < 0:
-                        keys1[slot], keys2[slot], ids[slot] = h1, h2, wid
-                        max_disp = max(max_disp, disp)
-                        break
-                    if keys1[slot] == h1 and keys2[slot] == h2:
-                        break  # duplicate spelling: first writer wins
-                    slot = (slot + 1) & mask
-            if max_disp < _TARGET_DISP:
-                break
-            n_slots *= 2
+            max(len(items) * slots_per_entry, 64))))
+        keys1, keys2, ids, n_probes = _build_pair_table(items, n_slots)
         return cls(tok_a1=tok_a1, tok_b1=tok_b1, tok_a2=tok_a2,
                    tok_b2=tok_b2, keys1=keys1, keys2=keys2, ids=ids,
-                   n_probes=max_disp + 1)
+                   n_probes=n_probes)
 
     def device_arrays(self):
         import jax.numpy as jnp
@@ -254,33 +337,18 @@ class DeviceHotwords:
             ws = h.upper().split()
             if 1 <= len(ws) <= _HOT_SPAN:
                 phrases.append(ws)
+        seen, items = set(), []
+        for ws in phrases:
+            fp1 = _fold_word_seq_np([_poly_hash_np(w, _POLY1) for w in ws])
+            fp2 = _fold_word_seq_np([_poly_hash_np(w, _POLY2) for w in ws])
+            if (int(fp1), int(fp2)) in seen:
+                continue
+            seen.add((int(fp1), int(fp2)))
+            items.append((fp1, fp2, 1))
         n_slots = 1 << int(np.ceil(np.log2(
-            max(len(phrases) * slots_per_entry, 16))))
-        for _ in range(4):  # small max displacement = narrow device gathers
-            keys1 = np.zeros((n_slots,), np.uint32)
-            keys2 = np.zeros((n_slots,), np.uint32)
-            ids = np.full((n_slots,), -1, np.int32)
-            mask = n_slots - 1
-            max_disp = 0
-            for ws in phrases:
-                fp1 = _fold_word_seq_np(
-                    [_poly_hash_np(w, _POLY1) for w in ws])
-                fp2 = _fold_word_seq_np(
-                    [_poly_hash_np(w, _POLY2) for w in ws])
-                slot = int(fp1) & mask
-                for disp in range(n_slots):
-                    if ids[slot] < 0:
-                        keys1[slot], keys2[slot], ids[slot] = fp1, fp2, 1
-                        max_disp = max(max_disp, disp)
-                        break
-                    if keys1[slot] == fp1 and keys2[slot] == fp2:
-                        break
-                    slot = (slot + 1) & mask
-            if max_disp < _TARGET_DISP:
-                break
-            n_slots *= 2
-        return cls(keys1=keys1, keys2=keys2, ids=ids,
-                   n_probes=max_disp + 1)
+            max(len(items) * slots_per_entry, 16))))
+        keys1, keys2, ids, n_probes = _build_pair_table(items, n_slots)
+        return cls(keys1=keys1, keys2=keys2, ids=ids, n_probes=n_probes)
 
     def device_arrays(self):
         import jax.numpy as jnp
@@ -290,18 +358,26 @@ class DeviceHotwords:
 
 
 def lookup_pair(keys1, keys2, ids, h1, h2, n_probes: int = _PROBES):
-    """Open-addressing lookup keyed by (h1, h2) 32-bit pairs -> int value
-    (-1 = miss). Slots with ids < 0 are empty; both keys must match.
-
-    Windowed single-gather probing (see _probe): a (h1, h2) pair occupies
-    at most one slot, so at most one probe hits."""
+    """Lookup keyed by (h1, h2) 32-bit pairs -> int value (-1 = miss).
+    Slots with ids < 0 are empty; both keys must match. `n_probes` is the
+    table's static scheme (_build_pair_table): 1 = direct placement (one
+    gathered slot per query), 2 = cuckoo (the key occupies at most one of
+    its two choice slots h1 & mask / h2 & mask). Gathered elements are the
+    device decode-time currency — 1-2 slots is the floor for one-round
+    miss-detecting lookup."""
     import jax.numpy as jnp
 
     mask = np.uint32(keys1.shape[0] - 1)
-    slots = (h1[..., None]
-             + jnp.arange(n_probes, dtype=jnp.uint32)) & mask   # (..., P)
+    s1 = h1 & mask
+    if n_probes == 1:
+        hit = (keys1[s1] == h1) & (keys2[s1] == h2) & (ids[s1] >= 0)
+        return jnp.where(hit, ids[s1], -1)
+    s2 = h2 & mask
+    slots = jnp.stack([s1, s2], axis=-1)                        # (..., 2)
     hit = ((keys1[slots] == h1[..., None])
            & (keys2[slots] == h2[..., None]) & (ids[slots] >= 0))
+    # Degenerate pair (both choices are the same slot): count it once.
+    hit = hit & jnp.stack([jnp.ones_like(s1, bool), s2 != s1], axis=-1)
     found = hit.any(-1)
     val = jnp.where(hit, ids[slots], 0).sum(-1)
     return jnp.where(found, val, -1)
@@ -310,8 +386,8 @@ def lookup_pair(keys1, keys2, ids, h1, h2, n_probes: int = _PROBES):
 def lookup_word_ids(word_arrays, h1, h2, n_probes: int = _PROBES):
     """(..., ) rolling hashes -> word LM ids (-1 when not in the LM vocab).
 
-    word_arrays = DeviceWordVocab.device_arrays(); open addressing keyed by
-    h1 with both 32-bit keys verified per slot.
+    word_arrays = DeviceWordVocab.device_arrays(); cuckoo choices keyed by
+    (h1, h2) with both 32-bit keys verified per slot.
     """
     return lookup_pair(word_arrays[4], word_arrays[5], word_arrays[6],
                        h1, h2, n_probes)
@@ -339,18 +415,34 @@ def _fingerprint_jnp(ids, valid):
     return jnp.where(h == _EMPTY, np.uint32(1), h)
 
 
+def _choice_slots(fp, mask):
+    """(..., 2) cuckoo choice slots for fingerprint keys, plus the
+    double-count guard for the degenerate same-slot case (applied to the
+    second probe's hit). Must match the builders' choice computation."""
+    import jax.numpy as jnp
+
+    s1 = fp & mask
+    s2 = _mix_jnp(fp) & mask
+    slots = jnp.stack([s1, s2], axis=-1)
+    guard = jnp.stack([jnp.ones_like(s1, bool), s2 != s1], axis=-1)
+    return slots, guard
+
+
 def _probe(keys, values, fp, n_probes: int = _PROBES,
            axis_name=None, n_slots_global: int = 0):
-    """Open-addressing lookup. keys/values: (n_slots,); fp: (...,) uint32.
-    -> (found (...,) bool, value (...,)). n_probes must cover the maximum
-    insertion displacement (DeviceNgramTable.n_probes).
+    """Cuckoo lookup. keys/values: (n_slots,); fp: (...,) uint32.
+    -> (found (...,) bool, value (...,)). Exactly two slots are gathered
+    per query (the fingerprint's choice pair); `n_probes` is vestigial.
+
+    Exactness: insertion stores a fingerprint in AT MOST one of its two
+    choice slots (first writer wins on collision), so at most one probe
+    hits and the masked sum equals the hit value.
 
     With ``axis_name`` (inside a shard_map), keys/values are the LOCAL
     contiguous slot slice of a table of ``n_slots_global`` slots sharded
     over that mesh axis: each shard probes only the global slots it owns
     (uint32 wraparound makes the range test one compare) and the partial
-    results combine with a psum over ICI. Exact, because insertion
-    guarantees a fingerprint occupies at most one global slot — at most one
+    results combine with a psum over ICI. Exact, because at most one
     shard can hit, so the masked-zero partials sum to the unsharded answer.
     This is the "collective exchange of LM state during decode" north star
     (SURVEY §2.10): the LM no longer needs to fit in one chip's HBM.
@@ -358,17 +450,11 @@ def _probe(keys, values, fp, n_probes: int = _PROBES,
     import jax
     import jax.numpy as jnp
 
-    # All probe slots are gathered in ONE windowed gather (slot, slot+1,
-    # ..., slot+P-1): TPU dynamic gathers run on the scalar core, so P
-    # sequential gathers cost ~P gather launches; one (..., P) gather costs
-    # one. Exactness: insertion stores a fingerprint in AT MOST one slot
-    # (first writer wins on collision), so at most one probe hits and the
-    # masked sum equals the hit value.
-    window = jnp.arange(n_probes, dtype=jnp.uint32)
+    del n_probes
     if axis_name is None:
         mask = np.uint32(keys.shape[0] - 1)
-        slots = (fp[..., None] + window) & mask         # (..., P)
-        hit = keys[slots] == fp[..., None]
+        slots, guard = _choice_slots(fp, mask)          # (..., 2)
+        hit = guard & (keys[slots] == fp[..., None])
         found = hit.any(-1)
         out = jnp.where(hit, values[slots], 0).sum(-1).astype(values.dtype)
         return found, out
@@ -377,11 +463,11 @@ def _probe(keys, values, fp, n_probes: int = _PROBES,
     mask = np.uint32(n_slots_global - 1)
     off = (jax.lax.axis_index(axis_name).astype(jnp.uint32)
            * np.uint32(s_local))
-    slots = (fp[..., None] + window) & mask             # (..., P)
+    slots, guard = _choice_slots(fp, mask)              # (..., 2)
     local = slots - off                                  # uint32 wraparound
     in_rng = local < np.uint32(s_local)
     li = jnp.where(in_rng, local, np.uint32(0)).astype(jnp.int32)
-    hit = in_rng & (keys[li] == fp[..., None])
+    hit = guard & in_rng & (keys[li] == fp[..., None])
     found = hit.any(-1)
     out = jnp.where(hit, values[li], 0).sum(-1).astype(values.dtype)
     found = jax.lax.psum(found.astype(jnp.int32), axis_name) > 0
@@ -391,26 +477,26 @@ def _probe(keys, values, fp, n_probes: int = _PROBES,
 
 def _probe_rows(keys2d, values2d, fps, rows, n_probes: int = _PROBES,
                 axis_name=None, n_slots_global: int = 0):
-    """Batched open-addressing lookup across table ROWS: one flattened
-    gather replaces G separate _probe calls. keys2d/values2d: (order, S);
+    """Batched cuckoo lookup across table ROWS: one flattened gather
+    replaces G separate _probe calls. keys2d/values2d: (order, S);
     fps: (..., G) uint32; rows: (G,) host ints — probe g looks up fps[..., g]
     in row rows[g]. -> (found (..., G) bool, value (..., G)).
 
     Per-op dispatch on the serializing scalar-core gather path is the cost
-    this batches away (gathered ELEMENTS are unchanged — that is the probe
-    window's job); the device beam search issues ~15 probes per frame.
+    this batches away; the two cuckoo choice slots per query are the
+    gathered-ELEMENT floor (the other half of the decode-time currency).
     """
     import jax
     import jax.numpy as jnp
 
+    del n_probes
     rows_u = jnp.asarray(np.asarray(rows, np.uint32))
-    window = jnp.arange(n_probes, dtype=jnp.uint32)
     if axis_name is None:
         s_row = keys2d.shape[1]
         mask = np.uint32(s_row - 1)
-        slots = (fps[..., None] + window) & mask            # (..., G, P)
+        slots, guard = _choice_slots(fps, mask)             # (..., G, 2)
         flat = (rows_u[:, None] * np.uint32(s_row) + slots).astype(jnp.int32)
-        hit = keys2d.reshape(-1)[flat] == fps[..., None]
+        hit = guard & (keys2d.reshape(-1)[flat] == fps[..., None])
         found = hit.any(-1)
         out = jnp.where(hit, values2d.reshape(-1)[flat], 0).sum(-1)
         return found, out.astype(values2d.dtype)
@@ -419,12 +505,12 @@ def _probe_rows(keys2d, values2d, fps, rows, n_probes: int = _PROBES,
     mask = np.uint32(n_slots_global - 1)
     off = (jax.lax.axis_index(axis_name).astype(jnp.uint32)
            * np.uint32(s_local))
-    slots = (fps[..., None] + window) & mask                # (..., G, P)
+    slots, guard = _choice_slots(fps, mask)                 # (..., G, 2)
     local = slots - off                                      # uint32 wrap
     in_rng = local < np.uint32(s_local)
     li = jnp.where(in_rng, local, np.uint32(0))
     flat = (rows_u[:, None] * np.uint32(s_local) + li).astype(jnp.int32)
-    hit = in_rng & (keys2d.reshape(-1)[flat] == fps[..., None])
+    hit = guard & in_rng & (keys2d.reshape(-1)[flat] == fps[..., None])
     found = hit.any(-1)
     out = jnp.where(hit, values2d.reshape(-1)[flat], 0).sum(-1)
     found = jax.lax.psum(found.astype(jnp.int32), axis_name) > 0

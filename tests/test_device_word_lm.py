@@ -109,6 +109,28 @@ class TestRollingHash:
                                          wv.n_probes))
         assert got[0] == -1
 
+    def test_big_vocab_forces_cuckoo(self, tok):
+        # Enough distinct words that collision-free direct placement is
+        # impossible at any tried size -> the pair table takes the cuckoo
+        # path (n_probes == 2); every word must still round-trip, and
+        # unknown words must miss (lm/device_table.py:_build_pair_table).
+        rng = np.random.default_rng(7)
+        letters = list("ABCDEGHIKLMNOPQRSTUVXY")
+        spellings = {"".join(rng.choice(letters, 8)) for _ in range(4000)}
+        words = {w: i for i, w in enumerate(sorted(spellings))}
+        wv = DeviceWordVocab.build(tok.vocab, words)
+        assert wv.n_probes == 2
+        items = sorted(words.items())
+        h1 = jnp.asarray([_poly_hash_np(w, _POLY1) for w, _ in items])
+        h2 = jnp.asarray([_poly_hash_np(w, _POLY2) for w, _ in items])
+        got = np.asarray(lookup_word_ids(wv.device_arrays(), h1, h2,
+                                         wv.n_probes))
+        assert list(got) == [i for _, i in items]
+        m1 = jnp.asarray([_poly_hash_np("ZZZZZZZZZ", _POLY1)])
+        m2 = jnp.asarray([_poly_hash_np("ZZZZZZZZZ", _POLY2)])
+        assert np.asarray(lookup_word_ids(wv.device_arrays(),
+                                          m1, m2, wv.n_probes))[0] == -1
+
 
 class TestAgainstHostDecoder:
     """Permissive operating point (no pruning, full candidate set, wide
