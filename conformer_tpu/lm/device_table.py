@@ -41,8 +41,13 @@ _EMPTY = np.uint32(0)          # reserved key for empty slots
 _PROBES = 2                    # cuckoo: every key sits in one of two slots
 # Cuckoo eviction chains longer than this trigger a table doubling. 128
 # kicks at load factor <=0.5 fails with vanishing probability; growth is
-# the (always-terminating) fallback.
+# the fallback.
 _MAX_KICKS = 128
+# Growth is capped: each doubling halves the load factor, so a layout that
+# still fails after this many retries means the keys collide in BOTH 32-bit
+# hash choices (duplicate fingerprint pairs) — no amount of slots fixes
+# that, and unbounded doubling would only exhaust memory.
+_MAX_GROWTH = 8
 
 
 def _mix_np(fp: np.uint32) -> np.uint32:
@@ -77,15 +82,28 @@ def _cuckoo_layout(choices) -> "list | None":
         cur, slot = i, s1
         for _ in range(_MAX_KICKS):
             prev = owner.get(slot)
+            if prev is not None:
+                p1, p2 = choices[prev]
+                if p1 == p2:
+                    # Degenerate occupant (both choices equal): it is pinned
+                    # to this slot — evicting it would ping-pong forever.
+                    # Redirect `cur` to its own alternate choice instead.
+                    a1, a2 = choices[cur]
+                    alt = a2 if slot == a1 else a1
+                    if alt == slot:
+                        # Two degenerate items share one slot: unsatisfiable
+                        # at this mask; only growth can separate them.
+                        return None
+                    slot = alt
+                    continue
             owner[slot] = cur
             pos[cur] = slot
             if prev is None:
                 break
             cur = prev
-            c1, c2 = choices[cur]
             # The evicted item moves to its OTHER choice (it occupied
             # `slot`, which equals one of its choices).
-            slot = c2 if slot == c1 else c1
+            slot = p2 if slot == p1 else p1
         else:
             return None
     return pos
@@ -137,7 +155,7 @@ class DeviceNgramTable:
                 seen.add(int(fp))
                 items.append((fp, _mix_np(fp), logp, backoff))
             rows.append(items)
-        while True:
+        for attempt in range(_MAX_GROWTH + 1):
             keys = np.zeros((order, n_slots), np.uint32)
             logps = np.zeros((order, n_slots), np.float32)
             backoffs = np.zeros((order, n_slots), np.float32)
@@ -157,6 +175,12 @@ class DeviceNgramTable:
             if ok:
                 break
             n_slots *= 2
+        else:
+            raise RuntimeError(
+                f"cuckoo layout failed for {arpa_path} even after "
+                f"{_MAX_GROWTH} doublings ({n_slots} slots): the entries "
+                "collide in both 32-bit hash choices; this ARPA cannot be "
+                "compiled into a 2-choice device table")
         unk = lm.vocab.get("<unk>")
         unk_logp = (lm.tables[0][(unk,)][0]
                     if unk is not None and (unk,) in lm.tables[0] else -99.0)
@@ -195,13 +219,17 @@ def _build_pair_table(items, n_slots: int):
         n_slots *= 2
     else:
         n_slots = max(n_slots >> 3, 64)  # cuckoo packs tighter; reset
-        while True:
+        for _ in range(_MAX_GROWTH + 1):
             mask = n_slots - 1
             pos = _cuckoo_layout(
                 [(int(h1) & mask, int(h2) & mask) for h1, h2, _ in items])
             if pos is not None:
                 break
             n_slots *= 2
+        else:
+            raise RuntimeError(
+                f"cuckoo layout failed even after {_MAX_GROWTH} doublings "
+                f"({n_slots} slots): entries collide in both 32-bit hashes")
         n_probes = 2
     keys1 = np.zeros((n_slots,), np.uint32)
     keys2 = np.zeros((n_slots,), np.uint32)
@@ -432,7 +460,8 @@ def _probe(keys, values, fp, n_probes: int = _PROBES,
            axis_name=None, n_slots_global: int = 0):
     """Cuckoo lookup. keys/values: (n_slots,); fp: (...,) uint32.
     -> (found (...,) bool, value (...,)). Exactly two slots are gathered
-    per query (the fingerprint's choice pair); `n_probes` is vestigial.
+    per query (the fingerprint's choice pair); `n_probes` is kept for API
+    stability and asserted to the cuckoo scheme's fixed 2.
 
     Exactness: insertion stores a fingerprint in AT MOST one of its two
     choice slots (first writer wins on collision), so at most one probe
@@ -450,7 +479,9 @@ def _probe(keys, values, fp, n_probes: int = _PROBES,
     import jax
     import jax.numpy as jnp
 
-    del n_probes
+    assert n_probes == _PROBES, (
+        f"the device n-gram tables are cuckoo ({_PROBES} choice slots); "
+        f"got n_probes={n_probes} — pass DeviceNgramTable.n_probes")
     if axis_name is None:
         mask = np.uint32(keys.shape[0] - 1)
         slots, guard = _choice_slots(fp, mask)          # (..., 2)
@@ -489,7 +520,9 @@ def _probe_rows(keys2d, values2d, fps, rows, n_probes: int = _PROBES,
     import jax
     import jax.numpy as jnp
 
-    del n_probes
+    assert n_probes == _PROBES, (
+        f"the device n-gram tables are cuckoo ({_PROBES} choice slots); "
+        f"got n_probes={n_probes} — pass DeviceNgramTable.n_probes")
     rows_u = jnp.asarray(np.asarray(rows, np.uint32))
     if axis_name is None:
         s_row = keys2d.shape[1]

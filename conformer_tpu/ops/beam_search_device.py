@@ -146,13 +146,13 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                            lm_bos_id: int = -1,
                            lm_unk_logp: float = -99.0,
                            lm_order: int = 0,
-                           lm_n_probes: int = 8,
+                           lm_n_probes: int = 2,
                            lm_axis_name=None,
                            lm_n_slots_global: int = 0,
                            word_arrays=None,
-                           wv_n_probes: int = 8,
+                           wv_n_probes: int = 2,
                            hot_arrays=None,
-                           hot_n_probes: int = 8,
+                           hot_n_probes: int = 2,
                            hot_weight: float = 0.0,
                            init_state: Optional[BeamState] = None,
                            return_state: bool = False,

@@ -188,9 +188,9 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                      lm_alpha: float = 0.0, lm_beta: float = 0.0,
                      delim_id: Optional[int] = None, lm_bos_id: int = -1,
                      lm_unk_logp: float = -99.0, lm_order: int = 0,
-                     lm_n_probes: int = 8,
-                     word_arrays=None, wv_n_probes: int = 8,
-                     hot_arrays=None, hot_n_probes: int = 8,
+                     lm_n_probes: int = 2,
+                     word_arrays=None, wv_n_probes: int = 2,
+                     hot_arrays=None, hot_n_probes: int = 2,
                      hot_weight: float = 0.0,
                      start_frames: Optional[jnp.ndarray] = None,
                      init_beams=None, return_beams: bool = False,

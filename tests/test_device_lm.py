@@ -162,3 +162,39 @@ class TestShardedTable:
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(pre_s),
                                    atol=1e-5)
         np.testing.assert_array_equal(np.asarray(got_w), np.asarray(pre_w))
+
+
+class TestCuckooLayout:
+    """Builder-side hash-layout hardening (ADVICE r3)."""
+
+    def test_degenerate_item_does_not_ping_pong(self):
+        # Item 0 has both choices equal (pinned to slot 5). Item 1 shares
+        # slot 5 as its first choice. The old eviction rule moved a pinned
+        # evictee "to its other choice" — the same slot — ping-ponging until
+        # the kick budget burned and forcing a table doubling. The layout
+        # below is satisfiable and must be found.
+        from conformer_tpu.lm.device_table import _cuckoo_layout
+
+        pos = _cuckoo_layout([(5, 5), (5, 9)])
+        assert pos == [5, 9]
+        # Symmetric order: the pinned item arrives second and evicts.
+        pos = _cuckoo_layout([(5, 9), (5, 5)])
+        assert pos is not None
+        assert pos[1] == 5 and pos[0] == 9
+
+    def test_two_degenerate_items_same_slot_unsatisfiable(self):
+        from conformer_tpu.lm.device_table import _cuckoo_layout
+
+        assert _cuckoo_layout([(3, 3), (3, 3)]) is None
+
+    def test_pair_table_growth_is_capped(self):
+        # Identical (h1, h2) pairs can never be separated by growth; the
+        # builder must fail with a descriptive error instead of doubling
+        # until memory exhaustion. (Real builders dedupe by key first; this
+        # exercises the backstop directly.)
+        from conformer_tpu.lm.device_table import _build_pair_table
+
+        items = [(np.uint32(7), np.uint32(7), 0),
+                 (np.uint32(7), np.uint32(7), 1)]
+        with pytest.raises(RuntimeError, match="collide"):
+            _build_pair_table(items, 64)
