@@ -125,35 +125,38 @@ def make_byol_step(cfg: Config, tx: optax.GradientTransformation,
         mels = frontend(audio)
         mel_lengths = frontend.frame_lengths(audio_lengths)
         rng = jax.random.fold_in(rng, state.step)
-        r1, r2, d1, d2 = jax.random.split(rng, 4)
+        r1, r2, d1 = jax.random.split(rng, 3)
         view1 = spec_augment(r1, mels, cfg.augment, mel_lengths)
         view2 = spec_augment(r2, mels, cfg.augment, mel_lengths)
+        # Both views ride ONE 2B-row pass per tower: the encoder is
+        # view-agnostic, so stacking views along batch halves the number of
+        # encoder programs (4 -> 2 per step) and runs each at double batch,
+        # where the MXU tiles fill better (measured: see docs/PERFORMANCE.md
+        # BYOL row). BatchNorm then normalizes over the combined 2B batch —
+        # the symmetric choice (both views see identical statistics).
+        views = jnp.concatenate([view1, view2], axis=0)
+        lengths2 = jnp.concatenate([mel_lengths, mel_lengths], axis=0)
+        b = mels.shape[0]
 
         # Target embeddings of both views (stop-gradient, EMA weights).
-        (tgt1, out_lengths), _ = target.apply(
+        (tgt, out_lengths2), _ = target.apply(
             {"params": state.target_params,
-             "batch_stats": state.target_batch_stats}, view1, mel_lengths,
+             "batch_stats": state.target_batch_stats}, views, lengths2,
             mutable=[])
-        (tgt2, _), _ = target.apply(
-            {"params": state.target_params,
-             "batch_stats": state.target_batch_stats}, view2, mel_lengths,
-            mutable=[])
-        tgt1 = jax.lax.stop_gradient(tgt1)
-        tgt2 = jax.lax.stop_gradient(tgt2)
-        frame_mask = padding_mask(out_lengths, tgt1.shape[1])
+        tgt = jax.lax.stop_gradient(tgt)
+        tgt1, tgt2 = tgt[:b], tgt[b:]
+        frame_mask = padding_mask(out_lengths2[:b], tgt1.shape[1])
 
         def loss_fn(params):
-            (p1, _), updates = online.apply(
+            (p, _), updates = online.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                view1, mel_lengths, mutable=["batch_stats"],
+                views, lengths2, mutable=["batch_stats"],
                 rngs={"dropout": d1})
-            (p2, _), updates2 = online.apply(
-                {"params": params, "batch_stats": updates["batch_stats"]},
-                view2, mel_lengths, mutable=["batch_stats"],
-                rngs={"dropout": d2})
-            loss = 0.5 * (byol_loss(p1, tgt2, frame_mask)
-                          + byol_loss(p2, tgt1, frame_mask))
-            return loss, updates2["batch_stats"]
+            # Cross-view regression: predict each view's target from the
+            # OTHER view's online embedding (symmetric BYOL loss).
+            loss = 0.5 * (byol_loss(p[:b], tgt2, frame_mask)
+                          + byol_loss(p[b:], tgt1, frame_mask))
+            return loss, updates["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
