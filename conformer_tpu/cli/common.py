@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from typing import List, Optional
 
 import jax
@@ -19,7 +20,11 @@ from conformer_tpu.parallel.mesh import make_mesh
 
 
 def add_common_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--config", default=None, help="path to a Config JSON")
+    p.add_argument("--config", default=None,
+                   help="path to a Config JSON (default: "
+                        "<checkpoint-dir>/config.json when present — "
+                        "training writes it, so downstream CLIs pick up "
+                        "the trained model shape automatically)")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="dotted config override, e.g. --set model.d_model=256")
@@ -41,7 +46,20 @@ def parse_value(raw: str):
 
 
 def load_config(args: argparse.Namespace) -> Config:
-    cfg = Config.from_json(args.config) if args.config else Config()
+    """--config wins; otherwise <checkpoint-dir>/config.json when present
+    (cli.train / cli.pretrain persist it — see save_config), so evaluating /
+    transcribing / serving a non-default model needs no repeated --set
+    flags; --set overrides apply on top either way. The reference had no
+    config files at all (SURVEY §5): its 40 model flags had to be retyped
+    identically on every entry point or the checkpoint silently mismatched."""
+    path = args.config
+    ck_dir = getattr(args, "checkpoint_dir", None)
+    if path is None and ck_dir:
+        cand = os.path.join(ck_dir, "config.json")
+        if os.path.exists(cand):
+            path = cand
+            print(f"[config] using {cand}")
+    cfg = Config.from_json(path) if path else Config()
     overrides = {}
     for item in args.overrides:
         if "=" not in item:
@@ -51,6 +69,18 @@ def load_config(args: argparse.Namespace) -> Config:
     if overrides:
         cfg = cfg.override(**overrides)
     return cfg
+
+
+def save_config(cfg: Config, directory: Optional[str]) -> None:
+    """Persist the composed config next to the checkpoints (process 0 only)
+    so checkpoint-consuming CLIs can reconstruct the exact model shape —
+    see load_config. Never overwrites an explicit file with identical
+    content churn; resume runs keep their original config unless flags
+    change it."""
+    if not directory or jax.process_index() != 0:
+        return
+    os.makedirs(directory, exist_ok=True)
+    cfg.to_json(os.path.join(directory, "config.json"))
 
 
 def setup_mesh(args: argparse.Namespace):

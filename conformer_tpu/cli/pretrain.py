@@ -34,6 +34,8 @@ def main(argv=None) -> None:
     if args.checkpoint_dir:
         overrides["train.checkpoint_dir"] = args.checkpoint_dir
     cfg = cfg.override(**overrides)
+    from conformer_tpu.cli.common import save_config
+    save_config(cfg, cfg.train.checkpoint_dir)
 
     import jax
 

@@ -54,6 +54,8 @@ def main(argv=None) -> None:
     from conformer_tpu.train.logging import MetricsLogger
     from conformer_tpu.train.trainer import Trainer
 
+    from conformer_tpu.cli.common import save_config
+    save_config(cfg, cfg.train.checkpoint_dir)
     logger = MetricsLogger(cfg.train.checkpoint_dir, use_wandb=args.wandb)
     trainer = Trainer(cfg, tokenizer, mesh=mesh, logger=logger)
     trainer.fit()

@@ -73,3 +73,46 @@ class TestTokenizerResolution:
         from conformer_tpu.text.tokenizer import load_tokenizer
         tok = load_tokenizer_from_args(self._args(None), Config())
         assert tok.vocab == load_tokenizer("vi").vocab
+
+
+class TestCheckpointDirConfig:
+    """Training persists its composed config next to the checkpoints;
+    checkpoint-consuming CLIs auto-load it so a non-default model shape
+    never has to be re-typed (the reference crashed with a shape mismatch
+    instead — its 40 flags had to match across entry points by hand)."""
+
+    def _args(self, tmp, config=None):
+        import argparse
+        return argparse.Namespace(config=config, overrides=[],
+                                  checkpoint_dir=str(tmp))
+
+    def test_roundtrip_via_checkpoint_dir(self, tmp_path):
+        from conformer_tpu.cli.common import load_config, save_config
+        cfg = Config().override(**{"model.n_blocks": 3, "model.d_model": 96})
+        save_config(cfg, str(tmp_path))
+        got = load_config(self._args(tmp_path))
+        assert got.model.n_blocks == 3 and got.model.d_model == 96
+
+    def test_explicit_config_wins(self, tmp_path):
+        from conformer_tpu.cli.common import load_config, save_config
+        save_config(Config().override(**{"model.n_blocks": 3}),
+                    str(tmp_path))
+        other = tmp_path / "other.json"
+        Config().override(**{"model.n_blocks": 5}).to_json(str(other))
+        got = load_config(self._args(tmp_path, config=str(other)))
+        assert got.model.n_blocks == 5
+
+    def test_set_overrides_apply_on_top(self, tmp_path):
+        import argparse
+        from conformer_tpu.cli.common import load_config, save_config
+        save_config(Config().override(**{"model.n_blocks": 3}),
+                    str(tmp_path))
+        args = argparse.Namespace(config=None,
+                                  overrides=["model.n_blocks=7"],
+                                  checkpoint_dir=str(tmp_path))
+        assert load_config(args).model.n_blocks == 7
+
+    def test_missing_dir_falls_back_to_defaults(self, tmp_path):
+        from conformer_tpu.cli.common import load_config
+        got = load_config(self._args(tmp_path / "nope"))
+        assert got.model.n_blocks == Config().model.n_blocks
