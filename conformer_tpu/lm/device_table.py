@@ -121,7 +121,15 @@ def _fingerprint_np(ids: Sequence[int]) -> np.uint32:
 
 @dataclass
 class DeviceNgramTable:
-    """Per-order hash tables as host numpy (device_put once, reuse)."""
+    """Per-order hash tables as host numpy (device_put once, reuse).
+
+    Unigrams live in DENSE arrays indexed by LM id instead of the hash
+    rows: every ARPA vocabulary word has a unigram entry, so the key check
+    is just ``id >= 0`` and the lookup gathers ONE element instead of a
+    2-slot cuckoo probe of (key, value) pairs — 4 gathered elements -> 1
+    for the unigram logp level AND for the length-1 context backoff, and
+    gathered elements are the device decode-time currency (~6.6 ns each on
+    the serializing scalar core). Hash row 0 is left empty."""
 
     order: int
     n_slots: int                       # per order, power of two
@@ -132,6 +140,8 @@ class DeviceNgramTable:
     vocab: dict                        # word/token string -> LM id
     bos_id: int
     n_probes: int                      # always 2 (cuckoo choice slots)
+    uni_logps: np.ndarray = None       # (V_lm,) f32 dense unigram logp
+    uni_backoffs: np.ndarray = None    # (V_lm,) f32 dense unigram backoff
 
     @classmethod
     def from_arpa(cls, arpa_path: str, slots_per_entry: float = 2.0
@@ -140,13 +150,23 @@ class DeviceNgramTable:
 
         lm = PyNgramLM(arpa_path)
         order = lm.order
-        total = max(sum(len(t) for t in lm.tables), 1)
+        # Dense unigram arrays (see class docstring). Ids are contiguous
+        # [0, V); entries missing a backoff store 0.0, matching a hash miss.
+        v_lm = max(lm.vocab.values(), default=-1) + 1
+        uni_logps = np.full((max(v_lm, 1),), -99.0, np.float32)
+        uni_backoffs = np.zeros((max(v_lm, 1),), np.float32)
+        for ids, (logp, backoff) in lm.tables[0].items():
+            if 0 <= ids[0] < v_lm:
+                uni_logps[ids[0]] = logp
+                uni_backoffs[ids[0]] = backoff
+        total = max(sum(len(t) for t in lm.tables[1:]), 1)
         n_slots = 1 << int(np.ceil(np.log2(max(total * slots_per_entry, 64))))
         # Per-order entry lists, deduplicated by fingerprint (first writer
         # wins on a genuine 32-bit collision — same contract as the lookup's
-        # at-most-one-slot guarantee).
-        rows = []
-        for table in lm.tables:
+        # at-most-one-slot guarantee). Row 0 stays empty (unigrams are
+        # dense).
+        rows = [[]]
+        for table in lm.tables[1:]:
             seen, items = set(), []
             for ids, (logp, backoff) in table.items():
                 fp = _fingerprint_np(ids)
@@ -187,13 +207,18 @@ class DeviceNgramTable:
         return cls(order=order, n_slots=n_slots, keys=keys, logps=logps,
                    backoffs=backoffs, unk_logp=float(unk_logp),
                    vocab=dict(lm.vocab), bos_id=lm.vocab.get("<s>", -1),
-                   n_probes=_PROBES)
+                   n_probes=_PROBES, uni_logps=uni_logps,
+                   uni_backoffs=uni_backoffs)
 
     def device_arrays(self):
         import jax.numpy as jnp
 
-        return (jnp.asarray(self.keys), jnp.asarray(self.logps),
-                jnp.asarray(self.backoffs))
+        out = (jnp.asarray(self.keys), jnp.asarray(self.logps),
+               jnp.asarray(self.backoffs))
+        if self.uni_logps is not None:
+            out = out + (jnp.asarray(self.uni_logps),
+                         jnp.asarray(self.uni_backoffs))
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -567,36 +592,44 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
     """
     import jax.numpy as jnp
 
-    keys, logps, backoffs = tables
+    keys, logps, backoffs = tables[:3]
+    dense = len(tables) >= 5           # (..., uni_logps, uni_backoffs)
     order = keys.shape[0]
     m_ctx = order - 1
-    # Positions: ctx[..., j] valid iff j >= m_ctx - ctx_len.
-    pos = np.arange(m_ctx)
 
     # For each use-length u (number of context ids used, longest first),
     # compute: found_u, logp_u for (ctx[-u:], tok); bo_found_u, bo_u for
     # the context entry ctx[-u:] (order u). Fingerprints are elementwise;
-    # the 2*order-1 table probes batch into TWO flattened gathers
-    # (_probe_rows) instead of one serializing gather launch each.
+    # the hashed probes batch into TWO flattened gathers (_probe_rows)
+    # instead of one serializing gather launch each. The unigram level
+    # (u == 0) and the length-1 context backoff are DENSE when the table
+    # provides them: a direct id-indexed gather of ONE element replaces a
+    # 2-slot (key, value) cuckoo probe — exact, because every ARPA vocab
+    # word has a unigram entry (id >= 0 IS the key check).
     fp_list, bo_fp_list, usable_list = [], [], []
-    for u in range(m_ctx, -1, -1):
+    lp_rows = []
+    bo_rows = []
+    u_min = 1 if dense else 0
+    for u in range(m_ctx, u_min - 1, -1):
         # sequence = ctx[-u:] + [tok]; valid only if ctx_len >= u.
         ids = jnp.concatenate(
             [ctx[..., m_ctx - u:], tok[..., None].astype(jnp.int32)], -1)
         fp_list.append(_fingerprint_jnp(ids, jnp.ones(ids.shape, bool)))
         usable_list.append(ctx_len >= u)
-        if u >= 1:
+        lp_rows.append(u)
+        if u >= 1 + u_min:
             ctx_ids = ctx[..., m_ctx - u:]
             bo_fp_list.append(
                 _fingerprint_jnp(ctx_ids, jnp.ones(ctx_ids.shape, bool)))
-    lp_rows = list(range(m_ctx, -1, -1))
-    f_all, lp_all = _probe_rows(keys, logps, jnp.stack(fp_list, -1),
-                                lp_rows, n_probes,
-                                axis_name, n_slots_global)
-    found_list = [f_all[..., i] & usable_list[i]
-                  for i in range(len(lp_rows))]
-    logp_list = [lp_all[..., i] for i in range(len(lp_rows))]
-    bo_rows = [u - 1 for u in range(m_ctx, 0, -1)]
+            bo_rows.append(u - 1)
+    found_list, logp_list = [], []
+    if lp_rows:
+        f_all, lp_all = _probe_rows(keys, logps, jnp.stack(fp_list, -1),
+                                    lp_rows, n_probes,
+                                    axis_name, n_slots_global)
+        found_list = [f_all[..., i] & usable_list[i]
+                      for i in range(len(lp_rows))]
+        logp_list = [lp_all[..., i] for i in range(len(lp_rows))]
     bo_list = []
     if bo_rows:
         bf_all, bo_all = _probe_rows(keys, backoffs,
@@ -606,6 +639,19 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
         bo_list = [jnp.where(bf_all[..., i] & usable_list[i],
                              bo_all[..., i], 0.0)
                    for i in range(len(bo_rows))]
+    if dense:
+        uni_logps, uni_backoffs = tables[3], tables[4]
+        v_lm = uni_logps.shape[0]
+        tok_ok = (tok >= 0) & (tok < v_lm)
+        found_list.append(tok_ok)      # usable: ctx_len >= 0 always holds
+        logp_list.append(uni_logps[jnp.clip(tok, 0, v_lm - 1)])
+        usable_list.append(jnp.ones_like(tok_ok))
+        if m_ctx >= 1:
+            # Length-1 context backoff: dense by the context's last id.
+            last = ctx[..., -1]
+            ok = (ctx_len >= 1) & (last >= 0) & (last < v_lm)
+            bo_list.append(jnp.where(
+                ok, uni_backoffs[jnp.clip(last, 0, v_lm - 1)], 0.0))
 
     # Sequential backoff emulation: first found level (longest) wins; the
     # accumulated backoff is the sum of bo over levels longer than it.

@@ -601,8 +601,10 @@ def ctc_beam_search_device_sharded(log_probs, lengths=None, mesh=None,
         )(log_probs, lengths.astype(jnp.int32))
 
     # Shard the slot axis over the model axis only when it applies; the
-    # tables are replicated otherwise.
-    table_spec = (P(None, m_ax),) * 3
+    # tables are replicated otherwise. The dense unigram arrays (tables
+    # 4-5, id-indexed) are small and replicate.
+    table_spec = ((P(None, m_ax),) * 3
+                  + (P(None),) * (len(tables) - 3))
 
     def body(lp, n, tabs):
         return ctc_beam_search_device(lp, n, lm_tables=tabs, **kw)

@@ -38,8 +38,6 @@ FLOPs are cheap; HBM bytes are not.
 from __future__ import annotations
 
 import functools
-import math
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -54,19 +52,6 @@ except Exception:  # pragma: no cover — non-TPU build
     pltpu = None
 
 NEG_INF = float(np.finfo(np.float32).min)
-_LOG2_E = math.log2(math.e)
-_LN_2 = math.log(2.0)
-
-
-def _use_exp2() -> bool:
-    """Experiment (win-or-delete): fold log2(e) into the existing qu/qv
-    scale fold so the kernels' softmax runs on exp2 — exactly the same
-    probabilities (2^(x*log2e) == e^x; softmax is normalization-invariant),
-    but exp2 maps to the pow2 unit without the internal x*log2e multiply
-    IF Mosaic lowers exp as mul+exp2. The backward chain rule
-    (d/dx 2^x = ln2 * 2^x) is folded into the cheap (TQ, dh) dO operand of
-    the dO.V contraction instead of a (TQ, L) pass."""
-    return os.environ.get("SINCOS_EXP2", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -196,8 +181,7 @@ def _dropout_keep(seed, bi, hi, qi, shape, rate):
 def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, out_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float,
-                probs_bf16: bool = False, packed: bool = False,
-                exp2: bool = False):
+                probs_bf16: bool = False, packed: bool = False):
     """One (batch-block, q-tile) program; ALL heads — and NB batch rows —
     are processed in an unrolled loop. Grid programs cost ~3us of dispatch
     each: a (B, H, L/TQ) grid of tiny per-head programs was dispatch-bound
@@ -239,18 +223,15 @@ def _fwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             # instead of zeros; such rows only exist as dataset padding and
             # are excluded from the loss.)
             x = scores - m
-            # exp2 path: scores were pre-scaled by log2(e) (wrapper fold),
-            # so 2^x == e^(x_natural) and the probabilities are EXACT.
-            ex = jnp.exp2 if exp2 else jnp.exp
             if probs_bf16:
                 # Probability arithmetic in bf16 (max-sub still f32): halves
                 # the VPU bytes of the exp pass; softmax error ~1e-2
                 # relative, same scale as the bf16 IO everywhere else.
-                e = ex(x.astype(jnp.bfloat16))
+                e = jnp.exp(x.astype(jnp.bfloat16))
                 s = jnp.sum(e, axis=-1, keepdims=True,
                             dtype=jnp.float32)
             else:
-                e = ex(x)
+                e = jnp.exp(x)
                 s = jnp.sum(e, axis=-1, keepdims=True)
             if rate > 0.0:
                 keep = _dropout_keep(seed_ref[0], bi * nb + bb,
@@ -274,8 +255,7 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                 sq_ref, cq_ref, sk_ref, ck_ref, do_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dwh_ref, *,
                 scale: float, d2: int, l_valid: int, rate: float,
-                probs_bf16: bool = False, packed: bool = False,
-                exp2: bool = False):
+                probs_bf16: bool = False, packed: bool = False):
     """Recompute the probability tile (flash-style: no saved score tensors),
     then emit all five gradients; all heads and NB batch rows per program
     (see _fwd_kernel). dk/dv/dwh accumulate across the q-tile grid dimension
@@ -336,14 +316,13 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
                                sk_ref, ck_ref, scale, d2)
         scores = jnp.where(valid, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
-        ex = jnp.exp2 if exp2 else jnp.exp
         if probs_bf16:
-            e = ex((scores - m).astype(jnp.bfloat16))
+            e = jnp.exp((scores - m).astype(jnp.bfloat16))
             ssum = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
             p = (e * (1.0 / jnp.maximum(ssum, 1e-9)).astype(jnp.bfloat16)
                  ).astype(jnp.float32)
         else:
-            e = ex(scores - m)                 # masked cols underflow to 0
+            e = jnp.exp(scores - m)            # masked cols underflow to 0
             ssum = jnp.sum(e, axis=-1, keepdims=True)
             p = e / jnp.maximum(ssum, 1e-9)                    # (TQ, L)
         if partial_tile:
@@ -352,13 +331,8 @@ def _bwd_kernel(len_ref, seed_ref, qu_ref, qv_ref, k_ref, v_ref, wh_ref,
             # the q-dim contractions (dv/dk/dwh all sum over q rows).
             p = jnp.where(row_ok, p, 0.0)
 
-        # exp2 chain rule (d/dx 2^x = ln2 * 2^x): fold ln2 into the cheap
-        # (TQ, dh) dO operand so ds — and every gradient downstream of it —
-        # picks up the factor without a (TQ, L) pass. dv uses the UNscaled
-        # do (dv = p^T.dO has no ln2).
-        do_s = do * _LN_2 if exp2 else do
         dov = jax.lax.dot_general(                             # dO . v_j
-            do_s, v.astype(jnp.float32),
+            do, v.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                # (TQ, L)
         if rate > 0.0:
@@ -547,7 +521,7 @@ def _common_specs(b, h, hb, nb, l, tq, dh, d, packed=False):
 
 
 def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
-              probs_bf16=False, packed=False, exp2=False):
+              probs_bf16=False, packed=False):
     h, dh = wh.shape[0], wh.shape[1]
     if packed:
         b, l, _ = qu.shape
@@ -566,8 +540,7 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
     in_specs, vm, q_spec, _ = _common_specs(b, h, hb, nb, l, tq, dh, d, packed)
     kern = functools.partial(_fwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l, rate=rate,
-                             probs_bf16=probs_bf16, packed=packed,
-                             exp2=exp2)
+                             probs_bf16=probs_bf16, packed=packed)
     out_shape = ((b, l, h * dh) if packed else (b, h, l, dh))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -584,7 +557,7 @@ def _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
 
 
 def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
-              probs_bf16=False, packed=False, exp2=False):
+              probs_bf16=False, packed=False):
     h, dh = wh.shape[0], wh.shape[1]
     if packed:
         b, l, _ = qu.shape
@@ -605,8 +578,7 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
     in_specs.append(q_spec)
     kern = functools.partial(_bwd_kernel, scale=scale, d2=d // 2,
                              l_valid=l, rate=rate,
-                             probs_bf16=probs_bf16, packed=packed,
-                             exp2=exp2)
+                             probs_bf16=probs_bf16, packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // nb, h // hb, pl.cdiv(l, tq)),
@@ -645,29 +617,27 @@ def _bwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret, g,
 # Public entry point with custom VJP.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _fused(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
-           probs_bf16=False, packed=False, exp2=False):
+           probs_bf16=False, packed=False):
     return _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
-                     interpret, probs_bf16, packed, exp2)
+                     interpret, probs_bf16, packed)
 
 
 def _fused_fwd(qu, qv, k, v, wh, lengths, seed, scale, rate, tq, interpret,
-               probs_bf16=False, packed=False, exp2=False):
+               probs_bf16=False, packed=False):
     out = _fwd_call(qu, qv, k, v, wh, lengths, seed, scale, rate, tq,
-                    interpret, probs_bf16, packed, exp2)
+                    interpret, probs_bf16, packed)
     # seed is traced (changes every train step without recompiling); the
     # identical dropout mask is regenerated in the backward from it.
     return out, (qu, qv, k, v, wh, lengths, seed)
 
 
-def _fused_bwd(scale, rate, tq, interpret, probs_bf16, packed, exp2, res,
-               g):
+def _fused_bwd(scale, rate, tq, interpret, probs_bf16, packed, res, g):
     qu, qv, k, v, wh, lengths, seed = res
     dqu, dqv, dk, dv, dwh = _bwd_call(qu, qv, k, v, wh, lengths, seed, scale,
                                       rate, tq, interpret, g, probs_bf16,
-                                      packed, exp2)
+                                      packed)
     return dqu, dqv, dk, dv, dwh, None, None
 
 
@@ -704,10 +674,9 @@ def rel_attention_sincos(qu, qv, k, v, wh, lengths, scale: float,
         # producing transpose) so the kernels skip a full (TQ, L) multiply
         # in fwd AND bwd. Autodiff through the fold restores the scale in
         # the qu/qv gradients.
-        exp2 = _use_exp2()
-        s = jnp.asarray(scale * (_LOG2_E if exp2 else 1.0), qu.dtype)
+        s = jnp.asarray(scale, qu.dtype)
         return _fused(qu * s, qv * s, k, v, wh, lengths, seed, 1.0,
-                      dropout_rate, tq, interpret, probs_bf16, False, exp2)
+                      dropout_rate, tq, interpret, probs_bf16)
     return sincos_attention_xla(qu, qv, k, v, wh, lengths, scale,
                                 dropout_rate, seed)
 
@@ -741,11 +710,9 @@ def rel_attention_sincos_packed(qu, qv, k, v, wh, lengths, scale: float,
                                  bwd=bwd, packed=True)[0]
                     for bwd in (False, True))
         if hb_ok:
-            exp2 = _use_exp2()
-            s = jnp.asarray(scale * (_LOG2_E if exp2 else 1.0), qu.dtype)
+            s = jnp.asarray(scale, qu.dtype)
             return _fused(qu * s, qv * s, k, v, wh, lengths, seed, 1.0,
-                          dropout_rate, tq, interpret, probs_bf16, True,
-                          exp2)
+                          dropout_rate, tq, interpret, probs_bf16, True)
     unpack = lambda x: x.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
     out = rel_attention_sincos(unpack(qu), unpack(qv), unpack(k), unpack(v),
                                wh, lengths, scale, dropout_rate, seed, tq,

@@ -121,9 +121,11 @@ class TestShardedTable:
             return st(tabs, ctx, cl, tk, table.unk_logp, table.n_probes,
                       axis_name="model", n_slots_global=n_slots)
 
+        table_spec = ((P(None, "model"),) * 3
+                      + (P(),) * (len(tables) - 3))  # dense arrays replicate
         got = jax.shard_map(
             body, mesh=mesh,
-            in_specs=((P(None, "model"),) * 3, P(), P(), P()),
+            in_specs=(table_spec, P(), P(), P()),
             out_specs=P(), check_vma=False,
         )(tuple(tables), jnp.asarray(ctx_arr), jnp.asarray(ctx_len),
           jnp.asarray(toks))

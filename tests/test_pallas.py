@@ -221,32 +221,6 @@ class TestSincosAttention:
         np.testing.assert_allclose(np.asarray(dK_got), np.asarray(dK_ref),
                                    atol=1e-5)
 
-    def test_exp2_softmax_exact(self, monkeypatch):
-        # SINCOS_EXP2=1 folds log2(e) into the scale fold and runs the
-        # in-kernel softmax on exp2 — algebraically the same probabilities
-        # (2^(x*log2e) == e^x), with the backward chain rule folded into the
-        # dO operand. Forward AND all five gradients must match the natural-
-        # exp kernel to fp rounding.
-        from conformer_tpu.ops.pallas import sincos_attention as sc
-        qu, qv, k, v, K, wh, lengths, mk = self._case(L=64, seed=5)
-        scale = 1 / np.sqrt(qu.shape[-1])
-        g = mk(*qu.shape)
-
-        def run(qu, qv, k, v, wh):
-            return jnp.sum(sc.rel_attention_sincos(
-                qu, qv, k, v, wh, lengths, scale, tq=32, interpret=True) * g)
-
-        base = run(qu, qv, k, v, wh)
-        g_base = jax.grad(run, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, wh)
-        monkeypatch.setenv("SINCOS_EXP2", "1")
-        got = run(qu, qv, k, v, wh)
-        g_got = jax.grad(run, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, wh)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
-                                   atol=2e-5)
-        for a, b in zip(g_got, g_base):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=2e-5)
-
     def test_dropout_deterministic_and_consistent(self):
         from conformer_tpu.ops.pallas.sincos_attention import \
             rel_attention_sincos
