@@ -8,19 +8,23 @@ open-addressing hash tables stored as plain device arrays, plus a pure-jnp
 backoff scorer that is exact with respect to the ARPA (verified against the
 Python scorer in tests/test_device_lm.py).
 
-Layout: one slot pool per n-gram order. Each entry is (key: uint32 fingerprint
-of the id sequence, logp: f32, backoff: f32). Lookup = gathers of exactly TWO
-cuckoo choice slots per query — no data-dependent control flow, so the beam
-search can score (B, W, K) candidates in one fused op. Two slots is the
-information-theoretic floor for a hash table that must detect misses with
-one-round gathers, and gathered ELEMENTS are the decode-time currency: TPU
-dynamic gathers serialize on the scalar core at ~6.6 ns/element, and the
-device beam search at the reference operating point is gather-element-bound
+Layout: one slot pool per n-gram order. Each slot is a PACKED row of four
+uint32 lanes — (key: fingerprint of the id sequence, logp: f32 bits,
+backoff: f32 bits, pad) — and lookup gathers exactly TWO cuckoo choice ROWS
+per query — no data-dependent control flow, so the beam search can score
+(B, W, K) candidates in one fused op. Two slots is the information-theoretic
+floor for a hash table that must detect misses with one-round gathers, and
+gather DESCRIPTORS are the decode-time currency: inside the decode frame
+loop, TPU dynamic gathers serialize at ~6.6 ns per gathered slice
+(descriptor) nearly independent of its width (a 17-wide row gather in the
+same loop runs at ~3.2 ns/row), so packing (key, logp, backoff) into one
+contiguous row — instead of the separate key/value arrays of rounds 2-3,
+which paid one descriptor EACH — halves the dominant gather term again
 (ops/beam_search_device.py). Linear probing (the round-2 scheme) needed a
 probe WINDOW covering the max insertion displacement — ≥4 at any realistic
 load factor, and irreducible by growth at real LM sizes (reaching max
 displacement <2 by growth alone needs O(entries^1.5) slots) — so cuckoo
-halves the dominant gather term outright.
+halves the choice-slot term outright.
 
 No reference counterpart: the reference's LM work is sequential host Python
 over pyctcdecode (reference: processing/lm.py:62-75); SURVEY §2.10 names
@@ -211,10 +215,20 @@ class DeviceNgramTable:
                    uni_backoffs=uni_backoffs)
 
     def device_arrays(self):
+        """(packed (order, S, 4) uint32[, uni_logps, uni_backoffs]).
+
+        Packed row lanes: (key, logp bits, backoff bits, pad). One row
+        gather per probed slot fetches key AND both values — one gather
+        descriptor where the round-2/3 separate key/value arrays paid two
+        to four (descriptors are the in-loop decode-time currency, ~6.6 ns
+        each on the serializing scalar path; see module docstring)."""
         import jax.numpy as jnp
 
-        out = (jnp.asarray(self.keys), jnp.asarray(self.logps),
-               jnp.asarray(self.backoffs))
+        packed = np.zeros(self.keys.shape + (4,), np.uint32)
+        packed[..., 0] = self.keys
+        packed[..., 1] = self.logps.view(np.uint32)
+        packed[..., 2] = self.backoffs.view(np.uint32)
+        out = (jnp.asarray(packed),)
         if self.uni_logps is not None:
             out = out + (jnp.asarray(self.uni_logps),
                          jnp.asarray(self.uni_backoffs))
@@ -262,6 +276,17 @@ def _build_pair_table(items, n_slots: int):
     for (h1, h2, val), slot in zip(items, pos):
         keys1[slot], keys2[slot], ids[slot] = h1, h2, val
     return keys1, keys2, ids, n_probes
+
+
+def _pack_pair_table(keys1, keys2, ids) -> np.ndarray:
+    """(S, 4) uint32 rows (key1, key2, id bits, pad): one row gather per
+    probed slot instead of three single-element gathers (key1/key2/id).
+    id -1 (empty) round-trips through the uint32 view."""
+    packed = np.zeros((keys1.shape[0], 4), np.uint32)
+    packed[:, 0] = keys1
+    packed[:, 1] = keys2
+    packed[:, 2] = ids.view(np.uint32)
+    return packed
 
 
 # Polynomial rolling hash over unicode code points: H(s) = sum ord(s_i) *
@@ -345,11 +370,12 @@ class DeviceWordVocab:
                    n_probes=n_probes)
 
     def device_arrays(self):
+        """(tok_a1, tok_b1, tok_a2, tok_b2, packed (S, 4) uint32)."""
         import jax.numpy as jnp
 
         return tuple(jnp.asarray(a) for a in (
             self.tok_a1, self.tok_b1, self.tok_a2, self.tok_b2,
-            self.keys1, self.keys2, self.ids))
+            _pack_pair_table(self.keys1, self.keys2, self.ids)))
 
 
 # Hotword phrases: spans of up to _HOT_SPAN completed words, matched by
@@ -404,35 +430,44 @@ class DeviceHotwords:
         return cls(keys1=keys1, keys2=keys2, ids=ids, n_probes=n_probes)
 
     def device_arrays(self):
+        """Packed (S, 4) uint32 pair-table rows (lookup_pair operand)."""
         import jax.numpy as jnp
 
-        return (jnp.asarray(self.keys1), jnp.asarray(self.keys2),
-                jnp.asarray(self.ids))
+        return jnp.asarray(_pack_pair_table(self.keys1, self.keys2,
+                                            self.ids))
 
 
-def lookup_pair(keys1, keys2, ids, h1, h2, n_probes: int = _PROBES):
+def lookup_pair(packed, h1, h2, n_probes: int = _PROBES):
     """Lookup keyed by (h1, h2) 32-bit pairs -> int value (-1 = miss).
-    Slots with ids < 0 are empty; both keys must match. `n_probes` is the
-    table's static scheme (_build_pair_table): 1 = direct placement (one
-    gathered slot per query), 2 = cuckoo (the key occupies at most one of
-    its two choice slots h1 & mask / h2 & mask). Gathered elements are the
-    device decode-time currency — 1-2 slots is the floor for one-round
-    miss-detecting lookup."""
+
+    packed: (S, 4) uint32 rows (key1, key2, id bits, pad) from
+    _pack_pair_table; slots with id < 0 are empty; both keys must match.
+    `n_probes` is the table's static scheme (_build_pair_table): 1 = direct
+    placement (ONE gathered row per query), 2 = cuckoo (the key occupies at
+    most one of its two choice slots h1 & mask / h2 & mask). Gather
+    DESCRIPTORS are the in-loop decode-time currency — one row fetch per
+    probed slot replaces the three single-element gathers (key1/key2/id)
+    of the unpacked layout."""
+    import jax
     import jax.numpy as jnp
 
-    mask = np.uint32(keys1.shape[0] - 1)
+    mask = np.uint32(packed.shape[0] - 1)
     s1 = h1 & mask
     if n_probes == 1:
-        hit = (keys1[s1] == h1) & (keys2[s1] == h2) & (ids[s1] >= 0)
-        return jnp.where(hit, ids[s1], -1)
+        g = packed[s1]                                          # (..., 4)
+        idv = jax.lax.bitcast_convert_type(g[..., 2], jnp.int32)
+        hit = (g[..., 0] == h1) & (g[..., 1] == h2) & (idv >= 0)
+        return jnp.where(hit, idv, -1)
     s2 = h2 & mask
     slots = jnp.stack([s1, s2], axis=-1)                        # (..., 2)
-    hit = ((keys1[slots] == h1[..., None])
-           & (keys2[slots] == h2[..., None]) & (ids[slots] >= 0))
+    g = packed[slots]                                           # (..., 2, 4)
+    idv = jax.lax.bitcast_convert_type(g[..., 2], jnp.int32)
+    hit = ((g[..., 0] == h1[..., None])
+           & (g[..., 1] == h2[..., None]) & (idv >= 0))
     # Degenerate pair (both choices are the same slot): count it once.
     hit = hit & jnp.stack([jnp.ones_like(s1, bool), s2 != s1], axis=-1)
     found = hit.any(-1)
-    val = jnp.where(hit, ids[slots], 0).sum(-1)
+    val = jnp.where(hit, idv, 0).sum(-1)
     return jnp.where(found, val, -1)
 
 
@@ -442,8 +477,7 @@ def lookup_word_ids(word_arrays, h1, h2, n_probes: int = _PROBES):
     word_arrays = DeviceWordVocab.device_arrays(); cuckoo choices keyed by
     (h1, h2) with both 32-bit keys verified per slot.
     """
-    return lookup_pair(word_arrays[4], word_arrays[5], word_arrays[6],
-                       h1, h2, n_probes)
+    return lookup_pair(word_arrays[4], h1, h2, n_probes)
 
 
 # ---------------------------------------------------------------------------
@@ -481,66 +515,33 @@ def _choice_slots(fp, mask):
     return slots, guard
 
 
-def _probe(keys, values, fp, n_probes: int = _PROBES,
-           axis_name=None, n_slots_global: int = 0):
-    """Cuckoo lookup. keys/values: (n_slots,); fp: (...,) uint32.
-    -> (found (...,) bool, value (...,)). Exactly two slots are gathered
-    per query (the fingerprint's choice pair); `n_probes` is kept for API
-    stability and asserted to the cuckoo scheme's fixed 2.
+def _probe_rows(packed, fps, rows, n_probes: int = _PROBES,
+                axis_name=None, n_slots_global: int = 0):
+    """Batched cuckoo lookup across table ROWS of a PACKED table: one
+    flattened row gather fetches (key, logp, backoff) for every probed
+    slot. packed: (order, S, 4) uint32 rows (key, logp bits, backoff bits,
+    pad); fps: (..., G) uint32; rows: (G,) host ints — probe g looks up
+    fps[..., g] in table row rows[g].
+    -> (found (..., G) bool, logp (..., G) f32, backoff (..., G) f32).
+
+    Cost model (the decode frame loop is gather-bound): in-loop gathers
+    serialize at ~6.6 ns per DESCRIPTOR nearly independent of slice width,
+    so one (1, 4)-row fetch per choice slot is half the descriptors of the
+    round-2/3 separate key/value arrays — and the logp and backoff probes
+    of score_tokens share the same gather instead of re-fetching keys.
 
     Exactness: insertion stores a fingerprint in AT MOST one of its two
     choice slots (first writer wins on collision), so at most one probe
-    hits and the masked sum equals the hit value.
+    hits and the masked sums equal the hit values.
 
-    With ``axis_name`` (inside a shard_map), keys/values are the LOCAL
-    contiguous slot slice of a table of ``n_slots_global`` slots sharded
-    over that mesh axis: each shard probes only the global slots it owns
-    (uint32 wraparound makes the range test one compare) and the partial
-    results combine with a psum over ICI. Exact, because at most one
-    shard can hit, so the masked-zero partials sum to the unsharded answer.
-    This is the "collective exchange of LM state during decode" north star
-    (SURVEY §2.10): the LM no longer needs to fit in one chip's HBM.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    assert n_probes == _PROBES, (
-        f"the device n-gram tables are cuckoo ({_PROBES} choice slots); "
-        f"got n_probes={n_probes} — pass DeviceNgramTable.n_probes")
-    if axis_name is None:
-        mask = np.uint32(keys.shape[0] - 1)
-        slots, guard = _choice_slots(fp, mask)          # (..., 2)
-        hit = guard & (keys[slots] == fp[..., None])
-        found = hit.any(-1)
-        out = jnp.where(hit, values[slots], 0).sum(-1).astype(values.dtype)
-        return found, out
-
-    s_local = keys.shape[0]
-    mask = np.uint32(n_slots_global - 1)
-    off = (jax.lax.axis_index(axis_name).astype(jnp.uint32)
-           * np.uint32(s_local))
-    slots, guard = _choice_slots(fp, mask)              # (..., 2)
-    local = slots - off                                  # uint32 wraparound
-    in_rng = local < np.uint32(s_local)
-    li = jnp.where(in_rng, local, np.uint32(0)).astype(jnp.int32)
-    hit = guard & in_rng & (keys[li] == fp[..., None])
-    found = hit.any(-1)
-    out = jnp.where(hit, values[li], 0).sum(-1).astype(values.dtype)
-    found = jax.lax.psum(found.astype(jnp.int32), axis_name) > 0
-    out = jax.lax.psum(out, axis_name)
-    return found, out
-
-
-def _probe_rows(keys2d, values2d, fps, rows, n_probes: int = _PROBES,
-                axis_name=None, n_slots_global: int = 0):
-    """Batched cuckoo lookup across table ROWS: one flattened gather
-    replaces G separate _probe calls. keys2d/values2d: (order, S);
-    fps: (..., G) uint32; rows: (G,) host ints — probe g looks up fps[..., g]
-    in row rows[g]. -> (found (..., G) bool, value (..., G)).
-
-    Per-op dispatch on the serializing scalar-core gather path is the cost
-    this batches away; the two cuckoo choice slots per query are the
-    gathered-ELEMENT floor (the other half of the decode-time currency).
+    With ``axis_name`` (inside a shard_map), packed is the LOCAL contiguous
+    slot slice of a table of ``n_slots_global`` slots sharded over that
+    mesh axis: each shard probes only the global slots it owns (uint32
+    wraparound makes the range test one compare) and the partial results
+    combine with a psum over ICI. Exact, because at most one shard can hit,
+    so the masked-zero partials sum to the unsharded answer. This is the
+    "collective exchange of LM state during decode" north star (SURVEY
+    §2.10): the LM no longer needs to fit in one chip's HBM.
     """
     import jax
     import jax.numpy as jnp
@@ -550,16 +551,19 @@ def _probe_rows(keys2d, values2d, fps, rows, n_probes: int = _PROBES,
         f"got n_probes={n_probes} — pass DeviceNgramTable.n_probes")
     rows_u = jnp.asarray(np.asarray(rows, np.uint32))
     if axis_name is None:
-        s_row = keys2d.shape[1]
+        s_row = packed.shape[1]
         mask = np.uint32(s_row - 1)
         slots, guard = _choice_slots(fps, mask)             # (..., G, 2)
         flat = (rows_u[:, None] * np.uint32(s_row) + slots).astype(jnp.int32)
-        hit = guard & (keys2d.reshape(-1)[flat] == fps[..., None])
+        g = packed.reshape(-1, packed.shape[-1])[flat]      # (..., G, 2, 4)
+        hit = guard & (g[..., 0] == fps[..., None])
         found = hit.any(-1)
-        out = jnp.where(hit, values2d.reshape(-1)[flat], 0).sum(-1)
-        return found, out.astype(values2d.dtype)
+        lp = jax.lax.bitcast_convert_type(g[..., 1], jnp.float32)
+        bo = jax.lax.bitcast_convert_type(g[..., 2], jnp.float32)
+        return (found, jnp.where(hit, lp, 0.0).sum(-1),
+                jnp.where(hit, bo, 0.0).sum(-1))
 
-    s_local = keys2d.shape[1]
+    s_local = packed.shape[1]
     mask = np.uint32(n_slots_global - 1)
     off = (jax.lax.axis_index(axis_name).astype(jnp.uint32)
            * np.uint32(s_local))
@@ -568,12 +572,15 @@ def _probe_rows(keys2d, values2d, fps, rows, n_probes: int = _PROBES,
     in_rng = local < np.uint32(s_local)
     li = jnp.where(in_rng, local, np.uint32(0))
     flat = (rows_u[:, None] * np.uint32(s_local) + li).astype(jnp.int32)
-    hit = guard & in_rng & (keys2d.reshape(-1)[flat] == fps[..., None])
+    g = packed.reshape(-1, packed.shape[-1])[flat]          # (..., G, 2, 4)
+    hit = guard & in_rng & (g[..., 0] == fps[..., None])
     found = hit.any(-1)
-    out = jnp.where(hit, values2d.reshape(-1)[flat], 0).sum(-1)
+    lp = jax.lax.bitcast_convert_type(g[..., 1], jnp.float32)
+    bo = jax.lax.bitcast_convert_type(g[..., 2], jnp.float32)
     found = jax.lax.psum(found.astype(jnp.int32), axis_name) > 0
-    out = jax.lax.psum(out.astype(values2d.dtype), axis_name)
-    return found, out
+    lp_out = jax.lax.psum(jnp.where(hit, lp, 0.0).sum(-1), axis_name)
+    bo_out = jax.lax.psum(jnp.where(hit, bo, 0.0).sum(-1), axis_name)
+    return found, lp_out, bo_out
 
 
 def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
@@ -581,7 +588,8 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
                  axis_name=None, n_slots_global: int = 0):
     """Exact ARPA backoff score, vectorized.
 
-    tables: (keys (order, S), logps (order, S), backoffs (order, S));
+    tables: (packed (order, S, 4)[, uni_logps, uni_backoffs]) from
+    DeviceNgramTable.device_arrays();
     ctx: (..., order-1) int32 — the LAST (order-1) ids, RIGHT-aligned
     (ctx[..., -1] is the most recent), left-padded with junk; ctx_len:
     (...,) int32 — how many trailing entries are valid; tok: (...,) int32
@@ -592,20 +600,21 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
     """
     import jax.numpy as jnp
 
-    keys, logps, backoffs = tables[:3]
-    dense = len(tables) >= 5           # (..., uni_logps, uni_backoffs)
-    order = keys.shape[0]
+    packed = tables[0]
+    dense = len(tables) >= 3           # (..., uni_logps, uni_backoffs)
+    order = packed.shape[0]
     m_ctx = order - 1
 
     # For each use-length u (number of context ids used, longest first),
     # compute: found_u, logp_u for (ctx[-u:], tok); bo_found_u, bo_u for
     # the context entry ctx[-u:] (order u). Fingerprints are elementwise;
-    # the hashed probes batch into TWO flattened gathers (_probe_rows)
-    # instead of one serializing gather launch each. The unigram level
-    # (u == 0) and the length-1 context backoff are DENSE when the table
-    # provides them: a direct id-indexed gather of ONE element replaces a
-    # 2-slot (key, value) cuckoo probe — exact, because every ARPA vocab
-    # word has a unigram entry (id >= 0 IS the key check).
+    # ALL hashed probes (logp and backoff levels) batch into ONE flattened
+    # packed-row gather (_probe_rows) — each probed slot's row carries key,
+    # logp and backoff together. The unigram level (u == 0) and the
+    # length-1 context backoff are DENSE when the table provides them: a
+    # direct id-indexed gather of ONE element replaces a 2-row cuckoo
+    # probe — exact, because every ARPA vocab word has a unigram entry
+    # (id >= 0 IS the key check).
     fp_list, bo_fp_list, usable_list = [], [], []
     lp_rows = []
     bo_rows = []
@@ -622,25 +631,22 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
             bo_fp_list.append(
                 _fingerprint_jnp(ctx_ids, jnp.ones(ctx_ids.shape, bool)))
             bo_rows.append(u - 1)
-    found_list, logp_list = [], []
-    if lp_rows:
-        f_all, lp_all = _probe_rows(keys, logps, jnp.stack(fp_list, -1),
-                                    lp_rows, n_probes,
-                                    axis_name, n_slots_global)
-        found_list = [f_all[..., i] & usable_list[i]
-                      for i in range(len(lp_rows))]
-        logp_list = [lp_all[..., i] for i in range(len(lp_rows))]
-    bo_list = []
-    if bo_rows:
-        bf_all, bo_all = _probe_rows(keys, backoffs,
-                                     jnp.stack(bo_fp_list, -1),
-                                     bo_rows, n_probes,
-                                     axis_name, n_slots_global)
-        bo_list = [jnp.where(bf_all[..., i] & usable_list[i],
-                             bo_all[..., i], 0.0)
-                   for i in range(len(bo_rows))]
+    found_list, logp_list, bo_list = [], [], []
+    if lp_rows or bo_rows:
+        n_lp = len(lp_rows)
+        f_all, lp_all, bo_all = _probe_rows(
+            packed, jnp.stack(fp_list + bo_fp_list, -1),
+            lp_rows + bo_rows, n_probes, axis_name, n_slots_global)
+        found_list = [f_all[..., i] & usable_list[i] for i in range(n_lp)]
+        logp_list = [lp_all[..., i] for i in range(n_lp)]
+        # Backoff fingerprint j was appended in iteration j (the bo
+        # condition holds for a prefix of the u loop), so its usable gate
+        # is usable_list[j].
+        bo_list = [jnp.where(f_all[..., n_lp + j] & usable_list[j],
+                             bo_all[..., n_lp + j], 0.0)
+                   for j in range(len(bo_rows))]
     if dense:
-        uni_logps, uni_backoffs = tables[3], tables[4]
+        uni_logps, uni_backoffs = tables[1], tables[2]
         v_lm = uni_logps.shape[0]
         tok_ok = (tok >= 0) & (tok < v_lm)
         found_list.append(tok_ok)      # usable: ctx_len >= 0 always holds

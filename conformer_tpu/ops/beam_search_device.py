@@ -266,8 +266,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                         fp2 = (fp2 ^ state.rw2[:, j]) * prime
                     fp1s.append((fp1 ^ state.wf1) * prime)
                     fp2s.append((fp2 ^ state.wf2) * prime)
-                hits = lookup_pair(hot_arrays[0], hot_arrays[1],
-                                   hot_arrays[2], jnp.stack(fp1s, -1),
+                hits = lookup_pair(hot_arrays, jnp.stack(fp1s, -1),
                                    jnp.stack(fp2s, -1),
                                    hot_n_probes) >= 0          # (W, 4)
                 spans_ok = (state.rcount[:, None]
@@ -600,11 +599,11 @@ def ctc_beam_search_device_sharded(log_probs, lengths=None, mesh=None,
             out_specs=out_spec, check_vma=False,
         )(log_probs, lengths.astype(jnp.int32))
 
-    # Shard the slot axis over the model axis only when it applies; the
-    # tables are replicated otherwise. The dense unigram arrays (tables
-    # 4-5, id-indexed) are small and replicate.
-    table_spec = ((P(None, m_ax),) * 3
-                  + (P(None),) * (len(tables) - 3))
+    # Shard the slot axis of the packed (order, S, 4) table over the model
+    # axis only when it applies; the tables are replicated otherwise. The
+    # dense unigram arrays (id-indexed) are small and replicate.
+    table_spec = ((P(None, m_ax, None),)
+                  + (P(None),) * (len(tables) - 1))
 
     def body(lp, n, tabs):
         return ctc_beam_search_device(lp, n, lm_tables=tabs, **kw)

@@ -277,8 +277,7 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                     fp2 = (fp2 ^ rw2[:, j]) * prime
                 fp1 = (fp1 ^ wf1) * prime
                 fp2 = (fp2 ^ wf2) * prime
-                hit = lookup_pair(hot_arrays[0], hot_arrays[1],
-                                  hot_arrays[2], fp1, fp2, hot_n_probes) >= 0
+                hit = lookup_pair(hot_arrays, fp1, fp2, hot_n_probes) >= 0
                 any_hit = any_hit | (hit & (rcount >= span - 1))
             delta = delta + jnp.where(any_hit, hot_weight * _LOG10_TO_LN,
                                       0.0)

@@ -121,8 +121,8 @@ class TestShardedTable:
             return st(tabs, ctx, cl, tk, table.unk_logp, table.n_probes,
                       axis_name="model", n_slots_global=n_slots)
 
-        table_spec = ((P(None, "model"),) * 3
-                      + (P(),) * (len(tables) - 3))  # dense arrays replicate
+        table_spec = ((P(None, "model", None),)    # packed (order, S, 4)
+                      + (P(),) * (len(tables) - 1))  # dense arrays replicate
         got = jax.shard_map(
             body, mesh=mesh,
             in_specs=(table_spec, P(), P(), P()),
