@@ -370,12 +370,19 @@ class DeviceWordVocab:
                    n_probes=n_probes)
 
     def device_arrays(self):
-        """(tok_a1, tok_b1, tok_a2, tok_b2, packed (S, 4) uint32)."""
+        """(tok_pack (V, 4) uint32, packed (S, 4) uint32).
+
+        tok_pack rows are (a1, b1, a2, b2) — the affine fold constants of
+        token id c for both rolling hashes — so the beam search's per-frame
+        constant fetch is ONE row gather instead of four single-element
+        gathers (in-loop descriptors are the decode-time currency)."""
         import jax.numpy as jnp
 
-        return tuple(jnp.asarray(a) for a in (
-            self.tok_a1, self.tok_b1, self.tok_a2, self.tok_b2,
-            _pack_pair_table(self.keys1, self.keys2, self.ids)))
+        tok_pack = np.stack(
+            [self.tok_a1, self.tok_b1, self.tok_a2, self.tok_b2], axis=1)
+        return (jnp.asarray(tok_pack),
+                jnp.asarray(_pack_pair_table(self.keys1, self.keys2,
+                                             self.ids)))
 
 
 # Hotword phrases: spans of up to _HOT_SPAN completed words, matched by
@@ -477,7 +484,7 @@ def lookup_word_ids(word_arrays, h1, h2, n_probes: int = _PROBES):
     word_arrays = DeviceWordVocab.device_arrays(); cuckoo choices keyed by
     (h1, h2) with both 32-bit keys verified per slot.
     """
-    return lookup_pair(word_arrays[4], h1, h2, n_probes)
+    return lookup_pair(word_arrays[1], h1, h2, n_probes)
 
 
 # ---------------------------------------------------------------------------

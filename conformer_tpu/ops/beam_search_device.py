@@ -349,18 +349,18 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             ext_pnb = ext_scores.reshape(-1)
             buffer_full = (state.plen[:, None] >= u) | (ext_pnb.reshape(w, k) <= NEG / 2)
             ext_pnb = jnp.where(buffer_full.reshape(-1), NEG, ext_pnb)
-            ext_parent = jnp.repeat(jnp.arange(w), k)
             ext_tok = jnp.tile(cand_tok, w)
             tok_u32 = ext_tok.astype(jnp.uint32) + 1
-            ext_h1 = state.h1[ext_parent] * _M1 + tok_u32
-            ext_h2 = state.h2[ext_parent] * _M2 + tok_u32
+            # repeat = broadcast+reshape on the vector path; writing it as
+            # h1[repeat(arange(w), k)] lowered to an in-loop gather (~0.09
+            # ms/frame each at W=190 — descriptors are the loop currency).
+            ext_h1 = jnp.repeat(state.h1, k) * _M1 + tok_u32
+            ext_h2 = jnp.repeat(state.h2, k) * _M2 + tok_u32
 
             c_h1 = jnp.concatenate([state.h1, ext_h1])
             c_h2 = jnp.concatenate([state.h2, ext_h2])
             c_pb = jnp.concatenate([keep_pb, jnp.full((w * k,), NEG)])
             c_pnb = jnp.concatenate([keep_pnb, ext_pnb])
-            c_parent = jnp.concatenate([jnp.arange(w), ext_parent])
-            c_tok = jnp.concatenate([jnp.full((w,), -1), ext_tok])
 
             # -- merge identical prefixes.
             # One variadic sort co-sorts every candidate array (XLA's sort
@@ -405,16 +405,35 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             head_score = jnp.where(boundary,
                                    _logaddexp(suf_pb, suf_pnb), NEG)
 
-            top_scores, top_pos = jax.lax.top_k(head_score, w)  # sorted-order idx
-            sel = order[top_pos]
+            # Survivor selection: ONE variadic sort by head score (iota2
+            # tiebreak = top_k's lowest-index-first) co-sorts every array
+            # the next carry needs, then a STATIC [:w] slice. The previous
+            # top_k + five x[top_pos]/x[sel] gathers paid ~0.45 ms/frame in
+            # serializing in-loop gather descriptors; the sort network
+            # moves all operands on the vector path.
+            iota2 = jnp.arange(head_score.shape[0], dtype=jnp.int32)
+            (neg_head, _, t_pb, t_pnb, t_h1, t_h2, t_sel) = jax.lax.sort(
+                (-head_score, iota2, suf_pb, suf_pnb, s_h1, s_h2, order),
+                num_keys=2)
+            top_scores = -neg_head[:w]
+            sel = t_sel[:w]
+            sel_pb, sel_pnb = t_pb[:w], t_pnb[:w]
+            sel_h1, sel_h2 = t_h1[:w], t_h2[:w]
             # Slots beyond the number of unique prefixes come back as
             # non-heads; kill them or their duplicated segment mass would be
             # double counted at the next merge.
             alive = top_scores > NEG / 2
 
-            parent = c_parent[sel]
-            tok = c_tok[sel]
-            is_ext = tok >= 0
+            # parent/token are pure index arithmetic on the candidate
+            # layout [W keeps | W*K extends] — no gather: candidate w*1 + i
+            # at i >= w is extend (parent (i-w)//k, token cand_tok[(i-w)%k]).
+            is_ext = sel >= w
+            ext_off = jnp.where(is_ext, sel - w, 0)
+            parent = jnp.where(is_ext, ext_off // k, sel)
+            rel = ext_off % k                                   # (W,)
+            tok_ext = jnp.where(rel[:, None] == jnp.arange(k)[None, :],
+                                cand_tok[None, :], 0).sum(-1)
+            tok = jnp.where(is_ext, tok_ext, -1)
             # ONE row gather propagates every parent-indexed column.
             par = _unpack_cols(S[parent], None, None, None, None, m_ctx)
             new_wf1, new_wf2 = par.wf1, par.wf2
@@ -433,9 +452,10 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 is_delim = is_ext & (tok == delim_id)
                 grow = is_ext & ~is_delim
                 # Fold the token's characters into the rolling word hashes
-                # (affine update; lm/device_table.py:DeviceWordVocab).
-                a1, b1 = word_arrays[0][tok_safe], word_arrays[1][tok_safe]
-                a2, b2 = word_arrays[2][tok_safe], word_arrays[3][tok_safe]
+                # (affine update; lm/device_table.py:DeviceWordVocab). One
+                # (V, 4) row gather fetches all four fold constants.
+                tc = word_arrays[0][tok_safe]                   # (W, 4)
+                a1, b1, a2, b2 = tc[:, 0], tc[:, 1], tc[:, 2], tc[:, 3]
                 zero = jnp.uint32(0)
                 new_wf1 = jnp.where(
                     grow, new_wf1 * a1 + b1,
@@ -474,9 +494,9 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 lm_len=new_len, wn=new_wn, rcount=new_rcount,
                 wf1=new_wf1, wf2=new_wf2, rw1=new_rw1, rw2=new_rw2,
                 lm_ctx=new_ctx)
-            new_carry = (new_S, c_h1[sel], c_h2[sel],
-                         jnp.where(alive, suf_pb[top_pos], NEG),
-                         jnp.where(alive, suf_pnb[top_pos], NEG))
+            new_carry = (new_S, sel_h1, sel_h2,
+                         jnp.where(alive, sel_pb, NEG),
+                         jnp.where(alive, sel_pnb, NEG))
             new_carry = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(
                     jnp.reshape(active, (1,) * new.ndim), new, old),

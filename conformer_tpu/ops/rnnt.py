@@ -393,8 +393,9 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                     # Selected delimiters always complete a word (empty-word
                     # delimiters were suppressed above).
                     is_d = tk == delim_id
-                    a1, b1 = word_arrays[0][tk], word_arrays[1][tk]
-                    a2, b2 = word_arrays[2][tk], word_arrays[3][tk]
+                    tc = word_arrays[0][tk]          # (..., 4): one row
+                    a1, b1, a2, b2 = (tc[..., 0], tc[..., 1],
+                                      tc[..., 2], tc[..., 3])
                     zero = jnp.uint32(0)
                     grown1 = n_wf1 * a1 + b1
                     grown2 = n_wf2 * a2 + b2
