@@ -370,9 +370,11 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                 tok = cand_tok.reshape(-1)
                 e_sc = e_sc.reshape(-1)
                 tu = tok.astype(jnp.uint32) + 1
-                e_h1 = a_h1[parent] * _M1 + tu
-                e_h2 = a_h2[parent] * _M2 + tu
-                e_cnt = a_cnt[parent] + 1
+                # jnp.repeat(x, kk) = broadcast+reshape on the vector path;
+                # x[parent] lowered to an in-loop serializing gather (see
+                # ops/beam_search_device.py on descriptor cost).
+                e_h1 = jnp.repeat(a_h1, kk) * _M1 + tu
+                e_h2 = jnp.repeat(a_h2, kk) * _M2 + tu
                 # Emission pools cannot contain duplicate sequences (see
                 # _select_topk) — skip the sort-merge entirely.
                 sel, msc = _select_topk(e_sc, w)
