@@ -620,10 +620,10 @@ def _bench_beam_device(cfg, variables, batch_size, audio_s, num_samples):
             max_len=cfg.data.max_tokens,
             scan_unroll=int(_os.environ.get("BENCH_SCAN_UNROLL", "1")),
             lm_tables=table.device_arrays(),
-            word_arrays=wv.device_arrays(), wv_n_probes=int(wv.n_probes),
+            word_arrays=wv.device_arrays(),
             lm_alpha=2.1, lm_beta=9.2, delim_id=tok.delim_id,
             lm_bos_id=int(table.bos_id), lm_unk_logp=float(table.unk_logp),
-            lm_order=int(table.order), lm_n_probes=int(table.n_probes))
+            lm_order=int(table.order))
 
     b = synthetic_batch(batch_size, num_samples, cfg.model.vocab_size, seed=0)
     audio = jax.device_put(b.audio)

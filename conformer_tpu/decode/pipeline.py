@@ -105,8 +105,7 @@ def _device_lm_kwargs(cfg: Config, tokenizer: GraphemeTokenizer,
             tok2lm=jax.numpy.asarray(tok2lm),
             lm_bos_id=int(table.bos_id),
             lm_unk_logp=float(table.unk_logp),
-            lm_order=int(table.order),
-            lm_n_probes=int(table.n_probes))
+            lm_order=int(table.order))
     if word_fallback and cfg.decode.lm_path:
         from conformer_tpu.lm.device_table import (DeviceHotwords,
                                                    DeviceWordVocab)
@@ -117,15 +116,12 @@ def _device_lm_kwargs(cfg: Config, tokenizer: GraphemeTokenizer,
             common,
             lm_tables=table.device_arrays(),
             word_arrays=wv.device_arrays(),
-            wv_n_probes=int(wv.n_probes),
             lm_bos_id=int(table.bos_id),
             lm_unk_logp=float(table.unk_logp),
-            lm_order=int(table.order),
-            lm_n_probes=int(table.n_probes))
+            lm_order=int(table.order))
         if cfg.decode.hotwords and cfg.decode.hotword_weight:
             hot = DeviceHotwords.build(cfg.decode.hotwords)
             kwargs.update(hot_arrays=hot.device_arrays(),
-                          hot_n_probes=int(hot.n_probes),
                           hot_weight=float(cfg.decode.hotword_weight))
         return kwargs
     return {}

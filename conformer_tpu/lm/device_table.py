@@ -8,23 +8,26 @@ open-addressing hash tables stored as plain device arrays, plus a pure-jnp
 backoff scorer that is exact with respect to the ARPA (verified against the
 Python scorer in tests/test_device_lm.py).
 
-Layout: one slot pool per n-gram order. Each slot is a PACKED row of four
-uint32 lanes — (key: fingerprint of the id sequence, logp: f32 bits,
-backoff: f32 bits, pad) — and lookup gathers exactly TWO cuckoo choice ROWS
-per query — no data-dependent control flow, so the beam search can score
-(B, W, K) candidates in one fused op. Two slots is the information-theoretic
-floor for a hash table that must detect misses with one-round gathers, and
-gather DESCRIPTORS are the decode-time currency: inside the decode frame
-loop, TPU dynamic gathers serialize at ~6.6 ns per gathered slice
-(descriptor) nearly independent of its width (a 17-wide row gather in the
-same loop runs at ~3.2 ns/row), so packing (key, logp, backoff) into one
-contiguous row — instead of the separate key/value arrays of rounds 2-3,
-which paid one descriptor EACH — halves the dominant gather term again
-(ops/beam_search_device.py). Linear probing (the round-2 scheme) needed a
-probe WINDOW covering the max insertion displacement — ≥4 at any realistic
-load factor, and irreducible by growth at real LM sizes (reaching max
-displacement <2 by growth alone needs O(entries^1.5) slots) — so cuckoo
-halves the choice-slot term outright.
+Layout: one BUCKET pool per n-gram order. A bucket is a PACKED row of
+``_BUCKET`` entries x four uint32 lanes — (key: fingerprint of the id
+sequence, logp: f32 bits, backoff: f32 bits, pad) — and a lookup gathers
+exactly ONE bucket row (``bucket = fp & mask``, single hash) and compares
+the ``_BUCKET`` keys in-vector — no data-dependent control flow, so the
+beam search can score (B, W, K) candidates in one fused op.
+
+Why this shape: gather DESCRIPTORS are the decode-time currency. Inside the
+decode frame loop, TPU dynamic gathers serialize at ~7 ns per gathered
+slice (descriptor) nearly INDEPENDENT of its width (measured flat through
+32 lanes — tools/bench_gather_shapes.py), so the design goal is minimum
+descriptors per query, not minimum touched bytes. The scheme lineage, each
+halving the dominant term: linear probing with displacement-minimized
+windows (r2-r3) -> 2-choice cuckoo, 2 slots/query x separate key/value
+arrays = 4+ descriptors (r3) -> packed (key, logp, backoff) slot rows, 2
+descriptors (r4) -> single-hash 8-entry buckets, ONE descriptor per query
+(r4). Misses are detected in the same round (all 8 keys mismatch); HBM
+space is traded away instead (~4x the entry count in slots at the default
+load target, irrelevant next to activations) — the miss-detection floor
+of one descriptor per query is reached.
 
 No reference counterpart: the reference's LM work is sequential host Python
 over pyctcdecode (reference: processing/lm.py:62-75); SURVEY §2.10 names
@@ -42,74 +45,35 @@ import numpy as np
 _FNV_PRIME = np.uint32(16777619)
 _FNV_BASIS = np.uint32(2166136261)
 _EMPTY = np.uint32(0)          # reserved key for empty slots
-_PROBES = 2                    # cuckoo: every key sits in one of two slots
-# Cuckoo eviction chains longer than this trigger a table doubling. 128
-# kicks at load factor <=0.5 fails with vanishing probability; growth is
-# the fallback.
-_MAX_KICKS = 128
-# Growth is capped: each doubling halves the load factor, so a layout that
-# still fails after this many retries means the keys collide in BOTH 32-bit
-# hash choices (duplicate fingerprint pairs) — no amount of slots fixes
-# that, and unbounded doubling would only exhaust memory.
+_BUCKET = 8                    # entries per bucket (one 32-lane row gather)
+_LANES = 4                     # uint32 lanes per entry (key, v1, v2, pad)
+# Bucket-count sizing: n_buckets = pow2(ceil(entries / _LOAD)) targets a
+# mean bucket load of ~_LOAD entries; overflow of an 8-entry bucket at
+# Poisson(2) has p ~1e-3, handled by doubling.
+_LOAD = 2.0
+# Growth is capped: each doubling halves the mean load, so a layout that
+# still overflows after this many retries means more than _BUCKET entries
+# share one 32-bit fingerprint-derived bucket at every size — duplicate
+# keys, which no amount of buckets fixes; unbounded doubling would only
+# exhaust memory.
 _MAX_GROWTH = 8
 
 
-def _mix_np(fp: np.uint32) -> np.uint32:
-    """Second cuckoo choice: a full-avalanche uint32 mix (murmur3 finalizer)
-    of the fingerprint. Must match _mix_jnp bit-for-bit."""
-    h = int(fp) & 0xFFFFFFFF
-    h ^= h >> 16
-    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
-    h ^= h >> 13
-    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
-    h ^= h >> 16
-    return np.uint32(h)
-
-
-def _mix_jnp(fp):
-    """Device twin of _mix_np (elementwise on uint32 arrays)."""
-    h = fp ^ (fp >> 16)
-    h = h * np.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * np.uint32(0xC2B2AE35)
-    return h ^ (h >> 16)
-
-
-def _cuckoo_layout(choices) -> "list | None":
-    """Assign each item a slot from its (s1, s2) choice pair via cuckoo
-    eviction. choices: list of (int, int). Returns slot per item, or None
-    if an eviction chain exceeds _MAX_KICKS (caller doubles and retries).
-    Items must be pre-deduplicated by key."""
-    owner = {}                     # slot -> item index
-    pos = [None] * len(choices)
-    for i, (s1, _) in enumerate(choices):
-        cur, slot = i, s1
-        for _ in range(_MAX_KICKS):
-            prev = owner.get(slot)
-            if prev is not None:
-                p1, p2 = choices[prev]
-                if p1 == p2:
-                    # Degenerate occupant (both choices equal): it is pinned
-                    # to this slot — evicting it would ping-pong forever.
-                    # Redirect `cur` to its own alternate choice instead.
-                    a1, a2 = choices[cur]
-                    alt = a2 if slot == a1 else a1
-                    if alt == slot:
-                        # Two degenerate items share one slot: unsatisfiable
-                        # at this mask; only growth can separate them.
-                        return None
-                    slot = alt
-                    continue
-            owner[slot] = cur
-            pos[cur] = slot
-            if prev is None:
-                break
-            cur = prev
-            # The evicted item moves to its OTHER choice (it occupied
-            # `slot`, which equals one of its choices).
-            slot = p2 if slot == p1 else p1
-        else:
+def _bucket_layout(hashes, n_buckets: int) -> "list | None":
+    """Assign each item a (bucket, lane) position by its hash. hashes: list
+    of ints. Returns flat slot indices (bucket * _BUCKET + lane) per item,
+    or None if any bucket overflows _BUCKET entries (caller doubles and
+    retries). Items must be pre-deduplicated by key."""
+    mask = n_buckets - 1
+    fill = [0] * n_buckets
+    pos = [0] * len(hashes)
+    for i, h in enumerate(hashes):
+        b = int(h) & mask
+        lane = fill[b]
+        if lane >= _BUCKET:
             return None
+        fill[b] = lane + 1
+        pos[i] = b * _BUCKET + lane
     return pos
 
 
@@ -130,20 +94,18 @@ class DeviceNgramTable:
     Unigrams live in DENSE arrays indexed by LM id instead of the hash
     rows: every ARPA vocabulary word has a unigram entry, so the key check
     is just ``id >= 0`` and the lookup gathers ONE element instead of a
-    2-slot cuckoo probe of (key, value) pairs — 4 gathered elements -> 1
-    for the unigram logp level AND for the length-1 context backoff, and
-    gathered elements are the device decode-time currency (~6.6 ns each on
-    the serializing scalar core). Hash row 0 is left empty."""
+    bucket row, for the unigram logp level AND for the length-1 context
+    backoff. Hash row 0 is left empty (unigrams are dense)."""
 
     order: int
-    n_slots: int                       # per order, power of two
-    keys: np.ndarray                   # (order, n_slots) uint32
-    logps: np.ndarray                  # (order, n_slots) f32 (log10)
-    backoffs: np.ndarray               # (order, n_slots) f32 (log10)
+    n_slots: int                       # BUCKETS per order, power of two
+    keys: np.ndarray                   # (order, n_slots * _BUCKET) uint32
+    logps: np.ndarray                  # (order, n_slots * _BUCKET) f32
+    backoffs: np.ndarray               # (order, n_slots * _BUCKET) f32
     unk_logp: float
     vocab: dict                        # word/token string -> LM id
     bos_id: int
-    n_probes: int                      # always 2 (cuckoo choice slots)
+    n_probes: int                      # 1: bucketized single-probe lookup
     uni_logps: np.ndarray = None       # (V_lm,) f32 dense unigram logp
     uni_backoffs: np.ndarray = None    # (V_lm,) f32 dense unigram backoff
 
@@ -163,11 +125,16 @@ class DeviceNgramTable:
             if 0 <= ids[0] < v_lm:
                 uni_logps[ids[0]] = logp
                 uni_backoffs[ids[0]] = backoff
-        total = max(sum(len(t) for t in lm.tables[1:]), 1)
-        n_slots = 1 << int(np.ceil(np.log2(max(total * slots_per_entry, 64))))
+        # Buckets sized for the LARGEST hashed level (the bucket pool is
+        # shared across orders): mean load ~_LOAD entries of _BUCKET
+        # capacity. `slots_per_entry` is kept for API stability and scales
+        # the bucket count relative to the default load target.
+        biggest = max([len(t) for t in lm.tables[1:]] or [1])
+        n_buckets = 1 << int(np.ceil(np.log2(max(
+            biggest * slots_per_entry / _LOAD / 2.0, 8))))
         # Per-order entry lists, deduplicated by fingerprint (first writer
         # wins on a genuine 32-bit collision — same contract as the lookup's
-        # at-most-one-slot guarantee). Row 0 stays empty (unigrams are
+        # at-most-one-hit guarantee). Row 0 stays empty (unigrams are
         # dense).
         rows = [[]]
         for table in lm.tables[1:]:
@@ -177,57 +144,59 @@ class DeviceNgramTable:
                 if int(fp) in seen:
                     continue
                 seen.add(int(fp))
-                items.append((fp, _mix_np(fp), logp, backoff))
+                items.append((fp, logp, backoff))
             rows.append(items)
         for attempt in range(_MAX_GROWTH + 1):
-            keys = np.zeros((order, n_slots), np.uint32)
-            logps = np.zeros((order, n_slots), np.float32)
-            backoffs = np.zeros((order, n_slots), np.float32)
-            mask = n_slots - 1
+            keys = np.zeros((order, n_buckets * _BUCKET), np.uint32)
+            logps = np.zeros((order, n_buckets * _BUCKET), np.float32)
+            backoffs = np.zeros((order, n_buckets * _BUCKET), np.float32)
             ok = True
             for m, items in enumerate(rows):
-                pos = _cuckoo_layout(
-                    [(int(fp) & mask, int(fp2) & mask)
-                     for fp, fp2, _, _ in items])
+                pos = _bucket_layout([int(fp) for fp, _, _ in items],
+                                     n_buckets)
                 if pos is None:
                     ok = False
                     break
-                for (fp, _, logp, backoff), slot in zip(items, pos):
+                for (fp, logp, backoff), slot in zip(items, pos):
                     keys[m, slot] = fp
                     logps[m, slot] = logp
                     backoffs[m, slot] = backoff
             if ok:
                 break
-            n_slots *= 2
+            n_buckets *= 2
         else:
             raise RuntimeError(
-                f"cuckoo layout failed for {arpa_path} even after "
-                f"{_MAX_GROWTH} doublings ({n_slots} slots): the entries "
-                "collide in both 32-bit hash choices; this ARPA cannot be "
-                "compiled into a 2-choice device table")
+                f"bucket layout failed for {arpa_path} even after "
+                f"{_MAX_GROWTH} doublings ({n_buckets} buckets): more than "
+                f"{_BUCKET} entries share one fingerprint bucket at every "
+                "size (duplicate keys); this ARPA cannot be compiled into "
+                "a bucketized device table")
         unk = lm.vocab.get("<unk>")
         unk_logp = (lm.tables[0][(unk,)][0]
                     if unk is not None and (unk,) in lm.tables[0] else -99.0)
-        return cls(order=order, n_slots=n_slots, keys=keys, logps=logps,
+        return cls(order=order, n_slots=n_buckets, keys=keys, logps=logps,
                    backoffs=backoffs, unk_logp=float(unk_logp),
                    vocab=dict(lm.vocab), bos_id=lm.vocab.get("<s>", -1),
-                   n_probes=_PROBES, uni_logps=uni_logps,
+                   n_probes=1, uni_logps=uni_logps,
                    uni_backoffs=uni_backoffs)
 
     def device_arrays(self):
-        """(packed (order, S, 4) uint32[, uni_logps, uni_backoffs]).
+        """(packed (order, n_buckets, _BUCKET*4) u32[, uni_logps,
+        uni_backoffs]).
 
-        Packed row lanes: (key, logp bits, backoff bits, pad). One row
-        gather per probed slot fetches key AND both values — one gather
-        descriptor where the round-2/3 separate key/value arrays paid two
-        to four (descriptors are the in-loop decode-time currency, ~6.6 ns
-        each on the serializing scalar path; see module docstring)."""
+        A bucket row holds _BUCKET entries of four lanes each — (key, logp
+        bits, backoff bits, pad). ONE row gather per query fetches the
+        whole bucket; the _BUCKET key compares ride the vector path.
+        Descriptors are the in-loop decode-time currency (~7 ns each,
+        width-independent; see module docstring)."""
         import jax.numpy as jnp
 
-        packed = np.zeros(self.keys.shape + (4,), np.uint32)
+        packed = np.zeros(self.keys.shape + (_LANES,), np.uint32)
         packed[..., 0] = self.keys
         packed[..., 1] = self.logps.view(np.uint32)
         packed[..., 2] = self.backoffs.view(np.uint32)
+        packed = packed.reshape(self.keys.shape[0], self.n_slots,
+                                _BUCKET * _LANES)
         out = (jnp.asarray(packed),)
         if self.uni_logps is not None:
             out = out + (jnp.asarray(self.uni_logps),
@@ -240,53 +209,43 @@ class DeviceNgramTable:
 # ---------------------------------------------------------------------------
 
 def _build_pair_table(items, n_slots: int):
-    """Hash table keyed by (h1, h2) uint32 pairs. items: deduplicated
-    (h1, h2, value) triples. Returns (keys1, keys2, ids, n_probes) with
-    ids -1 = empty.
-
-    Tries DIRECT placement first (every item at h1 & mask, collision-free
-    → lookups gather ONE slot), growing up to 2 doublings — small tables
-    (hotword sets, toy vocabularies) usually fit, and one gathered element
-    beats two. Falls back to cuckoo (choices h1 & mask / h2 & mask, two
-    gathered slots), doubling until the layout succeeds."""
-    for _ in range(3):
-        mask = n_slots - 1
-        slots = [int(h1) & mask for h1, _, _ in items]
-        if len(set(slots)) == len(slots):
-            pos, n_probes = slots, 1
+    """Bucketized hash table keyed by (h1, h2) uint32 pairs. items:
+    deduplicated (h1, h2, value) triples. Returns (keys1, keys2, ids,
+    n_probes=1) with ids -1 = empty; arrays are flat (n_buckets * _BUCKET)
+    slot views, bucket = h1 & mask (single hash, both keys verified
+    in-vector after ONE bucket-row gather)."""
+    if len({(int(h1), int(h2)) for h1, h2, _ in items}) != len(items):
+        raise RuntimeError(
+            "duplicate (h1, h2) keys collide in both 32-bit hashes; "
+            "dedupe before building the pair table")
+    n_buckets = max(n_slots // _BUCKET, 8)
+    for _ in range(_MAX_GROWTH + 1):
+        pos = _bucket_layout([int(h1) for h1, _, _ in items], n_buckets)
+        if pos is not None:
             break
-        n_slots *= 2
+        n_buckets *= 2
     else:
-        n_slots = max(n_slots >> 3, 64)  # cuckoo packs tighter; reset
-        for _ in range(_MAX_GROWTH + 1):
-            mask = n_slots - 1
-            pos = _cuckoo_layout(
-                [(int(h1) & mask, int(h2) & mask) for h1, h2, _ in items])
-            if pos is not None:
-                break
-            n_slots *= 2
-        else:
-            raise RuntimeError(
-                f"cuckoo layout failed even after {_MAX_GROWTH} doublings "
-                f"({n_slots} slots): entries collide in both 32-bit hashes")
-        n_probes = 2
-    keys1 = np.zeros((n_slots,), np.uint32)
-    keys2 = np.zeros((n_slots,), np.uint32)
-    ids = np.full((n_slots,), -1, np.int32)
+        raise RuntimeError(
+            f"bucket layout failed even after {_MAX_GROWTH} doublings "
+            f"({n_buckets} buckets): more than {_BUCKET} entries share one "
+            "h1 bucket at every size")
+    keys1 = np.zeros((n_buckets * _BUCKET,), np.uint32)
+    keys2 = np.zeros((n_buckets * _BUCKET,), np.uint32)
+    ids = np.full((n_buckets * _BUCKET,), -1, np.int32)
     for (h1, h2, val), slot in zip(items, pos):
         keys1[slot], keys2[slot], ids[slot] = h1, h2, val
-    return keys1, keys2, ids, n_probes
+    return keys1, keys2, ids, 1
 
 
 def _pack_pair_table(keys1, keys2, ids) -> np.ndarray:
-    """(S, 4) uint32 rows (key1, key2, id bits, pad): one row gather per
-    probed slot instead of three single-element gathers (key1/key2/id).
-    id -1 (empty) round-trips through the uint32 view."""
-    packed = np.zeros((keys1.shape[0], 4), np.uint32)
+    """(n_buckets, _BUCKET*4) uint32 bucket rows of (key1, key2, id bits,
+    pad) entries: one row gather per query replaces per-slot key/id
+    gathers. id -1 (empty) round-trips through the uint32 view."""
+    packed = np.zeros((keys1.shape[0], _LANES), np.uint32)
     packed[:, 0] = keys1
     packed[:, 1] = keys2
     packed[:, 2] = ids.view(np.uint32)
-    return packed
+    return packed.reshape(-1, _BUCKET * _LANES)
 
 
 # Polynomial rolling hash over unicode code points: H(s) = sum ord(s_i) *
@@ -406,18 +365,21 @@ class DeviceHotwords:
     (span <= 4 words) equals a hotword phrase (decode/beam_search.py:
     _word_bonus). On device, each beam carries the character-hash pairs of
     its last completed words; at a word boundary the search folds the
-    last-k hashes (k = 1..4) and probes this table. Spelling-exact: OOV
+    last-k hashes (k = 1..4) and tests membership. Spelling-exact: OOV
     words hash by their characters, not LM ids.
+
+    Hotword lists are SMALL (tens of phrases), so membership is a DENSE
+    broadcast compare against all N key pairs on the vector path — zero
+    gather descriptors (the in-loop decode-time currency), where the
+    hashed table paid 4 spans x probe descriptors per beam per frame.
     """
 
-    keys1: np.ndarray   # (S,) uint32
-    keys2: np.ndarray   # (S,) uint32
-    ids: np.ndarray     # (S,) int32 (1 = present, -1 = empty)
-    n_probes: int
+    keys1: np.ndarray   # (N,) uint32, zero-padded to a power of two
+    keys2: np.ndarray   # (N,) uint32
+    valid: np.ndarray   # (N,) bool (padding rows are False)
 
     @classmethod
-    def build(cls, hotwords: Sequence[str],
-              slots_per_entry: float = 4.0) -> "DeviceHotwords":
+    def build(cls, hotwords: Sequence[str]) -> "DeviceHotwords":
         phrases = []
         for h in hotwords:
             ws = h.upper().split()
@@ -430,61 +392,63 @@ class DeviceHotwords:
             if (int(fp1), int(fp2)) in seen:
                 continue
             seen.add((int(fp1), int(fp2)))
-            items.append((fp1, fp2, 1))
-        n_slots = 1 << int(np.ceil(np.log2(
-            max(len(items) * slots_per_entry, 16))))
-        keys1, keys2, ids, n_probes = _build_pair_table(items, n_slots)
-        return cls(keys1=keys1, keys2=keys2, ids=ids, n_probes=n_probes)
+            items.append((fp1, fp2))
+        n = 1 << int(np.ceil(np.log2(max(len(items), 8))))
+        keys1 = np.zeros((n,), np.uint32)
+        keys2 = np.zeros((n,), np.uint32)
+        valid = np.zeros((n,), bool)
+        for i, (fp1, fp2) in enumerate(items):
+            keys1[i], keys2[i], valid[i] = fp1, fp2, True
+        return cls(keys1=keys1, keys2=keys2, valid=valid)
 
     def device_arrays(self):
-        """Packed (S, 4) uint32 pair-table rows (lookup_pair operand)."""
         import jax.numpy as jnp
 
-        return jnp.asarray(_pack_pair_table(self.keys1, self.keys2,
-                                            self.ids))
+        return (jnp.asarray(self.keys1), jnp.asarray(self.keys2),
+                jnp.asarray(self.valid))
 
 
-def lookup_pair(packed, h1, h2, n_probes: int = _PROBES):
+def hotword_hit(hot_arrays, h1, h2):
+    """(...,) bool — does the (h1, h2) phrase fingerprint pair match any
+    hotword? Dense broadcast compare over all N phrases (see
+    DeviceHotwords): pure vector work, no gathers."""
+    k1, k2, valid = hot_arrays
+    return ((valid & (k1 == h1[..., None]) & (k2 == h2[..., None]))
+            .any(-1))
+
+
+def lookup_pair(packed, h1, h2):
     """Lookup keyed by (h1, h2) 32-bit pairs -> int value (-1 = miss).
 
-    packed: (S, 4) uint32 rows (key1, key2, id bits, pad) from
-    _pack_pair_table; slots with id < 0 are empty; both keys must match.
-    `n_probes` is the table's static scheme (_build_pair_table): 1 = direct
-    placement (ONE gathered row per query), 2 = cuckoo (the key occupies at
-    most one of its two choice slots h1 & mask / h2 & mask). Gather
-    DESCRIPTORS are the in-loop decode-time currency — one row fetch per
-    probed slot replaces the three single-element gathers (key1/key2/id)
-    of the unpacked layout."""
+    packed: (n_buckets, _BUCKET*4) uint32 bucket rows of (key1, key2, id
+    bits, pad) entries from _pack_pair_table; entries with id < 0 are
+    empty; both keys must match. Bucket = h1 & mask (single hash): ONE
+    gathered bucket row per query — gather DESCRIPTORS are the in-loop
+    decode-time currency — with the _BUCKET candidate compares in-vector.
+
+    Exactness: the builder dedupes by (h1, h2), so at most one entry hits
+    and the masked sum equals the hit value."""
     import jax
     import jax.numpy as jnp
 
     mask = np.uint32(packed.shape[0] - 1)
-    s1 = h1 & mask
-    if n_probes == 1:
-        g = packed[s1]                                          # (..., 4)
-        idv = jax.lax.bitcast_convert_type(g[..., 2], jnp.int32)
-        hit = (g[..., 0] == h1) & (g[..., 1] == h2) & (idv >= 0)
-        return jnp.where(hit, idv, -1)
-    s2 = h2 & mask
-    slots = jnp.stack([s1, s2], axis=-1)                        # (..., 2)
-    g = packed[slots]                                           # (..., 2, 4)
+    g = packed[h1 & mask]                               # (..., _BUCKET*4)
+    g = g.reshape(g.shape[:-1] + (_BUCKET, _LANES))     # (..., _BUCKET, 4)
     idv = jax.lax.bitcast_convert_type(g[..., 2], jnp.int32)
     hit = ((g[..., 0] == h1[..., None])
            & (g[..., 1] == h2[..., None]) & (idv >= 0))
-    # Degenerate pair (both choices are the same slot): count it once.
-    hit = hit & jnp.stack([jnp.ones_like(s1, bool), s2 != s1], axis=-1)
     found = hit.any(-1)
     val = jnp.where(hit, idv, 0).sum(-1)
     return jnp.where(found, val, -1)
 
 
-def lookup_word_ids(word_arrays, h1, h2, n_probes: int = _PROBES):
+def lookup_word_ids(word_arrays, h1, h2):
     """(..., ) rolling hashes -> word LM ids (-1 when not in the LM vocab).
 
-    word_arrays = DeviceWordVocab.device_arrays(); cuckoo choices keyed by
-    (h1, h2) with both 32-bit keys verified per slot.
+    word_arrays = DeviceWordVocab.device_arrays(); bucketized by h1 with
+    both 32-bit keys verified per entry after one bucket-row gather.
     """
-    return lookup_pair(word_arrays[1], h1, h2, n_probes)
+    return lookup_pair(word_arrays[1], h1, h2)
 
 
 # ---------------------------------------------------------------------------
@@ -509,41 +473,30 @@ def _fingerprint_jnp(ids, valid):
     return jnp.where(h == _EMPTY, np.uint32(1), h)
 
 
-def _choice_slots(fp, mask):
-    """(..., 2) cuckoo choice slots for fingerprint keys, plus the
-    double-count guard for the degenerate same-slot case (applied to the
-    second probe's hit). Must match the builders' choice computation."""
-    import jax.numpy as jnp
-
-    s1 = fp & mask
-    s2 = _mix_jnp(fp) & mask
-    slots = jnp.stack([s1, s2], axis=-1)
-    guard = jnp.stack([jnp.ones_like(s1, bool), s2 != s1], axis=-1)
-    return slots, guard
-
-
-def _probe_rows(packed, fps, rows, n_probes: int = _PROBES,
+def _probe_rows(packed, fps, rows,
                 axis_name=None, n_slots_global: int = 0):
-    """Batched cuckoo lookup across table ROWS of a PACKED table: one
-    flattened row gather fetches (key, logp, backoff) for every probed
-    slot. packed: (order, S, 4) uint32 rows (key, logp bits, backoff bits,
-    pad); fps: (..., G) uint32; rows: (G,) host ints — probe g looks up
+    """Batched bucketized lookup across table ROWS of a PACKED table: one
+    flattened bucket-row gather fetches _BUCKET (key, logp, backoff)
+    entries for every query. packed: (order, n_buckets, _BUCKET*4) uint32;
+    fps: (..., G) uint32; rows: (G,) host ints — probe g looks up
     fps[..., g] in table row rows[g].
     -> (found (..., G) bool, logp (..., G) f32, backoff (..., G) f32).
 
     Cost model (the decode frame loop is gather-bound): in-loop gathers
-    serialize at ~6.6 ns per DESCRIPTOR nearly independent of slice width,
-    so one (1, 4)-row fetch per choice slot is half the descriptors of the
-    round-2/3 separate key/value arrays — and the logp and backoff probes
-    of score_tokens share the same gather instead of re-fetching keys.
+    serialize at ~7 ns per DESCRIPTOR nearly independent of slice width
+    (measured flat through 32 lanes, tools/bench_gather_shapes.py), so ONE
+    bucket row per query — single hash, _BUCKET in-vector key compares —
+    is the miss-detecting floor; the logp and backoff probe levels of
+    score_tokens also share one gather instead of re-fetching keys.
 
-    Exactness: insertion stores a fingerprint in AT MOST one of its two
-    choice slots (first writer wins on collision), so at most one probe
-    hits and the masked sums equal the hit values.
+    Exactness: the builder dedupes by fingerprint per order, so at most
+    one entry hits and the masked sums equal the hit values; empty entries
+    hold key 0, which no query fingerprint equals (_fingerprint_np maps
+    0 -> 1).
 
     With ``axis_name`` (inside a shard_map), packed is the LOCAL contiguous
-    slot slice of a table of ``n_slots_global`` slots sharded over that
-    mesh axis: each shard probes only the global slots it owns (uint32
+    bucket slice of a table of ``n_slots_global`` buckets sharded over that
+    mesh axis: each shard probes only the global buckets it owns (uint32
     wraparound makes the range test one compare) and the partial results
     combine with a psum over ICI. Exact, because at most one shard can hit,
     so the masked-zero partials sum to the unsharded answer. This is the
@@ -553,17 +506,16 @@ def _probe_rows(packed, fps, rows, n_probes: int = _PROBES,
     import jax
     import jax.numpy as jnp
 
-    assert n_probes == _PROBES, (
-        f"the device n-gram tables are cuckoo ({_PROBES} choice slots); "
-        f"got n_probes={n_probes} — pass DeviceNgramTable.n_probes")
     rows_u = jnp.asarray(np.asarray(rows, np.uint32))
+    lane = packed.shape[-1]
     if axis_name is None:
         s_row = packed.shape[1]
         mask = np.uint32(s_row - 1)
-        slots, guard = _choice_slots(fps, mask)             # (..., G, 2)
-        flat = (rows_u[:, None] * np.uint32(s_row) + slots).astype(jnp.int32)
-        g = packed.reshape(-1, packed.shape[-1])[flat]      # (..., G, 2, 4)
-        hit = guard & (g[..., 0] == fps[..., None])
+        bucket = fps & mask                                 # (..., G)
+        flat = (rows_u * np.uint32(s_row) + bucket).astype(jnp.int32)
+        g = packed.reshape(-1, lane)[flat]                  # (..., G, B*4)
+        g = g.reshape(g.shape[:-1] + (_BUCKET, _LANES))     # (..., G, B, 4)
+        hit = g[..., 0] == fps[..., None]                   # (..., G, B)
         found = hit.any(-1)
         lp = jax.lax.bitcast_convert_type(g[..., 1], jnp.float32)
         bo = jax.lax.bitcast_convert_type(g[..., 2], jnp.float32)
@@ -574,13 +526,14 @@ def _probe_rows(packed, fps, rows, n_probes: int = _PROBES,
     mask = np.uint32(n_slots_global - 1)
     off = (jax.lax.axis_index(axis_name).astype(jnp.uint32)
            * np.uint32(s_local))
-    slots, guard = _choice_slots(fps, mask)                 # (..., G, 2)
-    local = slots - off                                      # uint32 wrap
+    bucket = fps & mask                                     # (..., G)
+    local = bucket - off                                     # uint32 wrap
     in_rng = local < np.uint32(s_local)
     li = jnp.where(in_rng, local, np.uint32(0))
-    flat = (rows_u[:, None] * np.uint32(s_local) + li).astype(jnp.int32)
-    g = packed.reshape(-1, packed.shape[-1])[flat]          # (..., G, 2, 4)
-    hit = guard & in_rng & (g[..., 0] == fps[..., None])
+    flat = (rows_u * np.uint32(s_local) + li).astype(jnp.int32)
+    g = packed.reshape(-1, lane)[flat]                      # (..., G, B*4)
+    g = g.reshape(g.shape[:-1] + (_BUCKET, _LANES))
+    hit = in_rng[..., None] & (g[..., 0] == fps[..., None])
     found = hit.any(-1)
     lp = jax.lax.bitcast_convert_type(g[..., 1], jnp.float32)
     bo = jax.lax.bitcast_convert_type(g[..., 2], jnp.float32)
@@ -591,12 +544,11 @@ def _probe_rows(packed, fps, rows, n_probes: int = _PROBES,
 
 
 def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
-                 n_probes: int = _PROBES,
                  axis_name=None, n_slots_global: int = 0):
     """Exact ARPA backoff score, vectorized.
 
-    tables: (packed (order, S, 4)[, uni_logps, uni_backoffs]) from
-    DeviceNgramTable.device_arrays();
+    tables: (packed (order, n_buckets, _BUCKET*4)[, uni_logps,
+    uni_backoffs]) from DeviceNgramTable.device_arrays();
     ctx: (..., order-1) int32 — the LAST (order-1) ids, RIGHT-aligned
     (ctx[..., -1] is the most recent), left-padded with junk; ctx_len:
     (...,) int32 — how many trailing entries are valid; tok: (...,) int32
@@ -619,7 +571,7 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
     # packed-row gather (_probe_rows) — each probed slot's row carries key,
     # logp and backoff together. The unigram level (u == 0) and the
     # length-1 context backoff are DENSE when the table provides them: a
-    # direct id-indexed gather of ONE element replaces a 2-row cuckoo
+    # direct id-indexed gather of ONE element replaces a bucket-row
     # probe — exact, because every ARPA vocab word has a unigram entry
     # (id >= 0 IS the key check).
     fp_list, bo_fp_list, usable_list = [], [], []
@@ -643,7 +595,7 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
         n_lp = len(lp_rows)
         f_all, lp_all, bo_all = _probe_rows(
             packed, jnp.stack(fp_list + bo_fp_list, -1),
-            lp_rows + bo_rows, n_probes, axis_name, n_slots_global)
+            lp_rows + bo_rows, axis_name, n_slots_global)
         found_list = [f_all[..., i] & usable_list[i] for i in range(n_lp)]
         logp_list = [lp_all[..., i] for i in range(n_lp)]
         # Backoff fingerprint j was appended in iteration j (the bo

@@ -146,13 +146,10 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                            lm_bos_id: int = -1,
                            lm_unk_logp: float = -99.0,
                            lm_order: int = 0,
-                           lm_n_probes: int = 2,
                            lm_axis_name=None,
                            lm_n_slots_global: int = 0,
                            word_arrays=None,
-                           wv_n_probes: int = 2,
                            hot_arrays=None,
-                           hot_n_probes: int = 2,
                            hot_weight: float = 0.0,
                            init_state: Optional[BeamState] = None,
                            return_state: bool = False,
@@ -170,7 +167,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
     DeviceNgramTable.device_arrays(), `tok2lm` (V,) int32 mapping token ids
     -> LM ids (-1 = OOV), `lm_alpha` the fusion weight on ln-scale LM
     scores, `lm_beta` a per-word bonus applied when `delim_id` is emitted;
-    `lm_order`/`lm_n_probes` are static table properties.
+    `lm_order` is a static table property.
 
     Word-level LM fusion (optional, the host decoder's operating point —
     decode/beam_search.py:_word_bonus): pass `word_arrays` =
@@ -240,14 +237,13 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             OOV) — host semantics: decode/beam_search.py:_word_bonus."""
             from conformer_tpu.lm.device_table import (_FNV_BASIS,
                                                        _FNV_PRIME,
-                                                       lookup_pair,
+                                                       hotword_hit,
                                                        lookup_word_ids,
                                                        score_tokens)
 
-            wid = lookup_word_ids(word_arrays, state.wf1, state.wf2,
-                                  wv_n_probes)
+            wid = lookup_word_ids(word_arrays, state.wf1, state.wf2)
             lm10 = score_tokens(lm_tables, state.lm_ctx, state.lm_len, wid,
-                                lm_unk_logp, lm_n_probes,
+                                lm_unk_logp,
                                 lm_axis_name, lm_n_slots_global)
             delta = lm_alpha * _LOG10_TO_LN * lm10 + lm_beta
             if hot_arrays is not None and hot_weight:
@@ -266,9 +262,8 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                         fp2 = (fp2 ^ state.rw2[:, j]) * prime
                     fp1s.append((fp1 ^ state.wf1) * prime)
                     fp2s.append((fp2 ^ state.wf2) * prime)
-                hits = lookup_pair(hot_arrays, jnp.stack(fp1s, -1),
-                                   jnp.stack(fp2s, -1),
-                                   hot_n_probes) >= 0          # (W, 4)
+                hits = hotword_hit(hot_arrays, jnp.stack(fp1s, -1),
+                                   jnp.stack(fp2s, -1))        # (W, 4)
                 spans_ok = (state.rcount[:, None]
                             >= jnp.arange(4)[None, :])
                 any_hit = jnp.any(hits & spans_ok, axis=-1)
@@ -330,7 +325,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                     jnp.broadcast_to(state.lm_ctx[:, None, :], (w, k, m_ctx)),
                     jnp.broadcast_to(state.lm_len[:, None], (w, k)),
                     jnp.broadcast_to(lm_tok[None, :], (w, k)),
-                    lm_unk_logp, lm_n_probes,
+                    lm_unk_logp,
                     lm_axis_name, lm_n_slots_global)            # (W, K)
                 lm_delta = lm_alpha * _LOG10_TO_LN * lm10
                 if delim_id is not None and lm_beta:
@@ -568,9 +563,9 @@ ctc_beam_search_device_jit = jax.jit(
     ctc_beam_search_device,
     static_argnames=("beam_width", "top_k", "blank_id", "unk_id", "max_len",
                      "lm_alpha", "lm_beta", "delim_id", "lm_bos_id",
-                     "lm_unk_logp", "lm_order", "lm_n_probes",
-                     "lm_axis_name", "lm_n_slots_global", "wv_n_probes",
-                     "hot_n_probes", "hot_weight", "return_state",
+                     "lm_unk_logp", "lm_order",
+                     "lm_axis_name", "lm_n_slots_global",
+                     "hot_weight", "return_state",
                      "scan_unroll"))
 
 

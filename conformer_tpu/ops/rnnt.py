@@ -188,9 +188,8 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                      lm_alpha: float = 0.0, lm_beta: float = 0.0,
                      delim_id: Optional[int] = None, lm_bos_id: int = -1,
                      lm_unk_logp: float = -99.0, lm_order: int = 0,
-                     lm_n_probes: int = 2,
-                     word_arrays=None, wv_n_probes: int = 2,
-                     hot_arrays=None, hot_n_probes: int = 2,
+                     word_arrays=None,
+                     hot_arrays=None,
                      hot_weight: float = 0.0,
                      start_frames: Optional[jnp.ndarray] = None,
                      init_beams=None, return_beams: bool = False,
@@ -257,13 +256,12 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
         and its LM id — same semantics as the CTC search
         (ops/beam_search_device.py:word_lm_delta)."""
         from conformer_tpu.lm.device_table import (_FNV_BASIS, _FNV_PRIME,
-                                                   lookup_pair,
+                                                   hotword_hit,
                                                    lookup_word_ids,
                                                    score_tokens)
 
-        wid = lookup_word_ids(word_arrays, wf1, wf2, wv_n_probes)
-        lm10 = score_tokens(lm_tables, ctx, cl, wid, lm_unk_logp,
-                            lm_n_probes)
+        wid = lookup_word_ids(word_arrays, wf1, wf2)
+        lm10 = score_tokens(lm_tables, ctx, cl, wid, lm_unk_logp)
         delta = lm_alpha * _LOG10_TO_LN * lm10 + lm_beta
         if hot_arrays is not None and hot_weight:
             basis = jnp.uint32(_FNV_BASIS)
@@ -277,7 +275,7 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                     fp2 = (fp2 ^ rw2[:, j]) * prime
                 fp1 = (fp1 ^ wf1) * prime
                 fp2 = (fp2 ^ wf2) * prime
-                hit = lookup_pair(hot_arrays, fp1, fp2, hot_n_probes) >= 0
+                hit = hotword_hit(hot_arrays, fp1, fp2)
                 any_hit = any_hit | (hit & (rcount >= span - 1))
             delta = delta + jnp.where(any_hit, hot_weight * _LOG10_TO_LN,
                                       0.0)
@@ -348,7 +346,7 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                         lm_tables,
                         jnp.broadcast_to(a_ctx[:, None, :], (w, kk, m_ctx)),
                         jnp.broadcast_to(a_cl[:, None], (w, kk)),
-                        lm_tok, lm_unk_logp, lm_n_probes)
+                        lm_tok, lm_unk_logp)
                     delta = lm_alpha * _LOG10_TO_LN * lm10
                     if delim_id is not None and lm_beta:
                         delta = delta + jnp.where(

@@ -272,8 +272,7 @@ class TestDeviceLMFusion:
                     tok2lm=jnp.asarray(tok2lm), lm_alpha=alpha, lm_beta=beta,
                     delim_id=tok.delim_id, lm_bos_id=int(table.bos_id),
                     lm_unk_logp=float(table.unk_logp),
-                    lm_order=int(table.order),
-                    lm_n_probes=int(table.n_probes))
+                    lm_order=int(table.order))
 
     def _frames(self, tok, text):
         ids = tok.encode(text)

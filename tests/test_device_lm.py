@@ -53,7 +53,7 @@ class TestDeviceTable:
 
         got = np.asarray(score_tokens(
             tables, jnp.asarray(ctx_arr), jnp.asarray(ctx_len),
-            jnp.asarray(toks), table.unk_logp, table.n_probes))
+            jnp.asarray(toks), table.unk_logp))
         for i, (ctx, tok) in enumerate(cases):
             want = py.score_id(list(ctx), tok)
             assert got[i] == pytest.approx(want, abs=1e-5), (ctx, tok)
@@ -74,7 +74,7 @@ class TestDeviceTable:
                 tables, jnp.asarray(ctx_arr),
                 jnp.full((len(vocab_ids),), len(ctx), jnp.int32),
                 jnp.asarray(vocab_ids, jnp.int32), table.unk_logp,
-                table.n_probes))
+                ))
             assert float((10.0 ** scores).sum()) == pytest.approx(1.0,
                                                                   abs=2e-3)
 
@@ -113,12 +113,12 @@ class TestShardedTable:
 
         want = np.asarray(st(tables, jnp.asarray(ctx_arr),
                              jnp.asarray(ctx_len), jnp.asarray(toks),
-                             table.unk_logp, table.n_probes))
+                             table.unk_logp))
 
         mesh = Mesh(np.array(jax.devices()), ("model",))
 
         def body(tabs, ctx, cl, tk):
-            return st(tabs, ctx, cl, tk, table.unk_logp, table.n_probes,
+            return st(tabs, ctx, cl, tk, table.unk_logp,
                       axis_name="model", n_slots_global=n_slots)
 
         table_spec = ((P(None, "model", None),)    # packed (order, S, 4)
@@ -151,8 +151,7 @@ class TestShardedTable:
                     for _ in range(v - 1)], jnp.int32)
         kw = dict(beam_width=6, top_k=4, lm_tables=tables, tok2lm=tok2lm,
                   lm_alpha=0.7, lm_beta=0.0, lm_bos_id=table.bos_id,
-                  lm_unk_logp=table.unk_logp, lm_order=table.order,
-                  lm_n_probes=table.n_probes)
+                  lm_unk_logp=table.unk_logp, lm_order=table.order)
 
         pre_w, pre_l, pre_s = ctc_beam_search_device(lp, lengths, **kw)
 
@@ -166,28 +165,40 @@ class TestShardedTable:
         np.testing.assert_array_equal(np.asarray(got_w), np.asarray(pre_w))
 
 
-class TestCuckooLayout:
-    """Builder-side hash-layout hardening (ADVICE r3)."""
+class TestBucketLayout:
+    """Builder-side hash-layout hardening (ADVICE r3, bucketized r4)."""
 
-    def test_degenerate_item_does_not_ping_pong(self):
-        # Item 0 has both choices equal (pinned to slot 5). Item 1 shares
-        # slot 5 as its first choice. The old eviction rule moved a pinned
-        # evictee "to its other choice" — the same slot — ping-ponging until
-        # the kick budget burned and forcing a table doubling. The layout
-        # below is satisfiable and must be found.
-        from conformer_tpu.lm.device_table import _cuckoo_layout
+    def test_overflowing_bucket_returns_none(self):
+        # More than _BUCKET entries in one bucket at this size -> None
+        # (caller doubles and retries).
+        from conformer_tpu.lm.device_table import _BUCKET, _bucket_layout
 
-        pos = _cuckoo_layout([(5, 5), (5, 9)])
-        assert pos == [5, 9]
-        # Symmetric order: the pinned item arrives second and evicts.
-        pos = _cuckoo_layout([(5, 9), (5, 5)])
-        assert pos is not None
-        assert pos[1] == 5 and pos[0] == 9
+        n_buckets = 8
+        same = [3 + i * n_buckets for i in range(_BUCKET + 1)]
+        assert _bucket_layout(same, n_buckets) is None
+        # At double the buckets the same hashes spread across two buckets.
+        assert _bucket_layout(same, n_buckets * 2) is not None
 
-    def test_two_degenerate_items_same_slot_unsatisfiable(self):
-        from conformer_tpu.lm.device_table import _cuckoo_layout
+    def test_pair_table_grows_past_crowded_buckets(self):
+        # Hashes crowd one bucket at the initial size but separate after
+        # doubling; every entry must round-trip through the device lookup.
+        import jax.numpy as jnp
 
-        assert _cuckoo_layout([(3, 3), (3, 3)]) is None
+        from conformer_tpu.lm.device_table import (_BUCKET,
+                                                   _build_pair_table,
+                                                   _pack_pair_table,
+                                                   lookup_pair)
+
+        n0 = 8 * _BUCKET          # initial guess -> 8 buckets
+        items = [(np.uint32(5 + i * 8), np.uint32(1000 + i), i)
+                 for i in range(_BUCKET + 4)]   # all in bucket 5 at size 8
+        keys1, keys2, ids, n_probes = _build_pair_table(items, n0)
+        assert n_probes == 1
+        packed = jnp.asarray(_pack_pair_table(keys1, keys2, ids))
+        h1 = jnp.asarray([h for h, _, _ in items])
+        h2 = jnp.asarray([h for _, h, _ in items])
+        got = np.asarray(lookup_pair(packed, h1, h2))
+        assert list(got) == [v for _, _, v in items]
 
     def test_pair_table_growth_is_capped(self):
         # Identical (h1, h2) pairs can never be separated by growth; the

@@ -50,12 +50,10 @@ def fused(tok, word_arpa):
 def word_kwargs(tok, table, wv, alpha=0.8, beta=1.5):
     return dict(lm_tables=table.device_arrays(),
                 word_arrays=wv.device_arrays(),
-                wv_n_probes=int(wv.n_probes),
                 lm_alpha=alpha, lm_beta=beta, delim_id=tok.delim_id,
                 lm_bos_id=int(table.bos_id),
                 lm_unk_logp=float(table.unk_logp),
-                lm_order=int(table.order),
-                lm_n_probes=int(table.n_probes))
+                lm_order=int(table.order))
 
 
 def peaked_frames(tok, text, noise=-9.0):
@@ -97,39 +95,35 @@ class TestRollingHash:
                  if w not in ("<s>", "</s>", "<unk>")]
         h1 = jnp.asarray([_poly_hash_np(w, _POLY1) for w, _ in words])
         h2 = jnp.asarray([_poly_hash_np(w, _POLY2) for w, _ in words])
-        got = np.asarray(lookup_word_ids(wv.device_arrays(), h1, h2,
-                                         wv.n_probes))
+        got = np.asarray(lookup_word_ids(wv.device_arrays(), h1, h2))
         assert list(got) == [i for _, i in words]
 
     def test_unknown_word_misses(self, fused):
         _, wv = fused
         h1 = jnp.asarray([_poly_hash_np("ZZZQ", _POLY1)])
         h2 = jnp.asarray([_poly_hash_np("ZZZQ", _POLY2)])
-        got = np.asarray(lookup_word_ids(wv.device_arrays(), h1, h2,
-                                         wv.n_probes))
+        got = np.asarray(lookup_word_ids(wv.device_arrays(), h1, h2))
         assert got[0] == -1
 
-    def test_big_vocab_forces_cuckoo(self, tok):
-        # Enough distinct words that collision-free direct placement is
-        # impossible at any tried size -> the pair table takes the cuckoo
-        # path (n_probes == 2); every word must still round-trip, and
-        # unknown words must miss (lm/device_table.py:_build_pair_table).
+    def test_big_vocab_round_trips(self, tok):
+        # Enough distinct words that buckets carry several entries each
+        # (single-hash bucketized layout, lm/device_table.py:
+        # _build_pair_table); every word must still round-trip, and
+        # unknown words must miss.
         rng = np.random.default_rng(7)
         letters = list("ABCDEGHIKLMNOPQRSTUVXY")
         spellings = {"".join(rng.choice(letters, 8)) for _ in range(4000)}
         words = {w: i for i, w in enumerate(sorted(spellings))}
         wv = DeviceWordVocab.build(tok.vocab, words)
-        assert wv.n_probes == 2
         items = sorted(words.items())
         h1 = jnp.asarray([_poly_hash_np(w, _POLY1) for w, _ in items])
         h2 = jnp.asarray([_poly_hash_np(w, _POLY2) for w, _ in items])
-        got = np.asarray(lookup_word_ids(wv.device_arrays(), h1, h2,
-                                         wv.n_probes))
+        got = np.asarray(lookup_word_ids(wv.device_arrays(), h1, h2))
         assert list(got) == [i for _, i in items]
         m1 = jnp.asarray([_poly_hash_np("ZZZZZZZZZ", _POLY1)])
         m2 = jnp.asarray([_poly_hash_np("ZZZZZZZZZ", _POLY2)])
         assert np.asarray(lookup_word_ids(wv.device_arrays(),
-                                          m1, m2, wv.n_probes))[0] == -1
+                                          m1, m2))[0] == -1
 
 
 class TestAgainstHostDecoder:
@@ -256,7 +250,6 @@ class TestDeviceHotwords:
         hot = DeviceHotwords.build(hotwords)
         return dict(word_kwargs(tok, table, wv, alpha, beta),
                     hot_arrays=hot.device_arrays(),
-                    hot_n_probes=int(hot.n_probes),
                     hot_weight=weight)
 
     def _host(self, tok, word_arpa, hotwords, weight=9.0,
@@ -339,7 +332,7 @@ class TestStreamingStateCarry:
         hot = DeviceHotwords.build(("XIN CHÀO",))
         kw = dict(word_kwargs(tok, table, wv, alpha=1.1, beta=2.0),
                   hot_arrays=hot.device_arrays(),
-                  hot_n_probes=int(hot.n_probes), hot_weight=3.0,
+                  hot_weight=3.0,
                   beam_width=16, top_k=8, unk_id=tok.unk_id, max_len=48)
         rng = np.random.default_rng(3)
         lp = peaked_frames(tok, "xin chào bạn", noise=-6.0)

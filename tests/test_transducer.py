@@ -554,8 +554,7 @@ class TestRnntBeamLmFusion:
             beam_width=64, top_k=3, max_symbols=max_u, max_len=max_u,
             lm_tables=table.device_arrays(), tok2lm=jnp.asarray(tok2lm),
             lm_alpha=alpha, lm_bos_id=int(table.bos_id),
-            lm_unk_logp=float(table.unk_logp), lm_order=int(table.order),
-            lm_n_probes=int(table.n_probes))
+            lm_unk_logp=float(table.unk_logp), lm_order=int(table.order))
         got_y = list(np.asarray(bufs[0, 0][: int(counts[0, 0])]))
         assert got_y == best_y, (got_y, best_y)
         np.testing.assert_allclose(float(scores[0, 0]), best,
@@ -589,8 +588,7 @@ class TestRnntBeamLmFusion:
             beam_width=8, top_k=3, max_symbols=max_u, max_len=max_u,
             lm_tables=table.device_arrays(), tok2lm=jnp.asarray(tok2lm),
             lm_alpha=0.0, lm_bos_id=int(table.bos_id),
-            lm_unk_logp=float(table.unk_logp), lm_order=int(table.order),
-            lm_n_probes=int(table.n_probes))
+            lm_unk_logp=float(table.unk_logp), lm_order=int(table.order))
         np.testing.assert_allclose(np.asarray(base[2]), np.asarray(fused[2]),
                                    rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(base[0]),
@@ -721,15 +719,13 @@ class TestRnntWordLmFusion:
 
         kw = dict(lm_tables=table.device_arrays(),
                   word_arrays=wv.device_arrays(),
-                  wv_n_probes=int(wv.n_probes),
                   lm_alpha=alpha, lm_beta=beta, delim_id=4,
                   lm_bos_id=int(table.bos_id),
                   lm_unk_logp=float(table.unk_logp),
-                  lm_order=int(table.order),
-                  lm_n_probes=int(table.n_probes))
+                  lm_order=int(table.order))
         if hot is not None:
             kw.update(hot_arrays=hot.device_arrays(),
-                      hot_n_probes=int(hot.n_probes), hot_weight=weight)
+                      hot_weight=weight)
         bufs, counts, scores = rnnt_beam_search(
             joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
             beam_width=128, top_k=4, max_symbols=max_u, max_len=max_u, **kw)
@@ -751,11 +747,10 @@ class TestRnntWordLmFusion:
             joint_fn, enc, jnp.asarray([t]), pred_step_fn, pred_init,
             beam_width=32, top_k=4, max_symbols=3, max_len=3,
             lm_tables=table.device_arrays(),
-            word_arrays=wv.device_arrays(), wv_n_probes=int(wv.n_probes),
+            word_arrays=wv.device_arrays(),
             lm_alpha=1.0, lm_beta=3.0, delim_id=4,
             lm_bos_id=int(table.bos_id),
-            lm_unk_logp=float(table.unk_logp), lm_order=int(table.order),
-            lm_n_probes=int(table.n_probes))
+            lm_unk_logp=float(table.unk_logp), lm_order=int(table.order))
         for r in range(32):
             if float(scores[0, r]) < -1e29:
                 continue

@@ -124,7 +124,7 @@ def main():
     time_loop("flat1", lambda ix: tab1[ix], n)
     time_loop("flat2", lambda ix: tab1[ix] ^ tab1b[ix], 2 * n)
     tabs = {}
-    for w in (2, 4, 8):
+    for w in (2, 4, 8, 16, 32):
         tabs[w] = jnp.asarray(
             rng.integers(0, 2**32, size=(s, w), dtype=np.uint64)
             .astype(np.uint32))
