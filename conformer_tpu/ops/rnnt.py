@@ -23,7 +23,7 @@ logit lattice reduced here, which is the classic RNN-T memory trap.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -179,6 +179,44 @@ _M2 = np.uint32(2654435761)
 _LOG10_TO_LN = 2.302585092994046
 
 
+# The 14+m_ctx small per-hypothesis columns live PACKED in one (W, C)
+# int32 matrix inside the frame loop (same scheme as the CTC search's
+# _pack_cols): the blank-merge and emission selections then propagate them
+# with ONE row gather each instead of ~11 separate leaf gathers — in-loop
+# gather DESCRIPTORS are the decode-time currency (~7 ns each, see
+# ops/beam_search_device.py). score/buf/pred-state stay separate: score
+# does f32 sort arithmetic, buf is its own row gather, and the prediction
+# state tree keeps the dtypes/shapes pred_step_fn expects.
+def _rn_pack(cnt, cl, wn, rc, h1, h2, wf1, wf2, rw1, rw2, ctx):
+    u2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.concatenate([
+        cnt[:, None], cl[:, None], wn[:, None], rc[:, None],
+        u2i(h1)[:, None], u2i(h2)[:, None], u2i(wf1)[:, None],
+        u2i(wf2)[:, None], u2i(rw1), u2i(rw2), ctx], axis=1)
+
+
+class _Rn(NamedTuple):
+    cnt: jnp.ndarray
+    cl: jnp.ndarray
+    wn: jnp.ndarray
+    rc: jnp.ndarray
+    h1: jnp.ndarray
+    h2: jnp.ndarray
+    wf1: jnp.ndarray
+    wf2: jnp.ndarray
+    rw1: jnp.ndarray
+    rw2: jnp.ndarray
+    ctx: jnp.ndarray
+
+
+def _rn_unpack(sm, m_ctx):
+    i2u = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return _Rn(cnt=sm[:, 0], cl=sm[:, 1], wn=sm[:, 2], rc=sm[:, 3],
+               h1=i2u(sm[:, 4]), h2=i2u(sm[:, 5]), wf1=i2u(sm[:, 6]),
+               wf2=i2u(sm[:, 7]), rw1=i2u(sm[:, 8:11]),
+               rw2=i2u(sm[:, 11:14]), ctx=sm[:, 14:])
+
+
 def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                      pred_step_fn, pred_init, beam_width: int = 8,
                      top_k: int = 4, max_symbols: int = 4,
@@ -310,6 +348,19 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                 jnp.zeros((w,), jnp.int32),             # rcount
                 state, pred)
 
+        def _to_internal(tup):
+            (sc, buf, cnt, h1, h2, ctx, cl, wf1, wf2,
+             wn, rw1, rw2, rc, st, pr) = tup
+            return (sc, buf,
+                    _rn_pack(cnt, cl, wn, rc, h1, h2, wf1, wf2, rw1, rw2,
+                             ctx), st, pr)
+
+        def _to_external(intr):
+            sc, buf, sm, st, pr = intr
+            c = _rn_unpack(sm, m_ctx)
+            return (sc, buf, c.cnt, c.h1, c.h2, c.ctx, c.cl, c.wf1, c.wf2,
+                    c.wn, c.rw1, c.rw2, c.rc, st, pr)
+
         def frame_step(carry, inputs):
             enc_t, ti = inputs
             active_frame = (ti >= start) & (ti < n)
@@ -319,15 +370,16 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
             fin = (jnp.full((w,), NEG),) + carry[1:]
 
             for s in range(max_symbols + 1):
-                (a_sc, a_buf, a_cnt, a_h1, a_h2, a_ctx, a_cl, a_wf1, a_wf2,
-                 a_wn, a_rw1, a_rw2, a_rc, a_st, a_pr) = act
+                a_sc, a_buf, a_sm, a_st, a_pr = act
+                a = _rn_unpack(a_sm, m_ctx)
                 logits = joint_fn(
                     jnp.broadcast_to(enc_t, (w, enc_t.shape[-1])), a_pr)
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
 
                 # -- blank extensions retire into the finished pool.
                 cat = _tree_concat(fin, (a_sc + logp[:, blank_id],) + act[1:])
-                sel, msc = _merge_topk(cat[0], cat[3], cat[4], cat[2], w)
+                c = _rn_unpack(cat[2], m_ctx)
+                sel, msc = _merge_topk(cat[0], c.h1, c.h2, None, w)
                 fin = (msc,) + _tree_gather(cat[1:], sel)
                 if s == max_symbols:
                     break
@@ -344,8 +396,8 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                     lm_tok = tok2lm[cand_tok]                   # (W, KK)
                     lm10 = score_tokens(
                         lm_tables,
-                        jnp.broadcast_to(a_ctx[:, None, :], (w, kk, m_ctx)),
-                        jnp.broadcast_to(a_cl[:, None], (w, kk)),
+                        jnp.broadcast_to(a.ctx[:, None, :], (w, kk, m_ctx)),
+                        jnp.broadcast_to(a.cl[:, None], (w, kk)),
                         lm_tok, lm_unk_logp)
                     delta = lm_alpha * _LOG10_TO_LN * lm10
                     if delim_id is not None and lm_beta:
@@ -355,40 +407,44 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                 wid_done = None
                 if word_mode:
                     w_delta, wid_done = word_delta_fn(
-                        a_ctx, a_cl, a_wf1, a_wf2, a_rw1, a_rw2, a_rc)
+                        a.ctx, a.cl, a.wf1, a.wf2, a.rw1, a.rw2, a.rc)
                     is_delim_cand = cand_tok == delim_id
                     e_sc = e_sc + jnp.where(
-                        is_delim_cand & (a_wn[:, None] > 0),
+                        is_delim_cand & (a.wn[:, None] > 0),
                         w_delta[:, None], 0.0)
                     # Suppress empty-word delimiters (leading / repeated).
-                    e_sc = jnp.where(is_delim_cand & (a_wn[:, None] == 0),
+                    e_sc = jnp.where(is_delim_cand & (a.wn[:, None] == 0),
                                      NEG, e_sc)
-                e_sc = jnp.where(a_cnt[:, None] >= u, NEG, e_sc)
-                parent = jnp.repeat(jnp.arange(w), kk)
+                e_sc = jnp.where(a.cnt[:, None] >= u, NEG, e_sc)
                 tok = cand_tok.reshape(-1)
                 e_sc = e_sc.reshape(-1)
                 tu = tok.astype(jnp.uint32) + 1
                 # jnp.repeat(x, kk) = broadcast+reshape on the vector path;
                 # x[parent] lowered to an in-loop serializing gather (see
                 # ops/beam_search_device.py on descriptor cost).
-                e_h1 = jnp.repeat(a_h1, kk) * _M1 + tu
-                e_h2 = jnp.repeat(a_h2, kk) * _M2 + tu
+                e_h1 = jnp.repeat(a.h1, kk) * _M1 + tu
+                e_h2 = jnp.repeat(a.h2, kk) * _M2 + tu
                 # Emission pools cannot contain duplicate sequences (see
                 # _select_topk) — skip the sort-merge entirely.
                 sel, msc = _select_topk(e_sc, w)
-                p, tk = parent[sel], tok[sel]
+                # Candidate i is extension (i % kk) of parent (i // kk) —
+                # index arithmetic, not a gather.
+                p = sel // kk
+                tk = tok[sel]
+                # ONE row gather propagates every packed parent column.
+                pa = _rn_unpack(a_sm[p], m_ctx)
                 new_buf = jnp.where(
-                    jnp.arange(u)[None, :] == a_cnt[p][:, None],
+                    jnp.arange(u)[None, :] == pa.cnt[:, None],
                     tk[:, None], a_buf[p])
                 new_st, new_pr = pred_step_fn(_tree_gather(a_st, p), tk)
-                n_wf1, n_wf2, n_wn = a_wf1[p], a_wf2[p], a_wn[p]
-                n_rw1, n_rw2, n_rc = a_rw1[p], a_rw2[p], a_rc[p]
+                n_wf1, n_wf2, n_wn = pa.wf1, pa.wf2, pa.wn
+                n_rw1, n_rw2, n_rc = pa.rw1, pa.rw2, pa.rc
                 if use_lm:
                     shifted = jnp.concatenate(
-                        [a_ctx[p][:, 1:],
+                        [pa.ctx[:, 1:],
                          tok2lm[tk][:, None].astype(jnp.int32)], 1)
                     new_ctx = shifted
-                    new_cl = jnp.minimum(a_cl[p] + 1, m_ctx)
+                    new_cl = jnp.minimum(pa.cl + 1, m_ctx)
                 elif word_mode:
                     # Selected delimiters always complete a word (empty-word
                     # delimiters were suppressed above).
@@ -414,15 +470,18 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                     new_ctx = jnp.where(
                         is_d[:, None],
                         jnp.concatenate(
-                            [a_ctx[p][:, 1:], wid_done[p][:, None]], 1),
-                        a_ctx[p])
+                            [pa.ctx[:, 1:], wid_done[p][:, None]], 1),
+                        pa.ctx)
                     new_cl = jnp.where(
-                        is_d, jnp.minimum(a_cl[p] + 1, m_ctx), a_cl[p])
+                        is_d, jnp.minimum(pa.cl + 1, m_ctx), pa.cl)
                 else:
-                    new_ctx, new_cl = a_ctx[p], a_cl[p]
-                act = (msc, new_buf, a_cnt[p] + 1, e_h1[sel], e_h2[sel],
-                       new_ctx, new_cl, n_wf1, n_wf2, n_wn,
-                       n_rw1, n_rw2, n_rc, new_st, new_pr)
+                    new_ctx, new_cl = pa.ctx, pa.cl
+                act = (msc, new_buf,
+                       _rn_pack(cnt=pa.cnt + 1, cl=new_cl, wn=n_wn,
+                                rc=n_rc, h1=e_h1[sel], h2=e_h2[sel],
+                                wf1=n_wf1, wf2=n_wf2, rw1=n_rw1,
+                                rw2=n_rw2, ctx=new_ctx),
+                       new_st, new_pr)
 
             return jax.tree_util.tree_map(
                 lambda nv, ov: jnp.where(active_frame, nv, ov), fin,
@@ -430,10 +489,11 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
 
         # The frame body already runs max_symbols+1 expansion rounds of
         # small ops; a modest unroll amortizes per-op dispatch further.
-        final, _ = jax.lax.scan(
-            frame_step, init,
+        final_int, _ = jax.lax.scan(
+            frame_step, _to_internal(init),
             (enc_1, jnp.arange(t, dtype=jnp.int32)),
             unroll=min(scan_unroll, max(t, 1)))
+        final = _to_external(final_int)
         score, buf, cnt = final[0], final[1], final[2]
         if word_mode:
             # Score the trailing partial word into the ranking (CTC-host
