@@ -58,20 +58,24 @@ def _gather_pairs_across_hosts(refs: List[str], hyps: List[str]
 def resolve_beam_backend(n_devices: Optional[int] = None, mesh=None) -> str:
     """Pick the beam-search backend for decode='beam_auto'.
 
-    Measured tradeoff (docs/PERFORMANCE.md): the threaded host C++ prefix
-    beam is ~6x faster at the reference operating point (width 190 + word
-    LM) for offline batch decode on ONE chip — sparse dict beams + pruning
-    beat dense static-shape beams. The on-device search wins whenever the
-    logits are sharded or should never leave the chip: under an active mesh
-    (GSPMD TP/DP decode, LM tables sharded over the model axis) or on a
-    multi-chip attach, fetching (B, T, V) log-probs to the host serializes
-    the pipeline.
+    Measured tradeoff (docs/PERFORMANCE.md, re-measured every round): as of
+    round 4 the on-device search wins everywhere an accelerator is present —
+    0.000849 vs 0.002435 RTF same-session at the reference operating point
+    (width 190 + word 5-gram LM, batch 56, one XLA program; the r3-r4 probe
+    narrowing, single-probe bucketized LM tables and gather-free survivor
+    selection flipped the round-2 6x host advantage into a 2.9x device win).
+    It is also the only correct choice when logits are sharded (GSPMD TP/DP
+    decode) or on multi-chip, where fetching (B, T, V) log-probs to the host
+    serializes the pipeline. The threaded host C++ prefix beam remains the
+    backend for CPU-only deployments, where the dense static-shape device
+    beam has no accelerator to run on.
     """
     if mesh is None:
         mesh = jax.sharding.get_abstract_mesh()
     mesh_active = mesh is not None and not getattr(mesh, "empty", True)
     n = len(jax.devices()) if n_devices is None else n_devices
-    return "beam_device" if (mesh_active or n > 1) else "beam"
+    on_accel = jax.default_backend() != "cpu"
+    return "beam_device" if (mesh_active or n > 1 or on_accel) else "beam"
 
 
 def _device_lm_kwargs(cfg: Config, tokenizer: GraphemeTokenizer,

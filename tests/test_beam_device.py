@@ -329,11 +329,14 @@ class TestDeviceLMFusion:
 
 class TestBeamBackendAuto:
     """decode='beam_auto' policy (decode/pipeline.py:resolve_beam_backend):
-    host C++ beam for offline single-chip batch decode (~6x faster at the
-    reference op point), device beam under an active mesh or multi-chip."""
+    device beam whenever an accelerator is present (2.9x faster than the
+    host C++ beam at the reference op point since the r4 single-probe LM
+    tables), under an active mesh, or multi-chip; host C++ beam only for
+    CPU-only deployments (these tests run under the CPU conftest)."""
 
-    def test_single_device_picks_host(self):
+    def test_single_cpu_device_picks_host(self):
         from conformer_tpu.decode.pipeline import resolve_beam_backend
+        assert jax.default_backend() == "cpu"
         assert resolve_beam_backend(n_devices=1) == "beam"
 
     def test_multi_chip_picks_device(self):
