@@ -339,6 +339,11 @@ class TestBeamBackendAuto:
         assert jax.default_backend() == "cpu"
         assert resolve_beam_backend(n_devices=1) == "beam"
 
+    def test_accelerator_picks_device(self, monkeypatch):
+        from conformer_tpu.decode.pipeline import resolve_beam_backend
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert resolve_beam_backend(n_devices=1) == "beam_device"
+
     def test_multi_chip_picks_device(self):
         from conformer_tpu.decode.pipeline import resolve_beam_backend
         assert resolve_beam_backend(n_devices=8) == "beam_device"
