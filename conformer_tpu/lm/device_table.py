@@ -8,12 +8,18 @@ open-addressing hash tables stored as plain device arrays, plus a pure-jnp
 backoff scorer that is exact with respect to the ARPA (verified against the
 Python scorer in tests/test_device_lm.py).
 
-Layout: one BUCKET pool per n-gram order. A bucket is a PACKED row of
-``_BUCKET`` entries x four uint32 lanes — (key: fingerprint of the id
-sequence, logp: f32 bits, backoff: f32 bits, pad) — and a lookup gathers
-exactly ONE bucket row (``bucket = fp & mask``, single hash) and compares
-the ``_BUCKET`` keys in-vector — no data-dependent control flow, so the
-beam search can score (B, W, K) candidates in one fused op.
+Layout: one BUCKET pool per n-gram order. A bucket is a PACKED 32-lane row
+of ``_BUCKET`` entries laid out PLANE-MAJOR — lanes [0:8) the entry keys
+(fingerprints of the id sequence), [8:16) logp f32 bits, [16:24) backoff
+f32 bits, [24:32) pad — and a lookup gathers exactly ONE bucket row
+(``bucket = fp & mask``, single hash) and compares the ``_BUCKET`` keys
+in-vector — no data-dependent control flow, so the beam search can score
+(B, W, K) candidates in one fused op. Plane-major matters: every consumer
+slices CONTIGUOUS lane ranges of the gathered (..., 32) rows (g[..., 0:8]
+== fp), which XLA fuses straight into the gather consumer; the previous
+entry-major (key, logp, backoff, pad)x8 interleave forced a 5-D reshape
+whose materialized lane shuffle cost MORE than the gather itself
+(0.39 vs 0.36 ms/frame at the w190/b56 op point, r4 xplane trace).
 
 Why this shape: gather DESCRIPTORS are the decode-time currency. Inside the
 decode frame loop, TPU dynamic gathers serialize at ~7 ns per gathered
@@ -184,19 +190,23 @@ class DeviceNgramTable:
         """(packed (order, n_buckets, _BUCKET*4) u32[, uni_logps,
         uni_backoffs]).
 
-        A bucket row holds _BUCKET entries of four lanes each — (key, logp
-        bits, backoff bits, pad). ONE row gather per query fetches the
-        whole bucket; the _BUCKET key compares ride the vector path.
-        Descriptors are the in-loop decode-time currency (~7 ns each,
-        width-independent; see module docstring)."""
+        A bucket row holds _BUCKET entries PLANE-MAJOR — keys in lanes
+        [0:8), logp bits [8:16), backoff bits [16:24), pad [24:32). ONE
+        row gather per query fetches the whole bucket; the _BUCKET key
+        compares ride the vector path on contiguous lane slices (no
+        reshape — see module docstring). Descriptors are the in-loop
+        decode-time currency (~7 ns each, width-independent)."""
         import jax.numpy as jnp
 
-        packed = np.zeros(self.keys.shape + (_LANES,), np.uint32)
-        packed[..., 0] = self.keys
-        packed[..., 1] = self.logps.view(np.uint32)
-        packed[..., 2] = self.backoffs.view(np.uint32)
-        packed = packed.reshape(self.keys.shape[0], self.n_slots,
-                                _BUCKET * _LANES)
+        def planes(a):
+            return a.reshape(a.shape[0], self.n_slots, _BUCKET)
+
+        packed = np.concatenate([
+            planes(self.keys),
+            planes(self.logps.view(np.uint32)),
+            planes(self.backoffs.view(np.uint32)),
+            np.zeros((self.keys.shape[0], self.n_slots, _BUCKET),
+                     np.uint32)], axis=-1)
         out = (jnp.asarray(packed),)
         if self.uni_logps is not None:
             out = out + (jnp.asarray(self.uni_logps),
@@ -238,14 +248,16 @@ def _build_pair_table(items, n_slots: int):
 
 
 def _pack_pair_table(keys1, keys2, ids) -> np.ndarray:
-    """(n_buckets, _BUCKET*4) uint32 bucket rows of (key1, key2, id bits,
-    pad) entries: one row gather per query replaces per-slot key/id
-    gathers. id -1 (empty) round-trips through the uint32 view."""
-    packed = np.zeros((keys1.shape[0], _LANES), np.uint32)
-    packed[:, 0] = keys1
-    packed[:, 1] = keys2
-    packed[:, 2] = ids.view(np.uint32)
-    return packed.reshape(-1, _BUCKET * _LANES)
+    """(n_buckets, _BUCKET*4) uint32 PLANE-MAJOR bucket rows — key1 in
+    lanes [0:8), key2 [8:16), id bits [16:24), pad [24:32): one row gather
+    per query, contiguous-lane compares (no reshape). id -1 (empty)
+    round-trips through the uint32 view."""
+    n_buckets = keys1.shape[0] // _BUCKET
+    def planes(a):
+        return a.reshape(n_buckets, _BUCKET)
+    return np.concatenate([
+        planes(keys1), planes(keys2), planes(ids.view(np.uint32)),
+        np.zeros((n_buckets, _BUCKET), np.uint32)], axis=-1)
 
 
 # Polynomial rolling hash over unicode code points: H(s) = sum ord(s_i) *
@@ -420,11 +432,12 @@ def hotword_hit(hot_arrays, h1, h2):
 def lookup_pair(packed, h1, h2):
     """Lookup keyed by (h1, h2) 32-bit pairs -> int value (-1 = miss).
 
-    packed: (n_buckets, _BUCKET*4) uint32 bucket rows of (key1, key2, id
-    bits, pad) entries from _pack_pair_table; entries with id < 0 are
-    empty; both keys must match. Bucket = h1 & mask (single hash): ONE
-    gathered bucket row per query — gather DESCRIPTORS are the in-loop
-    decode-time currency — with the _BUCKET candidate compares in-vector.
+    packed: (n_buckets, _BUCKET*4) uint32 PLANE-MAJOR bucket rows (key1 /
+    key2 / id-bits / pad planes of _BUCKET lanes each) from
+    _pack_pair_table; entries with id < 0 are empty; both keys must match.
+    Bucket = h1 & mask (single hash): ONE gathered bucket row per query —
+    gather DESCRIPTORS are the in-loop decode-time currency — with the
+    _BUCKET candidate compares on contiguous lane slices, no reshape.
 
     Exactness: the builder dedupes by (h1, h2), so at most one entry hits
     and the masked sum equals the hit value."""
@@ -433,10 +446,10 @@ def lookup_pair(packed, h1, h2):
 
     mask = np.uint32(packed.shape[0] - 1)
     g = packed[h1 & mask]                               # (..., _BUCKET*4)
-    g = g.reshape(g.shape[:-1] + (_BUCKET, _LANES))     # (..., _BUCKET, 4)
-    idv = jax.lax.bitcast_convert_type(g[..., 2], jnp.int32)
-    hit = ((g[..., 0] == h1[..., None])
-           & (g[..., 1] == h2[..., None]) & (idv >= 0))
+    idv = jax.lax.bitcast_convert_type(
+        g[..., 2 * _BUCKET:3 * _BUCKET], jnp.int32)
+    hit = ((g[..., 0:_BUCKET] == h1[..., None])
+           & (g[..., _BUCKET:2 * _BUCKET] == h2[..., None]) & (idv >= 0))
     found = hit.any(-1)
     val = jnp.where(hit, idv, 0).sum(-1)
     return jnp.where(found, val, -1)
@@ -514,11 +527,12 @@ def _probe_rows(packed, fps, rows,
         bucket = fps & mask                                 # (..., G)
         flat = (rows_u * np.uint32(s_row) + bucket).astype(jnp.int32)
         g = packed.reshape(-1, lane)[flat]                  # (..., G, B*4)
-        g = g.reshape(g.shape[:-1] + (_BUCKET, _LANES))     # (..., G, B, 4)
-        hit = g[..., 0] == fps[..., None]                   # (..., G, B)
+        hit = g[..., 0:_BUCKET] == fps[..., None]           # (..., G, B)
         found = hit.any(-1)
-        lp = jax.lax.bitcast_convert_type(g[..., 1], jnp.float32)
-        bo = jax.lax.bitcast_convert_type(g[..., 2], jnp.float32)
+        lp = jax.lax.bitcast_convert_type(
+            g[..., _BUCKET:2 * _BUCKET], jnp.float32)
+        bo = jax.lax.bitcast_convert_type(
+            g[..., 2 * _BUCKET:3 * _BUCKET], jnp.float32)
         return (found, jnp.where(hit, lp, 0.0).sum(-1),
                 jnp.where(hit, bo, 0.0).sum(-1))
 
@@ -532,11 +546,12 @@ def _probe_rows(packed, fps, rows,
     li = jnp.where(in_rng, local, np.uint32(0))
     flat = (rows_u * np.uint32(s_local) + li).astype(jnp.int32)
     g = packed.reshape(-1, lane)[flat]                      # (..., G, B*4)
-    g = g.reshape(g.shape[:-1] + (_BUCKET, _LANES))
-    hit = in_rng[..., None] & (g[..., 0] == fps[..., None])
+    hit = in_rng[..., None] & (g[..., 0:_BUCKET] == fps[..., None])
     found = hit.any(-1)
-    lp = jax.lax.bitcast_convert_type(g[..., 1], jnp.float32)
-    bo = jax.lax.bitcast_convert_type(g[..., 2], jnp.float32)
+    lp = jax.lax.bitcast_convert_type(
+        g[..., _BUCKET:2 * _BUCKET], jnp.float32)
+    bo = jax.lax.bitcast_convert_type(
+        g[..., 2 * _BUCKET:3 * _BUCKET], jnp.float32)
     found = jax.lax.psum(found.astype(jnp.int32), axis_name) > 0
     lp_out = jax.lax.psum(jnp.where(hit, lp, 0.0).sum(-1), axis_name)
     bo_out = jax.lax.psum(jnp.where(hit, bo, 0.0).sum(-1), axis_name)

@@ -430,7 +430,17 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                                 cand_tok[None, :], 0).sum(-1)
             tok = jnp.where(is_ext, tok_ext, -1)
             # ONE row gather propagates every parent-indexed column.
-            par = _unpack_cols(S[parent], None, None, None, None, m_ctx)
+            # wid_done rides along as a temporary extra column (r4 trace:
+            # the separate wid_done[parent] gather was its own ~0.1
+            # ms/frame serializing descriptor set; a row gather's cost is
+            # per DESCRIPTOR, so one more column is free).
+            if word_mode:
+                rows = jnp.concatenate([S, wid_done[:, None]], axis=1)[parent]
+                par = _unpack_cols(rows[:, :-1], None, None, None, None,
+                                   m_ctx)
+                wid_par = rows[:, -1]
+            else:
+                par = _unpack_cols(S[parent], None, None, None, None, m_ctx)
             new_wf1, new_wf2 = par.wf1, par.wf2
             new_wn = par.wn
             new_rw1, new_rw2 = par.rw1, par.rw2
@@ -463,7 +473,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 # Word completed: shift its LM id into the word context.
                 completed = is_delim & (par.wn > 0)
                 shifted = jnp.concatenate(
-                    [par.lm_ctx[:, 1:], wid_done[parent][:, None]], 1)
+                    [par.lm_ctx[:, 1:], wid_par[:, None]], 1)
                 new_ctx = jnp.where(completed[:, None], shifted, par.lm_ctx)
                 new_len = jnp.where(
                     completed, jnp.minimum(par.lm_len + 1, m_ctx),
