@@ -570,7 +570,8 @@ def _probe_rows(packed, fps, rows,
 
 
 def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
-                 axis_name=None, n_slots_global: int = 0):
+                 axis_name=None, n_slots_global: int = 0,
+                 dense_pre=None):
     """Exact ARPA backoff score, vectorized.
 
     tables: (packed (order, n_buckets, _BUCKET*4)[, uni_logps,
@@ -582,6 +583,13 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
 
     Returns log10 P(tok | ctx) following the standard backoff recursion
     (reference semantics: native/ngram_lm.cpp Scorer::score).
+
+    ``dense_pre``: optional (uni_logp_tok, uni_bo_last) precomputed by the
+    caller — uni_logps gathered at tok (junk where tok is OOV; gated here
+    by the found flag) and uni_backoffs at ctx[-1] ALREADY ZEROED for an
+    invalid last id (the beam search carries it across frames, set at word
+    completion from the same (V, 2) row gather that fetched the word's
+    logp — one in-loop descriptor set instead of two).
     """
     import jax.numpy as jnp
 
@@ -635,14 +643,20 @@ def score_tokens(tables, ctx, ctx_len, tok, unk_logp: float,
         v_lm = uni_logps.shape[0]
         tok_ok = (tok >= 0) & (tok < v_lm)
         found_list.append(tok_ok)      # usable: ctx_len >= 0 always holds
-        logp_list.append(uni_logps[jnp.clip(tok, 0, v_lm - 1)])
+        if dense_pre is not None:
+            logp_list.append(dense_pre[0])
+        else:
+            logp_list.append(uni_logps[jnp.clip(tok, 0, v_lm - 1)])
         usable_list.append(jnp.ones_like(tok_ok))
         if m_ctx >= 1:
             # Length-1 context backoff: dense by the context's last id.
-            last = ctx[..., -1]
-            ok = (ctx_len >= 1) & (last >= 0) & (last < v_lm)
-            bo_list.append(jnp.where(
-                ok, uni_backoffs[jnp.clip(last, 0, v_lm - 1)], 0.0))
+            if dense_pre is not None:
+                bo_list.append(jnp.where(ctx_len >= 1, dense_pre[1], 0.0))
+            else:
+                last = ctx[..., -1]
+                ok = (ctx_len >= 1) & (last >= 0) & (last < v_lm)
+                bo_list.append(jnp.where(
+                    ok, uni_backoffs[jnp.clip(last, 0, v_lm - 1)], 0.0))
 
     # Sequential backoff emulation: first found level (longest) wins; the
     # accumulated backoff is the sum of bo over levels longer than it.

@@ -98,6 +98,12 @@ class _Carry(NamedTuple):
     rw1: jnp.ndarray
     rw2: jnp.ndarray
     rcount: jnp.ndarray
+    # Word-mode dense-unigram cache: uni_backoff(lm_ctx[-1]), 0.0 when the
+    # context is empty/OOV. Set at word completion from the SAME (V, 2)
+    # unigram row gather that fetches the completed word's logp, so the
+    # per-frame uni_backoffs[ctx[-1]] gather (its own ~0.08 ms/frame
+    # descriptor set at w190/b56, r4 trace) disappears.
+    bo1: jnp.ndarray        # (W,) f32
 
 
 # The 13+m_ctx parent-indexed per-beam columns live PACKED in one (W, C)
@@ -107,21 +113,24 @@ class _Carry(NamedTuple):
 # static lane slices. h1/h2/p_b/p_nb stay separate — they come from the
 # co-sorted candidate arrays, not from a parent gather, and p_b/p_nb do
 # f32 arithmetic every frame.
-def _pack_cols(plen, last, lm_len, wn, rcount, wf1, wf2, rw1, rw2, lm_ctx):
+def _pack_cols(plen, last, lm_len, wn, rcount, wf1, wf2, rw1, rw2, lm_ctx,
+               bo1):
     u2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     return jnp.concatenate([
         plen[:, None], last[:, None], lm_len[:, None], wn[:, None],
         rcount[:, None], u2i(wf1)[:, None], u2i(wf2)[:, None],
-        u2i(rw1), u2i(rw2), lm_ctx], axis=1)
+        u2i(rw1), u2i(rw2), f2i(bo1)[:, None], lm_ctx], axis=1)
 
 
 def _unpack_cols(S, h1, h2, p_b, p_nb, m_ctx):
     i2u = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    i2f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
     return _Carry(plen=S[:, 0], last=S[:, 1], h1=h1, h2=h2, p_b=p_b,
-                  p_nb=p_nb, lm_ctx=S[:, 13:13 + m_ctx], lm_len=S[:, 2],
+                  p_nb=p_nb, lm_ctx=S[:, 14:14 + m_ctx], lm_len=S[:, 2],
                   wn=S[:, 3], rcount=S[:, 4], wf1=i2u(S[:, 5]),
                   wf2=i2u(S[:, 6]), rw1=i2u(S[:, 7:10]),
-                  rw2=i2u(S[:, 10:13]))
+                  rw2=i2u(S[:, 10:13]), bo1=i2f(S[:, 13]))
 
 
 def _logaddexp(a, b):
@@ -231,10 +240,15 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
         if carry_in is not None:
             init = carry_in
 
-        def word_lm_delta(state: BeamState):
+        def word_lm_delta(state, bo_last=None):
             """Per-beam (W,) LM + hotword contribution of completing the
-            current partial word, and the completed word's LM id (-1 =
-            OOV) — host semantics: decode/beam_search.py:_word_bonus."""
+            current partial word, the completed word's LM id (-1 = OOV),
+            and its dense unigram backoff (the next frame's bo1 cache) —
+            host semantics: decode/beam_search.py:_word_bonus.
+
+            ``bo_last``: precomputed uni_backoff(lm_ctx[-1]) (the _Carry
+            bo1 cache inside the scan; None recomputes it — the finalize
+            path, where one extra gather is off the frame loop)."""
             from conformer_tpu.lm.device_table import (_FNV_BASIS,
                                                        _FNV_PRIME,
                                                        hotword_hit,
@@ -242,9 +256,29 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                                                        score_tokens)
 
             wid = lookup_word_ids(word_arrays, state.wf1, state.wf2)
+            dense = len(lm_tables) >= 3
+            bo_tok = jnp.zeros(wid.shape, jnp.float32)
+            dense_pre = None
+            if dense:
+                uni_logps, uni_backoffs = lm_tables[1], lm_tables[2]
+                v_lm = uni_logps.shape[0]
+                # ONE (V, 2) row gather serves both the completed word's
+                # unigram logp (scored now) and its backoff (cached as the
+                # next context's bo1).
+                uni2 = jnp.stack([uni_logps, uni_backoffs], -1)
+                row = uni2[jnp.clip(wid, 0, v_lm - 1)]
+                wid_ok = (wid >= 0) & (wid < v_lm)
+                bo_tok = jnp.where(wid_ok, row[..., 1], 0.0)
+                if bo_last is None:
+                    last = state.lm_ctx[..., -1]
+                    ok = (last >= 0) & (last < v_lm)
+                    bo_last = jnp.where(
+                        ok, uni_backoffs[jnp.clip(last, 0, v_lm - 1)], 0.0)
+                dense_pre = (row[..., 0], bo_last)
             lm10 = score_tokens(lm_tables, state.lm_ctx, state.lm_len, wid,
                                 lm_unk_logp,
-                                lm_axis_name, lm_n_slots_global)
+                                lm_axis_name, lm_n_slots_global,
+                                dense_pre=dense_pre)
             delta = lm_alpha * _LOG10_TO_LN * lm10 + lm_beta
             if hot_arrays is not None and hot_weight:
                 # Fold the last-k completed-word hashes (k = 1..4, the
@@ -269,7 +303,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 any_hit = jnp.any(hits & spans_ok, axis=-1)
                 delta = delta + jnp.where(
                     any_hit, hot_weight * _LOG10_TO_LN, 0.0)
-            return delta, wid
+            return delta, wid, bo_tok
 
         def step(carry, inputs):
             S, c_h1p, c_h2p, c_pbp, c_pnbp = carry
@@ -337,7 +371,8 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 # Word-level fusion: the LM fires only when the delimiter
                 # completes a non-empty partial word (exactly the host's
                 # step_py delim branch, decode/beam_search.py).
-                w_delta, wid_done = word_lm_delta(state)      # (W,), (W,)
+                w_delta, wid_done, bo_tok = word_lm_delta(
+                    state, bo_last=state.bo1)    # (W,) each
                 ext_scores = ext_scores + jnp.where(
                     (cand_tok[None, :] == delim_id) & (state.wn[:, None] > 0),
                     w_delta[:, None], 0.0)
@@ -435,10 +470,15 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             # ms/frame serializing descriptor set; a row gather's cost is
             # per DESCRIPTOR, so one more column is free).
             if word_mode:
-                rows = jnp.concatenate([S, wid_done[:, None]], axis=1)[parent]
-                par = _unpack_cols(rows[:, :-1], None, None, None, None,
+                bo_bits = jax.lax.bitcast_convert_type(bo_tok, jnp.int32)
+                rows = jnp.concatenate(
+                    [S, wid_done[:, None], bo_bits[:, None]],
+                    axis=1)[parent]
+                par = _unpack_cols(rows[:, :-2], None, None, None, None,
                                    m_ctx)
-                wid_par = rows[:, -1]
+                wid_par = rows[:, -2]
+                bo_tok_par = jax.lax.bitcast_convert_type(
+                    rows[:, -1], jnp.float32)
             else:
                 par = _unpack_cols(S[parent], None, None, None, None, m_ctx)
             new_wf1, new_wf2 = par.wf1, par.wf2
@@ -452,6 +492,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 new_ctx = jnp.where(is_ext[:, None], shifted, par.lm_ctx)
                 new_len = jnp.where(
                     is_ext, jnp.minimum(par.lm_len + 1, m_ctx), par.lm_len)
+                new_bo1 = par.bo1
             elif word_mode:
                 tok_safe = jnp.maximum(tok, 0)
                 is_delim = is_ext & (tok == delim_id)
@@ -470,7 +511,9 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                     jnp.where(is_delim, zero, new_wf2))
                 new_wn = jnp.where(grow, new_wn + 1,
                                    jnp.where(is_delim, 0, new_wn))
-                # Word completed: shift its LM id into the word context.
+                # Word completed: shift its LM id into the word context;
+                # its unigram backoff (fetched by word_lm_delta's (V, 2)
+                # row gather) becomes the next frames' bo1 cache.
                 completed = is_delim & (par.wn > 0)
                 shifted = jnp.concatenate(
                     [par.lm_ctx[:, 1:], wid_par[:, None]], 1)
@@ -478,6 +521,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
                 new_len = jnp.where(
                     completed, jnp.minimum(par.lm_len + 1, m_ctx),
                     par.lm_len)
+                new_bo1 = jnp.where(completed, bo_tok_par, par.bo1)
                 if hot_arrays is not None:
                     # Shift the completed word's char hashes into the
                     # hotword ring (most recent last).
@@ -493,12 +537,13 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             else:
                 new_ctx = par.lm_ctx
                 new_len = par.lm_len
+                new_bo1 = par.bo1
             new_S = _pack_cols(
                 plen=jnp.where(is_ext, par.plen + 1, par.plen),
                 last=jnp.where(is_ext, tok, par.last),
                 lm_len=new_len, wn=new_wn, rcount=new_rcount,
                 wf1=new_wf1, wf2=new_wf2, rw1=new_rw1, rw2=new_rw2,
-                lm_ctx=new_ctx)
+                lm_ctx=new_ctx, bo1=new_bo1)
             new_carry = (new_S, sel_h1, sel_h2,
                          jnp.where(alive, sel_pb, NEG),
                          jnp.where(alive, sel_pnb, NEG))
@@ -518,11 +563,22 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
         # Unrolling amortizes per-op dispatch over several frames — the
         # per-frame body is hundreds of SMALL ops (sorts, windowed probes,
         # (W,)-gathers), so the search is op-overhead-bound (profiled).
+        # Initial bo1 cache: uni_backoff of the carried-in context's last
+        # word — ONE gather outside the frame loop (zeros when dense
+        # unigram rows are absent or fusion is off).
+        bo1_0 = jnp.zeros((w,), jnp.float32)
+        if word_mode and len(lm_tables) >= 3:
+            uni_backoffs = lm_tables[2]
+            v_lm = uni_backoffs.shape[0]
+            last0 = init.lm_ctx[:, -1]
+            bo1_0 = jnp.where(
+                (last0 >= 0) & (last0 < v_lm),
+                uni_backoffs[jnp.clip(last0, 0, v_lm - 1)], 0.0)
         carry0 = (_pack_cols(plen=init.plen, last=init.last,
                              lm_len=init.lm_len, wn=init.wn,
                              rcount=init.rcount, wf1=init.wf1,
                              wf2=init.wf2, rw1=init.rw1, rw2=init.rw2,
-                             lm_ctx=init.lm_ctx),
+                             lm_ctx=init.lm_ctx, bo1=bo1_0),
                   init.h1, init.h2, init.p_b, init.p_nb)
         final_carry, bps = jax.lax.scan(
             step, carry0, (lp, jnp.arange(t, dtype=jnp.int32)),
@@ -548,13 +604,15 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             beam_idx.ravel(),
             jnp.where(emitted, dest, u).ravel()].set(
             jnp.maximum(path_toks, 0).ravel(), mode="drop")
-        final = BeamState(prefixes=prefixes, **final._asdict())
+        fd = final._asdict()
+        fd.pop("bo1")              # scan-internal cache, not BeamState API
+        final = BeamState(prefixes=prefixes, **fd)
 
         score = _logaddexp(final.p_b, final.p_nb)
         if word_mode:
             # Score the trailing partial word into the final ranking, like
             # the host finalize (decode/beam_search.py:finalize_py).
-            w_delta, _ = word_lm_delta(final)
+            w_delta, _, _ = word_lm_delta(final)
             score = score + jnp.where(final.wn > 0, w_delta, 0.0)
         order = jnp.argsort(-score)
         if return_state:
