@@ -55,7 +55,7 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--mode", default="train",
                     choices=["train", "pretrain", "pretrain_byol",
-                             "beam_device"],
+                             "beam_device", "transducer_beam"],
                     help="which fused step to trace (pretrain = wav2vec2; "
                          "beam_device = fwd + on-device beam190+wordLM)")
     ap.add_argument("--width", type=int, default=190,
@@ -105,6 +105,9 @@ def _run_and_trace(args, trace_dir: str) -> None:
         return
     if args.mode == "beam_device":
         _run_and_trace_beam_device(args, trace_dir, cfg, num_samples)
+        return
+    if args.mode == "transducer_beam":
+        _run_and_trace_transducer_beam(args, trace_dir, cfg, num_samples)
         return
     variables = init_variables(cfg, jax.random.PRNGKey(0),
                                mel_frames=num_samples // 160 + 1)
@@ -224,6 +227,55 @@ def _run_and_trace_beam_device(args, trace_dir: str, cfg,
     b = synthetic_batch(args.batch, num_samples, cfg.model.vocab_size, seed=0)
     audio = jax.device_put(b.audio)
     lengths = jax.device_put(jnp.full((args.batch,), num_samples, jnp.int32))
+    out = decode(variables, audio, lengths)
+    jax.block_until_ready(out)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.steps):
+            out = decode(variables, audio, lengths)
+        jax.block_until_ready(out)
+    print(f"trace written to {trace_dir}")
+
+
+def _run_and_trace_transducer_beam(args, trace_dir: str, cfg,
+                                   num_samples: int) -> None:
+    """Trace the on-device RNN-T beam search (mirrors
+    bench.py:_bench_transducer_decode with beam=True, width args.width)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conformer_tpu.audio.mel import MelFrontend
+    from conformer_tpu.data.dataset import synthetic_batch
+    from conformer_tpu.models.transducer import Transducer
+    from conformer_tpu.ops.rnnt import rnnt_beam_search
+    from conformer_tpu.train.steps import init_variables
+
+    cfg = cfg.override(**{"model.arch": "transducer",
+                          "data.max_tokens": 96})
+    width = args.width if args.width != 190 else 8
+    model = Transducer(cfg.model, compute_dtype=cfg.optim.compute_dtype,
+                       deterministic=True)
+    frontend = MelFrontend(cfg.audio)
+    variables = init_variables(cfg, jax.random.PRNGKey(0),
+                               mel_frames=num_samples // 160 + 1)
+
+    @jax.jit
+    def decode(variables, audio, lengths):
+        bound = model.bind(variables)
+        mels = frontend(audio)
+        enc, enc_lengths = bound.encode(mels,
+                                        frontend.frame_lengths(lengths))
+        return rnnt_beam_search(
+            bound.joint_logits, enc, enc_lengths, bound.predict_step,
+            bound.predict_init(enc.shape[0]), beam_width=width,
+            top_k=cfg.decode.rnnt_top_k,
+            max_symbols=cfg.decode.rnnt_max_symbols,
+            max_len=cfg.data.max_tokens)
+
+    b = synthetic_batch(args.batch, num_samples, cfg.model.vocab_size,
+                        seed=0)
+    audio = jax.device_put(b.audio)
+    lengths = jax.device_put(
+        jnp.full((args.batch,), num_samples, jnp.int32))
     out = decode(variables, audio, lengths)
     jax.block_until_ready(out)
     with jax.profiler.trace(trace_dir):
