@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from conformer_tpu.ops.topk import topk_lastaxis
+
 NEG = -1e30
 # Host-side numpy scalars, NOT jnp: a module-level jax.Array becomes a
 # single device constant shared by every trace that touches this module;
@@ -316,7 +318,7 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             masked = frame.at[blank_id].set(NEG)
             if unk_id is not None:
                 masked = masked.at[unk_id].set(NEG)
-            cand_lp, cand_tok = jax.lax.top_k(masked, k)       # (K,)
+            cand_lp, cand_tok = topk_lastaxis(masked, k)       # (K,)
 
             # -- keep candidates (same prefix): blank mass + repeat mass.
             is_rep = state.last[:, None] == cand_tok[None, :]  # (W, K)

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from conformer_tpu.ops.topk import topk_lastaxis
+
 NEG = -1e30
 
 
@@ -388,7 +390,10 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                 masked = logp.at[:, blank_id].set(NEG)
                 if unk_id is not None:
                     masked = masked.at[:, unk_id].set(NEG)
-                cand_lp, cand_tok = jax.lax.top_k(masked, kk)   # (W, KK)
+                # Iterative exact top-k: jax.lax.top_k's full (W, V)
+                # sort here x4 inner steps was 59% of the frame (r4
+                # trace; ops/topk.py).
+                cand_lp, cand_tok = topk_lastaxis(masked, kk)   # (W, KK)
                 e_sc = a_sc[:, None] + cand_lp
                 if use_lm:
                     from conformer_tpu.lm.device_table import score_tokens
