@@ -437,29 +437,20 @@ def ctc_beam_search_device(log_probs: jnp.ndarray,
             head_score = jnp.where(boundary,
                                    _logaddexp(suf_pb, suf_pnb), NEG)
 
-            # Survivor selection: sort ONLY (key, position) by head score
-            # (iota2 tiebreak = top_k's lowest-index-first), static [:w]
-            # slice, then fetch the five survivor columns with ONE packed
-            # (N, 5) row gather at the top-W positions. The r2 design's
-            # top_k + five separate x[top_pos] gathers paid ~0.45 ms/frame
-            # in serializing descriptor sets; the r3 design co-sorted all
-            # seven arrays through the bitonic network (0.143 ms/frame, r4
-            # trace) — moving the five payloads out of the sort and into
-            # one (B, W)-descriptor row gather (~0.045 ms) is cheaper than
-            # either.
-            f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
-            srows = jnp.stack(
-                [f2i(suf_pb), f2i(suf_pnb), f2i(s_h1), f2i(s_h2), order],
-                axis=-1)                                        # (N, 5)
+            # Survivor selection: ONE variadic sort by head score (iota2
+            # tiebreak = top_k's lowest-index-first) co-sorts every array
+            # the next carry needs, then a STATIC [:w] slice. The previous
+            # top_k + five x[top_pos]/x[sel] gathers paid ~0.45 ms/frame in
+            # serializing in-loop gather descriptors; the sort network
+            # moves all operands on the vector path.
             iota2 = jnp.arange(head_score.shape[0], dtype=jnp.int32)
-            neg_head, pos = jax.lax.sort((-head_score, iota2), num_keys=2)
+            (neg_head, _, t_pb, t_pnb, t_h1, t_h2, t_sel) = jax.lax.sort(
+                (-head_score, iota2, suf_pb, suf_pnb, s_h1, s_h2, order),
+                num_keys=2)
             top_scores = -neg_head[:w]
-            r = srows[pos[:w]]                                  # (W, 5)
-            i2f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-            i2u = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
-            sel_pb, sel_pnb = i2f(r[:, 0]), i2f(r[:, 1])
-            sel_h1, sel_h2 = i2u(r[:, 2]), i2u(r[:, 3])
-            sel = r[:, 4]
+            sel = t_sel[:w]
+            sel_pb, sel_pnb = t_pb[:w], t_pnb[:w]
+            sel_h1, sel_h2 = t_h1[:w], t_h2[:w]
             # Slots beyond the number of unique prefixes come back as
             # non-heads; kill them or their duplicated segment mass would be
             # double counted at the next merge.
