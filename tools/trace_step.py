@@ -60,6 +60,9 @@ def main() -> None:
                          "beam_device = fwd + on-device beam190+wordLM)")
     ap.add_argument("--width", type=int, default=190,
                     help="beam width for --mode beam_device")
+    ap.add_argument("--arch", default="ctc", choices=["ctc", "transducer"],
+                    help="model arch for --mode train (transducer = RNN-T "
+                         "fused train step, U=96 tokens)")
     ap.add_argument("--trace-dir", default=None,
                     help="parse an existing trace instead of running")
     args = ap.parse_args()
@@ -109,6 +112,9 @@ def _run_and_trace(args, trace_dir: str) -> None:
     if args.mode == "transducer_beam":
         _run_and_trace_transducer_beam(args, trace_dir, cfg, num_samples)
         return
+    if args.arch != "ctc":
+        cfg = cfg.override(**{"model.arch": args.arch,
+                              "data.max_tokens": 96})
     variables = init_variables(cfg, jax.random.PRNGKey(0),
                                mel_frames=num_samples // 160 + 1)
     state = TrainState.create(variables["params"],
