@@ -567,14 +567,23 @@ def rnnt_loss_scan(e: jnp.ndarray, p: jnp.ndarray, out_kernel: jnp.ndarray,
     b, t, j = e.shape
     u1 = p.shape[1]
 
+    # Emit-plane extraction as a masked reduce, NOT take_along_axis: the
+    # labels are frame-invariant, and a (B*U)-descriptor gather inside the
+    # frame scan serialized on the scalar core for ~13 ms/step at
+    # b56/U=96 (r4 trace; plus its recompute under jax.checkpoint and a
+    # scatter in the backward). The compare fuses into the log_softmax
+    # consumer — the one-hot never materializes.
+    v = out_kernel.shape[1]
+    lab_mask = (labels[:, :, None].astype(jnp.int32)
+                == jnp.arange(v, dtype=jnp.int32)[None, None, :])  # (B,U,V)
+
     def frame(_, e_t):
         x = jnp.tanh(e_t[:, None, :] + p)                     # (B, U+1, J)
         logits = x.astype(jnp.float32) @ out_kernel + out_bias
         lp = jax.nn.log_softmax(logits, -1)                   # (B, U+1, V)
         lpb = lp[..., blank_id]
-        lpe = jnp.take_along_axis(
-            lp[:, :-1, :], labels[:, :, None].astype(jnp.int32),
-            axis=-1)[..., 0]                                  # (B, U)
+        lpe = jnp.sum(jnp.where(lab_mask, lp[:, :-1, :], 0.0),
+                      axis=-1)                                # (B, U)
         return None, (lpb, lpe)
 
     _, (lpb, lpe) = jax.lax.scan(jax.checkpoint(frame), None,
