@@ -164,13 +164,21 @@ def main() -> None:
     mfu = _mfu(cfg, batch_size, num_samples // 160 + 1, dt / steps)
 
     if mode == "transducer":
-        # No CTC baseline applies; record the measurement standalone.
-        print(json.dumps({
+        # No CTC baseline applies; record the measurement standalone
+        # (hardware-anchored via the transducer's own analytic FLOPs).
+        record = {
             "metric": "transducer_train_throughput_audio_seconds_per_s_per_chip",
             "value": round(value, 2),
             "unit": "audio-s/s",
             "vs_baseline": 1.0,
-        }))
+            "step_time_ms": round(step_ms, 2),
+        }
+        tmfu = _mfu(cfg, batch_size, num_samples // 160 + 1, dt / steps,
+                    flops_fn=lambda c, bt, mf: transducer_train_flops(
+                        c, bt, mf, cfg.data.max_tokens))
+        if tmfu:
+            record.update(tmfu)
+        print(json.dumps(record))
         return
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -254,13 +262,41 @@ def model_train_flops(cfg, batch: int, mel_frames: int) -> float:
     return 3.0 * fwd
 
 
-def _mfu(cfg, batch: int, mel_frames: int, step_time_s: float):
+def transducer_train_flops(cfg, batch: int, mel_frames: int,
+                           u_tokens: int) -> float:
+    """Analytic FLOPs of one fused RNN-T train step: the CTC step's
+    mel+encoder (model_train_flops minus its LSTM-decoder/classifier head)
+    plus the prediction LSTM, the joint factor projections, and the
+    per-frame (B, U+1, J) -> V joint projection that the lattice-free loss
+    scan executes T' times (ops/rnnt.py::rnnt_loss_scan; the remat
+    recompute is deliberately NOT counted — standard 3x-fwd MFU
+    accounting, matching model_train_flops)."""
+    m = cfg.model
+    b, d = batch, m.d_model
+    l = ((mel_frames - 1) // 2 - 1) // 2     # post-subsample frames
+    h = m.lstm_hidden_dim
+    head = (2.0 * b * l * (d * 4 * h + h * 4 * h)
+            + 2.0 * b * l * h * m.vocab_size)
+    u1 = u_tokens + 1
+    e, ph, j, v = (m.pred_embed_dim, m.pred_hidden_dim, m.joint_dim,
+                   m.vocab_size)
+    tr = 2.0 * b * u1 * (e * 4 * ph + ph * 4 * ph)     # pred LSTM layer 1
+    tr += 2.0 * b * u1 * (ph * 4 * ph + ph * 4 * ph) * max(
+        m.pred_layers - 1, 0)                          # deeper layers
+    tr += 2.0 * b * l * d * j                          # enc_proj factor
+    tr += 2.0 * b * u1 * ph * j                        # pred_proj factor
+    tr += 2.0 * b * l * u1 * j * v                     # per-frame joint out
+    return model_train_flops(cfg, batch, mel_frames) + 3.0 * (tr - head)
+
+
+def _mfu(cfg, batch: int, mel_frames: int, step_time_s: float,
+         flops_fn=None):
     """Hardware-anchored utilization: analytic model FLOPs / (step time x
     chip peak). Peak defaults to TPU v5e bf16 (197 TFLOP/s, public spec);
     override with BENCH_PEAK_TFLOPS."""
     try:
         peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
-        flops = model_train_flops(cfg, batch, mel_frames)
+        flops = (flops_fn or model_train_flops)(cfg, batch, mel_frames)
         return {"model_tflops_per_step": round(flops / 1e12, 3),
                 "mfu": round(flops / step_time_s / peak, 4)}
     except Exception:
