@@ -161,7 +161,6 @@ def main() -> None:
     audio_seconds = batch_size * audio_s * steps
     value = audio_seconds / dt
     step_ms = dt / steps * 1e3
-    mfu = _mfu(cfg, batch_size, num_samples // 160 + 1, dt / steps)
 
     if mode == "transducer":
         # No CTC baseline applies; record the measurement standalone
@@ -175,11 +174,13 @@ def main() -> None:
         }
         tmfu = _mfu(cfg, batch_size, num_samples // 160 + 1, dt / steps,
                     flops_fn=lambda c, bt, mf: transducer_train_flops(
-                        c, bt, mf, cfg.data.max_tokens))
+                        c, bt, mf, c.data.max_tokens))
         if tmfu:
             record.update(tmfu)
         print(json.dumps(record))
         return
+
+    mfu = _mfu(cfg, batch_size, num_samples // 160 + 1, dt / steps)
 
     root = os.path.dirname(os.path.abspath(__file__))
     baseline_path = os.path.join(root, "BENCH_BASELINE.json")
