@@ -57,6 +57,53 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return _pcm_to_float(data), int(sr)
 
 
+def read_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Load a FLAC file -> (float32 signal in [-1, 1], sr); (channels,
+    samples) when multi-channel. Lossless parity with read_wav: the same PCM
+    decodes to the identical float array from either container.
+
+    Uses the native C++ decoder (native/flac.cpp) when available, the
+    pure-Python mirror (conformer_tpu.audio.flac) otherwise. Closes the
+    reference's librosa FLAC ingestion (reference: processing/
+    processor.py:140-145); LibriSpeech ships FLAC.
+    """
+    from conformer_tpu.audio import native as _native
+
+    if _native.available():
+        try:
+            return _native.read_flac(path)
+        except ValueError:
+            pass  # fall through to the pure-Python decoder for diagnostics
+    from conformer_tpu.audio import flac as _flac
+
+    return _flac.read_flac(path)
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Format-sniffing audio load: WAV (RIFF/RIFX) or FLAC by magic bytes
+    -> (float32 signal in [-1, 1], sr). An ID3v2 tag is skipped before
+    sniffing (tagged FLAC routes to the FLAC decoder; tagged MP3 still gets
+    the named unsupported-format error)."""
+    with open(path, "rb") as f:
+        magic = f.read(10)
+        if magic[:3] == b"ID3" and len(magic) == 10:
+            size = ((magic[6] & 0x7F) << 21) | ((magic[7] & 0x7F) << 14) | \
+                   ((magic[8] & 0x7F) << 7) | (magic[9] & 0x7F)
+            f.seek(10 + size)
+            magic = f.read(4)
+    if magic[:4] == b"fLaC":
+        return read_flac(path)
+    if magic[:4] in (b"RIFF", b"RIFX"):
+        return read_wav(path)
+    for prefix, name in ((b"OggS", "OGG"), (b"\xff\xfb", "MP3"),
+                         (b"\xff\xf3", "MP3"), (b"\xff\xf2", "MP3")):
+        if magic[: len(prefix)] == prefix:
+            raise ValueError(f"{name} is not supported ({path}); "
+                             "supported formats: WAV, FLAC")
+    raise ValueError(f"unrecognized audio format ({path}); "
+                     "supported formats: WAV, FLAC")
+
+
 def decode_wav_bytes(raw: bytes) -> Tuple[np.ndarray, int]:
     """Decode an in-memory WAV payload with read_wav's scaling rules
     -> (float32 signal [-1, 1], (channels, samples) if multi-channel, sr)."""
@@ -66,6 +113,16 @@ def decode_wav_bytes(raw: bytes) -> Tuple[np.ndarray, int]:
         raise RuntimeError("scipy is required for WAV decoding")
     sr, data = _wavfile.read(_io.BytesIO(raw))
     return _pcm_to_float(data), int(sr)
+
+
+def decode_audio_bytes(raw: bytes) -> Tuple[np.ndarray, int]:
+    """In-memory counterpart of read_audio: sniffs WAV vs FLAC by magic
+    bytes (serve uploads arrive as raw payloads, not paths)."""
+    if raw[:4] == b"fLaC" or raw[:3] == b"ID3":
+        from conformer_tpu.audio.flac import decode_flac_bytes
+
+        return decode_flac_bytes(raw)
+    return decode_wav_bytes(raw)
 
 
 def resample(signal: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
@@ -86,9 +143,10 @@ def load_audio(path: str, sample_rate: int = 16000, mono: bool = True,
     """Load + resample an audio file to `sample_rate` float32.
 
     `channel` selects one channel of a multi-channel file; `mono` averages
-    channels (librosa semantics) when no channel is selected.
+    channels (librosa semantics) when no channel is selected. Container is
+    sniffed by magic bytes (WAV or FLAC — read_audio).
     """
-    signal, sr = read_wav(path)
+    signal, sr = read_audio(path)
     if signal.ndim == 2:
         if channel is not None:
             signal = signal[channel]

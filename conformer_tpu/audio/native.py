@@ -29,13 +29,14 @@ def _load() -> Optional[ctypes.CDLL]:
     with _LOCK:
         if _LIB is not None:
             return _LIB or None
-        src = os.path.join(_NATIVE_DIR, "audio_io.cpp")
+        srcs = [os.path.join(_NATIVE_DIR, "audio_io.cpp"),
+                os.path.join(_NATIVE_DIR, "flac.cpp")]
         so = os.path.join(_NATIVE_DIR, "libaudio_io.so")
         try:
-            if not os.path.exists(so) or \
-                    os.path.getmtime(so) < os.path.getmtime(src):
+            if not os.path.exists(so) or any(
+                    os.path.getmtime(so) < os.path.getmtime(s) for s in srcs):
                 subprocess.run(
-                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src,
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", *srcs,
                      "-o", so], check=True, capture_output=True, text=True)
             lib = ctypes.CDLL(so)
         except Exception:
@@ -47,6 +48,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long)]
         lib.audio_wav_read.restype = ctypes.c_int
         lib.audio_wav_read.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+        lib.audio_flac_info.restype = ctypes.c_int
+        lib.audio_flac_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long)]
+        lib.audio_flac_read.restype = ctypes.c_int
+        lib.audio_flac_read.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long]
         lib.audio_resample_out_len.restype = ctypes.c_long
         lib.audio_resample_out_len.argtypes = [ctypes.c_long, ctypes.c_int,
@@ -81,6 +89,29 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
                           buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                           total) != 0:
         raise ValueError(f"unreadable WAV: {path}")
+    if channels.value > 1:
+        return buf.reshape(frames.value, channels.value).T.copy(), sr.value
+    return buf, sr.value
+
+
+def read_flac(path: str) -> Tuple[np.ndarray, int]:
+    """-> (float32 signal — (samples,) mono or (channels, samples) — , sr),
+    scaled by 2^-(bps-1) to match the WAV path (native/flac.cpp)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audio library unavailable")
+    sr = ctypes.c_int()
+    channels = ctypes.c_int()
+    frames = ctypes.c_long()
+    if lib.audio_flac_info(path.encode(), ctypes.byref(sr),
+                           ctypes.byref(channels), ctypes.byref(frames)) != 0:
+        raise ValueError(f"unreadable FLAC: {path}")
+    total = frames.value * channels.value
+    buf = np.empty((total,), np.float32)
+    if lib.audio_flac_read(path.encode(),
+                           buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                           total) != 0:
+        raise ValueError(f"unreadable FLAC: {path}")
     if channels.value > 1:
         return buf.reshape(frames.value, channels.value).T.copy(), sr.value
     return buf, sr.value

@@ -322,11 +322,12 @@ def make_handler(batcher, cfg, sessions: "StreamSessions" = None):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
-                from conformer_tpu.audio.io import decode_wav_bytes, resample
+                from conformer_tpu.audio.io import decode_audio_bytes, resample
 
-                # Shared decoder handles int16/int32/uint8/float payloads
-                # with the correct scaling (audio/io.py:_pcm_to_float).
-                signal, file_sr = decode_wav_bytes(raw)
+                # Shared decoder handles WAV (int16/int32/uint8/float, with
+                # the correct scaling — audio/io.py:_pcm_to_float) and FLAC
+                # payloads, sniffed by magic bytes.
+                signal, file_sr = decode_audio_bytes(raw)
                 if signal.ndim == 2:  # (channels, samples) -> mono
                     signal = signal.mean(axis=0)
                 signal = resample(signal, file_sr, sr)

@@ -261,3 +261,27 @@ class TestHTTPServer:
             assert stats["batches"] < 5          # batching engaged over HTTP
         finally:
             server.shutdown()
+
+    def test_flac_upload(self):
+        """The /transcribe payload sniffer accepts FLAC bodies (parity with
+        load_audio's format routing — audio/io.py:decode_audio_bytes)."""
+        from http.server import ThreadingHTTPServer
+
+        from conformer_tpu.audio.flac import encode_flac_bytes
+
+        pipe = FakePipe()
+        mb = MicroBatcher(pipe, [2 * SR], max_batch=2, window_ms=50)
+        handler = make_handler(mb, Config())
+        server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            ints = (np.ones(SR) * 1000).astype(np.int64)
+            raw = encode_flac_bytes(ints, SR)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/transcribe", data=raw)
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.status == 200
+                assert json.loads(r.read())["text"].startswith("UTT")
+        finally:
+            server.shutdown()
