@@ -24,7 +24,13 @@ def main(argv=None) -> None:
     p.add_argument("--audio", nargs="*", default=[], help="audio file(s)")
     p.add_argument("--manifest", default=None, help="CSV manifest with a path column")
     p.add_argument("--checkpoint-dir", default=None)
-    p.add_argument("--decode", choices=["greedy", "beam", "beam_device", "beam_auto"], default="greedy")
+    p.add_argument("--decode",
+                   choices=["auto", "greedy", "beam", "beam_device",
+                            "beam_auto"], default="auto",
+                   help="'auto' = greedy without an LM, beam_auto with one "
+                        "(the reference always fuses a provided LM — "
+                        "processing/lm.py); beam_auto picks host vs device "
+                        "per context (decode/pipeline.py)")
     p.add_argument("--lm", default=None)
     p.add_argument("--output", default=None, help="CSV output (manifest mode)")
     p.add_argument("--batch-size", type=int, default=8)
@@ -48,6 +54,9 @@ def main(argv=None) -> None:
     cfg = load_config(args)
     if args.lm:
         cfg = cfg.override(**{"decode.lm_path": args.lm})
+    if args.decode == "auto":
+        has_lm = bool(cfg.decode.lm_path or cfg.decode.device_lm_path)
+        args.decode = "beam_auto" if has_lm else "greedy"
     tokenizer = load_tokenizer_from_args(args, cfg)
 
     from conformer_tpu.decode.pipeline import InferencePipeline

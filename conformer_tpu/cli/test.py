@@ -22,7 +22,12 @@ def main(argv=None) -> None:
     add_common_args(p)
     p.add_argument("--manifest", required=True)
     p.add_argument("--checkpoint-dir", default=None)
-    p.add_argument("--decode", choices=["greedy", "beam", "beam_device", "beam_auto"], default="greedy")
+    p.add_argument("--decode",
+                   choices=["auto", "greedy", "beam", "beam_device",
+                            "beam_auto"], default="auto",
+                   help="'auto' = greedy without an LM, beam_auto with one "
+                        "(the reference eval always fuses a provided LM — "
+                        "test.py:129)")
     p.add_argument("--lm", default=None, help="ARPA n-gram LM for beam fusion")
     p.add_argument("--results", default=None, help="CSV path for (ref, hyp) dump")
     args = p.parse_args(argv)
@@ -30,6 +35,9 @@ def main(argv=None) -> None:
     cfg = load_config(args)
     if args.lm:
         cfg = cfg.override(**{"decode.lm_path": args.lm})
+    if args.decode == "auto":
+        has_lm = bool(cfg.decode.lm_path or cfg.decode.device_lm_path)
+        args.decode = "beam_auto" if has_lm else "greedy"
     setup_mesh(args)
     tokenizer = load_tokenizer_from_args(args, cfg)
 

@@ -55,7 +55,8 @@ def _gather_pairs_across_hosts(refs: List[str], hyps: List[str]
     return all_refs, all_hyps
 
 
-def resolve_beam_backend(n_devices: Optional[int] = None, mesh=None) -> str:
+def resolve_beam_backend(n_devices: Optional[int] = None, mesh=None,
+                         streaming: bool = False) -> str:
     """Pick the beam-search backend for decode='beam_auto'.
 
     Measured tradeoff (docs/PERFORMANCE.md, re-measured every round): as of
@@ -69,10 +70,19 @@ def resolve_beam_backend(n_devices: Optional[int] = None, mesh=None) -> str:
     serializes the pipeline. The threaded host C++ prefix beam remains the
     backend for CPU-only deployments, where the dense static-shape device
     beam has no accelerator to run on.
+
+    ``streaming`` encodes the OPPOSITE batch-1 tradeoff (docs/
+    PERFORMANCE.md "Streaming"): per-chunk device beam programs are
+    launch-latency-bound at batch 1, so the host C++ beam wins same-session
+    (0.196 vs 0.289 RTF at w32) — EXCEPT under an active mesh, where chunk
+    logits are sharded and must stay on-chip (fetching them serializes every
+    chunk), making the shard_mapped device beam the only sound choice.
     """
     if mesh is None:
         mesh = jax.sharding.get_abstract_mesh()
     mesh_active = mesh is not None and not getattr(mesh, "empty", True)
+    if streaming:
+        return "beam_device" if mesh_active else "beam"
     n = len(jax.devices()) if n_devices is None else n_devices
     on_accel = jax.default_backend() != "cpu"
     return "beam_device" if (mesh_active or n > 1 or on_accel) else "beam"

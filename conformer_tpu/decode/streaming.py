@@ -80,9 +80,14 @@ class StreamingTranscriber:
         from conformer_tpu.audio.mel import MelFrontend
         from conformer_tpu.train.steps import build_models
 
+        if decode == "beam_auto":
+            from conformer_tpu.decode.pipeline import resolve_beam_backend
+
+            decode = resolve_beam_backend(streaming=True)
         if decode not in ("greedy", "beam", "beam_device"):
             raise ValueError(
-                f"decode must be greedy|beam|beam_device, got {decode!r}")
+                f"decode must be greedy|beam|beam_device|beam_auto, "
+                f"got {decode!r}")
         self.arch = getattr(cfg.model, "arch", "ctc")
         if self.arch == "transducer" and decode == "beam_device":
             decode = "beam"  # the RNN-T beam already runs on device

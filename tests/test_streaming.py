@@ -99,6 +99,54 @@ def _offline_transducer_text(cfg, tok, variables, audio, pad_to=0):
                                      int(np.asarray(count)[0]))
 
 
+class TestBeamAutoDispatch:
+    """resolve_beam_backend(streaming=...) encodes the measured tradeoffs
+    (docs/PERFORMANCE.md): offline -> device beam whenever an accelerator or
+    mesh is present; streaming -> host beam at batch 1 EXCEPT under an
+    active mesh, where chunk logits must stay on-chip."""
+
+    def test_streaming_cpu_no_mesh_prefers_host_beam(self):
+        from conformer_tpu.decode.pipeline import resolve_beam_backend
+
+        assert resolve_beam_backend(streaming=True) == "beam"
+        # Offline on 8 virtual devices -> device beam.
+        assert resolve_beam_backend() == "beam_device"
+
+    def test_streaming_accelerator_no_mesh_still_host_beam(self, monkeypatch):
+        import jax
+
+        from conformer_tpu.decode import pipeline
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert pipeline.resolve_beam_backend(streaming=True) == "beam"
+        assert pipeline.resolve_beam_backend(n_devices=1) == "beam_device"
+
+    def test_streaming_mesh_forces_device_beam(self):
+        import jax
+
+        from conformer_tpu.decode.pipeline import resolve_beam_backend
+        from conformer_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=4, tp=2)
+        with jax.set_mesh(mesh):
+            assert resolve_beam_backend(streaming=True) == "beam_device"
+        assert resolve_beam_backend(mesh=mesh, streaming=True) == "beam_device"
+
+    def test_transcriber_accepts_beam_auto(self, setup):
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        st = StreamingTranscriber(cfg, tok, variables, decode="beam_auto")
+        assert st.decode == "beam"  # CPU, no mesh: host beam wins at batch 1
+
+    def test_transcriber_rejects_unknown(self, setup):
+        from conformer_tpu.decode.streaming import StreamingTranscriber
+
+        cfg, tok, variables = setup
+        with pytest.raises(ValueError, match="beam_auto"):
+            StreamingTranscriber(cfg, tok, variables, decode="nonsense")
+
+
 class TestStreaming:
     def test_single_chunk_matches_offline(self, setup):
         from conformer_tpu.decode.streaming import StreamingTranscriber
