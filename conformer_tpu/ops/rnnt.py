@@ -233,7 +233,8 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                      hot_weight: float = 0.0,
                      start_frames: Optional[jnp.ndarray] = None,
                      init_beams=None, return_beams: bool = False,
-                     scan_unroll: int = 1):
+                     scan_unroll: int = 1,
+                     lm_axis_name=None, lm_n_slots_global: int = 0):
     """Batched time-synchronous RNN-T beam search, fully on-device.
 
     New capability — the reference's Transducer is a dead stub and its only
@@ -301,7 +302,8 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                                                    score_tokens)
 
         wid = lookup_word_ids(word_arrays, wf1, wf2)
-        lm10 = score_tokens(lm_tables, ctx, cl, wid, lm_unk_logp)
+        lm10 = score_tokens(lm_tables, ctx, cl, wid, lm_unk_logp,
+                            lm_axis_name, lm_n_slots_global)
         delta = lm_alpha * _LOG10_TO_LN * lm10 + lm_beta
         if hot_arrays is not None and hot_weight:
             basis = jnp.uint32(_FNV_BASIS)
@@ -403,7 +405,8 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
                         lm_tables,
                         jnp.broadcast_to(a.ctx[:, None, :], (w, kk, m_ctx)),
                         jnp.broadcast_to(a.cl[:, None], (w, kk)),
-                        lm_tok, lm_unk_logp)
+                        lm_tok, lm_unk_logp,
+                        lm_axis_name, lm_n_slots_global)
                     delta = lm_alpha * _LOG10_TO_LN * lm10
                     if delim_id is not None and lm_beta:
                         delta = delta + jnp.where(
@@ -526,6 +529,89 @@ def rnnt_beam_search(joint_fn, enc: jnp.ndarray, enc_lengths: jnp.ndarray,
     return jax.vmap(decode_one)(enc, enc_lengths.astype(jnp.int32),
                                 start_frames.astype(jnp.int32),
                                 state0, pred0, init_beams)
+
+
+def rnnt_beam_search_sharded(joint_fn, enc, enc_lengths, pred_step_fn,
+                             pred_init, mesh=None, data_axis: str = "data",
+                             model_axis: str = "model", **kw):
+    """Multi-chip RNN-T device beam search — the transducer counterpart of
+    ops/beam_search_device.py::ctc_beam_search_device_sharded, closing the
+    decode-family symmetry (SURVEY §2.10 north star: "collective exchange
+    of beam/LM state during decode"; no reference counterpart — its
+    Transducer is a dead stub, model/modules/transducer.py:4).
+
+    Batch (enc, lengths, prediction-network init state) shards over the
+    data axis; the packed n-gram LM hash table shards over the model axis
+    (slot dim) with probe results combined by psum over ICI
+    (lm/device_table.py:_probe_rows). The search math replicates across the
+    model axis — every chip in a model group holds the same beams,
+    exchanging only LM probe state. joint_fn / pred_step_fn close over the
+    (replicated) model parameters. Falls back to the unsharded search when
+    no axis applies. `init_beams`/`return_beams` (streaming carry) are not
+    supported here — streaming under a mesh feeds chunks through the
+    unsharded search on sliced logits instead.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if kw.get("init_beams") is not None or kw.get("return_beams"):
+        raise ValueError("init_beams/return_beams are unsupported in the "
+                         "sharded RNN-T search")
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+    names = getattr(mesh, "axis_names", ())
+    shape = dict(getattr(mesh, "shape", {}))
+    b = enc.shape[0]
+    d_ax = (data_axis if data_axis in names and shape.get(data_axis, 1) > 1
+            and b % shape[data_axis] == 0 else None)
+    lm_tables = kw.get("lm_tables")
+    n_model = shape.get(model_axis, 1)
+    m_ax = (model_axis if model_axis in names and n_model > 1
+            and lm_tables is not None
+            and lm_tables[0].shape[1] % n_model == 0 else None)
+    if d_ax is None and m_ax is None:
+        return rnnt_beam_search(joint_fn, enc, enc_lengths, pred_step_fn,
+                                pred_init, **kw)
+    if enc_lengths is None:
+        enc_lengths = jnp.full((b,), enc.shape[1], jnp.int32)
+    start = kw.pop("start_frames", None)
+    if start is None:
+        start = jnp.zeros((b,), jnp.int32)
+
+    kw = dict(kw)
+    tables = kw.pop("lm_tables", None)
+    if m_ax is not None:
+        kw["lm_axis_name"] = m_ax
+        kw["lm_n_slots_global"] = int(tables[0].shape[1])
+    init_spec = jax.tree_util.tree_map(lambda _: P(d_ax), pred_init)
+    out_spec = (P(d_ax), P(d_ax), P(d_ax))
+
+    if tables is None:
+        def body(e, n, s, init):
+            return rnnt_beam_search(joint_fn, e, n, pred_step_fn, init,
+                                    start_frames=s, **kw)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(d_ax), P(d_ax), P(d_ax), init_spec),
+            out_specs=out_spec, check_vma=False,
+        )(enc, enc_lengths.astype(jnp.int32), start.astype(jnp.int32),
+          pred_init)
+
+    # Shard the slot axis of the packed (order, S, 4) n-gram table over the
+    # model axis when it applies; the dense unigram arrays (id-indexed) and
+    # the word-vocab/hotword tables (kwargs, closed over) replicate.
+    table_spec = ((P(None, m_ax, None),) + (P(None),) * (len(tables) - 1))
+
+    def body(e, n, s, init, tabs):
+        return rnnt_beam_search(joint_fn, e, n, pred_step_fn, init,
+                                start_frames=s, lm_tables=tabs, **kw)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(d_ax), P(d_ax), P(d_ax), init_spec, table_spec),
+        out_specs=out_spec, check_vma=False,
+    )(enc, enc_lengths.astype(jnp.int32), start.astype(jnp.int32),
+      pred_init, tuple(tables))
 
 
 def _nll_from_planes(lp_blank, lp_emit, t_lengths, u_lengths, row_mask):

@@ -209,8 +209,8 @@ def make_transducer_eval_step(cfg: Config,
     see decode/pipeline.py) — the best beam comes back through the same
     tokens/counts keys."""
     from conformer_tpu.models.transducer import Transducer
-    from conformer_tpu.ops.rnnt import (rnnt_beam_search, rnnt_greedy_decode,
-                                        rnnt_loss_scan)
+    from conformer_tpu.ops.rnnt import (rnnt_beam_search_sharded,
+                                        rnnt_greedy_decode, rnnt_loss_scan)
 
     if decode not in ("greedy", "beam"):
         raise ValueError(f"transducer decode must be greedy|beam, got {decode!r}")
@@ -231,7 +231,10 @@ def make_transducer_eval_step(cfg: Config,
                               enc_lengths, token_lengths,
                               row_mask=token_lengths > 0)
         if decode == "beam":
-            prefixes, plens, scores = rnnt_beam_search(
+            # Sharded wrapper: under an active mesh the batch shards over
+            # 'data' and the LM table over 'model' (psum-combined probes);
+            # falls back to the single-device search otherwise.
+            prefixes, plens, scores = rnnt_beam_search_sharded(
                 bound.joint_logits, enc, enc_lengths, bound.predict_step,
                 bound.predict_init(enc.shape[0]),
                 beam_width=cfg.decode.beam_width,

@@ -836,3 +836,135 @@ class TestRowMask:
         only_real = float(rnnt_loss_from_logits(
             logits[:2], labels[:2], t_len[:2], u_len[:2]))
         np.testing.assert_allclose(masked, only_real, rtol=1e-6)
+
+
+class TestRnntShardedBeam:
+    """rnnt_beam_search_sharded == rnnt_beam_search on the virtual mesh —
+    the transducer counterpart of test_device_lm.py's sharded CTC proof
+    (decode-family symmetry, SURVEY §2.10: batch over 'data', LM table over
+    'model' with psum-combined probes)."""
+
+    def _batch_joint(self, seed, b, t, v, h=5):
+        rng = np.random.default_rng(seed)
+        w1 = jnp.asarray(rng.standard_normal((8 + h, v)).astype(np.float32))
+        emb = jnp.asarray(rng.standard_normal((v, h)).astype(np.float32))
+        enc = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+
+        def joint_fn(enc_t, pred):
+            return jnp.tanh(jnp.concatenate([enc_t, pred], -1)) @ w1 * 2.0
+
+        def pred_step_fn(state, tok):
+            new = jnp.tanh(state * 0.7 + emb[tok])
+            return new, new
+
+        state0 = jnp.zeros((b, h), jnp.float32)
+        return joint_fn, pred_step_fn, (state0, state0), enc
+
+    def _mesh(self):
+        import jax
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()).reshape(4, 2),
+                    ("data", "model"))
+
+    def test_token_lm_sharded_matches_unsharded(self, tmp_path):
+        from conformer_tpu.lm.device_table import DeviceNgramTable
+        from conformer_tpu.lm.ngram import build_arpa
+        from conformer_tpu.ops.rnnt import rnnt_beam_search_sharded
+
+        rng = np.random.default_rng(2)
+        corpus = tmp_path / "c.txt"
+        corpus.write_text("\n".join(
+            " ".join(rng.choice(["A", "B", "C"], 5)) for _ in range(150)),
+            encoding="utf8")
+        arpa = str(tmp_path / "lm.arpa")
+        build_arpa(str(corpus), arpa, order=3)
+        table = DeviceNgramTable.from_arpa(arpa)
+
+        b, t, v, max_u = 4, 5, 4, 4
+        joint_fn, pred_step_fn, pred_init, enc = self._batch_joint(3, b, t, v)
+        lengths = jnp.asarray([5, 3, 5, 4], jnp.int32)
+        tok2lm = np.full((v,), -1, np.int32)
+        for i, word in enumerate(["A", "B", "C"]):
+            tok2lm[i + 1] = table.vocab[word]
+        kw = dict(beam_width=8, top_k=3, max_symbols=max_u, max_len=max_u,
+                  lm_tables=table.device_arrays(),
+                  tok2lm=jnp.asarray(tok2lm), lm_alpha=0.8,
+                  lm_bos_id=int(table.bos_id),
+                  lm_unk_logp=float(table.unk_logp),
+                  lm_order=int(table.order))
+
+        base = rnnt_beam_search(joint_fn, enc, lengths, pred_step_fn,
+                                pred_init, **kw)
+        got = rnnt_beam_search_sharded(joint_fn, enc, lengths, pred_step_fn,
+                                       pred_init, mesh=self._mesh(), **kw)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(base[2]),
+                                   atol=1e-5)
+
+    def test_word_lm_hotwords_sharded_matches_unsharded(self, tmp_path):
+        from conformer_tpu.lm.device_table import (DeviceHotwords,
+                                                   DeviceNgramTable,
+                                                   DeviceWordVocab)
+        from conformer_tpu.lm.ngram import build_arpa
+        from conformer_tpu.ops.rnnt import rnnt_beam_search_sharded
+
+        rng = np.random.default_rng(4)
+        words = ["AB", "BA", "A", "CAB"]
+        corpus = tmp_path / "corpus.txt"
+        corpus.write_text("\n".join(
+            " ".join(rng.choice(words, rng.integers(1, 4)))
+            for _ in range(300)), encoding="utf8")
+        arpa = str(tmp_path / "wlm.arpa")
+        build_arpa(str(corpus), arpa, order=2)
+        table = DeviceNgramTable.from_arpa(arpa)
+        tok_strings = ["", "A", "B", "C", " "]
+        wv = DeviceWordVocab.build(tok_strings, table.vocab)
+        hot = DeviceHotwords.build(("AB",))
+
+        b, t, v, max_u = 4, 4, 5, 4
+        joint_fn, pred_step_fn, pred_init, enc = self._batch_joint(9, b, t, v)
+        lengths = jnp.asarray([4, 4, 2, 3], jnp.int32)
+        kw = dict(beam_width=16, top_k=4, max_symbols=max_u, max_len=max_u,
+                  lm_tables=table.device_arrays(),
+                  word_arrays=wv.device_arrays(),
+                  hot_arrays=hot.device_arrays(), hot_weight=2.0,
+                  lm_alpha=1.1, lm_beta=0.4, delim_id=4,
+                  lm_bos_id=int(table.bos_id),
+                  lm_unk_logp=float(table.unk_logp),
+                  lm_order=int(table.order))
+
+        base = rnnt_beam_search(joint_fn, enc, lengths, pred_step_fn,
+                                pred_init, **kw)
+        got = rnnt_beam_search_sharded(joint_fn, enc, lengths, pred_step_fn,
+                                       pred_init, mesh=self._mesh(), **kw)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(base[2]),
+                                   atol=1e-5)
+
+    def test_no_lm_data_only_sharding(self):
+        from conformer_tpu.ops.rnnt import rnnt_beam_search_sharded
+
+        b, t, v, max_u = 4, 5, 6, 3
+        joint_fn, pred_step_fn, pred_init, enc = self._batch_joint(8, b, t, v)
+        lengths = jnp.asarray([5, 4, 3, 5], jnp.int32)
+        kw = dict(beam_width=8, top_k=3, max_symbols=max_u, max_len=max_u)
+        base = rnnt_beam_search(joint_fn, enc, lengths, pred_step_fn,
+                                pred_init, **kw)
+        got = rnnt_beam_search_sharded(joint_fn, enc, lengths, pred_step_fn,
+                                       pred_init, mesh=self._mesh(), **kw)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(base[2]),
+                                   atol=1e-5)
+
+    def test_return_beams_rejected(self):
+        from conformer_tpu.ops.rnnt import rnnt_beam_search_sharded
+
+        joint_fn, pred_step_fn, pred_init, enc = self._batch_joint(1, 4, 3, 4)
+        with pytest.raises(ValueError, match="unsupported"):
+            rnnt_beam_search_sharded(
+                joint_fn, enc, jnp.asarray([3, 3, 3, 3]), pred_step_fn,
+                pred_init, mesh=self._mesh(), beam_width=4, top_k=2,
+                max_symbols=2, max_len=2, return_beams=True)
