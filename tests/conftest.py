@@ -58,6 +58,7 @@ _HEAVY_TESTS = (
     "test_transducer.py::TestTransducerEvalAndPipeline::test_pipeline_dispatch",
     "test_transducer.py::TestScanLossParity::test_train_step_impls_agree",
     "test_device_lm.py::TestShardedTable::test_sharded_probe_matches_unsharded",
+    "test_transducer.py::TestRnntShardedBeam::test_word_lm_hotwords_sharded_matches_unsharded",
 )
 
 
@@ -67,3 +68,59 @@ def pytest_collection_modifyitems(config, items):
         nid = f"{fname}::{item.cls.__name__ if item.cls else ''}::{item.name}"
         if fname in _HEAVY_FILES or nid in _HEAVY_TESTS:
             item.add_marker(_pytest.mark.heavy)
+
+
+# ---------------------------------------------------------------------------
+# Tier guard (VERDICT r4 #8): the heavy list above is enforced by code, not
+# comments. Any UNMARKED test whose call phase exceeds _TIER_HARD_S fails the
+# session (it belongs in the list); unmarked tests past _TIER_WARN_S and
+# heavy-marked tests that finish fast are reported as candidates so the list
+# tracks reality in both directions. Thresholds are generous vs the 15s
+# marker criterion to tolerate box-load variance; CONFORMER_TIER_GUARD=off
+# disables (e.g. running under a debugger or on a much slower machine).
+
+_TIER_WARN_S = 15.0
+_TIER_HARD_S = float(os.environ.get("CONFORMER_TIER_HARD_S", "30"))
+_tier_durations: dict = {}   # nodeid -> (call seconds, is_heavy)
+
+
+def pytest_runtest_logreport(report):
+    if report.when != "call":
+        return
+    heavy = "heavy" in getattr(report, "keywords", {})
+    _tier_durations[report.nodeid] = (report.duration, heavy)
+
+
+def _tier_guard_enabled() -> bool:
+    return os.environ.get("CONFORMER_TIER_GUARD", "on") != "off"
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    if not _tier_guard_enabled():
+        return
+    slow_unmarked = sorted(
+        ((d, nid) for nid, (d, h) in _tier_durations.items()
+         if not h and d >= _TIER_WARN_S), reverse=True)
+    fast_heavy = sorted(
+        ((d, nid) for nid, (d, h) in _tier_durations.items()
+         if h and d < 5.0))
+    if slow_unmarked:
+        terminalreporter.section("tier guard: unmarked slow tests")
+        for d, nid in slow_unmarked:
+            verdict = "FAIL (add to _HEAVY_TESTS)" if d >= _TIER_HARD_S \
+                else "candidate for _HEAVY_TESTS"
+            terminalreporter.write_line(f"{d:7.1f}s  {nid}  [{verdict}]")
+    if fast_heavy and len(_tier_durations) > 50:  # only on broad runs
+        terminalreporter.section("tier guard: heavy-marked but fast")
+        for d, nid in fast_heavy:
+            terminalreporter.write_line(
+                f"{d:7.1f}s  {nid}  [consider unmarking]")
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not _tier_guard_enabled():
+        return
+    hard = [nid for nid, (d, h) in _tier_durations.items()
+            if not h and d >= _TIER_HARD_S]
+    if hard and exitstatus == 0:
+        session.exitstatus = 1
