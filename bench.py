@@ -218,32 +218,42 @@ def main() -> None:
     print(json.dumps(record))
 
 
-def model_train_flops(cfg, batch: int, mel_frames: int) -> float:
-    """Analytic matmul/conv FLOPs of one fused train step (fwd x 3 for
-    fwd+bwd, the standard MFU accounting). Computed analytically rather than
-    from XLA cost analysis because the Pallas attention kernel is a custom
-    call XLA cannot cost. Position-score FLOPs use the shift-free sin/cos
-    formulation actually executed (2 half-width table matmuls ~= 2x the
-    content matmul — ops/pallas/sincos_attention.py)."""
-    m = cfg.model
-    b, d, n_mels = batch, m.d_model, m.n_mel_channels
-    t1 = (mel_frames - 1) // 2
-    l = (t1 - 1) // 2                        # post-subsample frames
-    f1 = (n_mels - 1) // 2                   # post-conv1 mel bins
-    f2 = (f1 - 1) // 2
-    fwd = 0.0
-    # Mel frontend: framed DFT as matmul (400 -> 2*201) + mel filterbank.
+def _post_subsample_frames(mel_frames: int) -> int:
+    return ((mel_frames - 1) // 2 - 1) // 2
+
+
+def _mel_fwd_flops(cfg, b: int, mel_frames: int) -> float:
+    """Mel frontend: framed DFT as matmul (400 -> 2*201) + mel filterbank."""
     n_fft = cfg.audio.n_fft
-    fwd += 2.0 * b * mel_frames * n_fft * (n_fft // 2 + 1) * 2
-    fwd += 2.0 * b * mel_frames * (n_fft // 2 + 1) * n_mels
-    # Subsampling convs (reference: model/utils/convolution.py:34-57).
-    fwd += 2.0 * b * d * f1 * t1 * 9                   # conv1 (1 -> d, k3)
+    n_mels = cfg.model.n_mel_channels
+    return (2.0 * b * mel_frames * n_fft * (n_fft // 2 + 1) * 2
+            + 2.0 * b * mel_frames * (n_fft // 2 + 1) * n_mels)
+
+
+def _subsample_proj_fwd_flops(cfg, b: int, mel_frames: int) -> float:
+    """Conv subsampling stack + input projection
+    (reference: model/utils/convolution.py:34-57, encoder.py:13)."""
+    m = cfg.model
+    d, n_mels = m.d_model, m.n_mel_channels
+    t1 = (mel_frames - 1) // 2
+    l = (t1 - 1) // 2
+    f1 = (n_mels - 1) // 2
+    f2 = (f1 - 1) // 2
+    fwd = 2.0 * b * d * f1 * t1 * 9                    # conv1 (1 -> d, k3)
     if getattr(m, "subsample_impl", "conv2d") == "separable":
         fwd += 2.0 * b * d * f2 * l * (9 + d)          # dw + pw
     else:
         fwd += 2.0 * b * d * f2 * l * 9 * d            # conv2 (d -> d, k3)
     fwd += 2.0 * b * l * (f2 * d) * d                  # input projection
-    # Encoder blocks.
+    return fwd
+
+
+def _blocks_fwd_flops(cfg, b: int, l: int) -> float:
+    """N conformer blocks. Position-score FLOPs use the shift-free sin/cos
+    formulation actually executed (2 half-width table matmuls ~= 2x the
+    content matmul — ops/pallas/sincos_attention.py)."""
+    m = cfg.model
+    d = m.d_model
     per_block = (
         2 * (2.0 * b * l * d * 4 * d * 2)              # ffn1 + ffn2
         + 4 * (2.0 * b * l * d * d)                    # q/k/v/out projections
@@ -255,12 +265,78 @@ def model_train_flops(cfg, batch: int, mel_frames: int) -> float:
         + 2.0 * b * l * d * m.kernel_size              # depthwise conv
         + 2.0 * b * l * d * d                          # conv pointwise2
     )
-    fwd += m.n_blocks * per_block
-    # Decoder: LSTM + classifier (reference: model/modules/decoder.py).
+    return m.n_blocks * per_block
+
+
+def _lstm_head_fwd_flops(cfg, b: int, l: int) -> float:
+    """Decoder LSTM + classifier (reference: model/modules/decoder.py)."""
+    m = cfg.model
     h = m.lstm_hidden_dim
-    fwd += 2.0 * b * l * (d * 4 * h + h * 4 * h)
-    fwd += 2.0 * b * l * h * m.vocab_size
+    return (2.0 * b * l * (m.d_model * 4 * h + h * 4 * h)
+            + 2.0 * b * l * h * m.vocab_size)
+
+
+def model_train_flops(cfg, batch: int, mel_frames: int) -> float:
+    """Analytic matmul/conv FLOPs of one fused CTC train step (fwd x 3 for
+    fwd+bwd, the standard MFU accounting). Computed analytically rather than
+    from XLA cost analysis because the Pallas attention kernel is a custom
+    call XLA cannot cost."""
+    l = _post_subsample_frames(mel_frames)
+    fwd = (_mel_fwd_flops(cfg, batch, mel_frames)
+           + _subsample_proj_fwd_flops(cfg, batch, mel_frames)
+           + _blocks_fwd_flops(cfg, batch, l)
+           + _lstm_head_fwd_flops(cfg, batch, l))
     return 3.0 * fwd
+
+
+def wav2vec2_train_flops(cfg, batch: int, mel_frames: int) -> float:
+    """Analytic FLOPs of one wav2vec2 pretrain step (train/pretrain.py::
+    make_wav2vec2_step). Grad path (x3): subsample + quantizer weight-proj
+    and codevector assembly + target/input/context projections + blocks +
+    the two InfoNCE-path (B,T,T) cosine matmuls. Fwd-only (x1): the mel
+    frontend (computed outside the loss) and the stop-gradient target-target
+    similarity matrix."""
+    b = batch
+    pre = cfg.pretrain
+    m = cfg.model
+    l = _post_subsample_frames(mel_frames)
+    f2 = ((m.n_mel_channels - 1) // 2 - 1) // 2
+    feat = f2 * m.d_model
+    pd, gv = pre.proj_dim, pre.num_groups * pre.num_vars
+    grad = _subsample_proj_fwd_flops(cfg, b, mel_frames)  # incl. input_proj
+    grad += _blocks_fwd_flops(cfg, b, l)
+    grad += 2.0 * b * l * feat * gv                    # quantizer weight-proj
+    grad += 2.0 * b * l * pre.num_vars * pd            # codevector assembly
+    grad += 2.0 * b * l * pd * pd                      # target_proj
+    grad += 2.0 * b * l * m.d_model * pd               # context_proj
+    grad += 2.0 * b * l * l * pd                       # InfoNCE cos_all
+    grad += 2.0 * b * l * pd                           # positive row-dot
+    fwd_only = (_mel_fwd_flops(cfg, b, mel_frames)
+                + 2.0 * b * l * l * pd)                # stop-grad tgt_sim
+    return 3.0 * grad + fwd_only
+
+
+def byol_train_flops(cfg, batch: int, mel_frames: int) -> float:
+    """Analytic FLOPs of one BYOL pretrain step (train/pretrain.py::
+    make_byol_step). Both augmented views ride ONE 2B-row pass per tower:
+    online tower (encoder + projector + predictor) is fwd+bwd (x3) at 2B;
+    target tower (encoder + projector, stop-gradient EMA weights) is
+    fwd-only (x1) at 2B; the mel frontend runs once at B. Per audio-second
+    this is ~2x(3) + 2x(1) = 8 encoder passes vs CTC's 3 — the structural
+    gap behind BYOL's lower audio-s/s at equal MFU."""
+    b = batch
+    pre = cfg.pretrain
+    m = cfg.model
+    l = _post_subsample_frames(mel_frames)
+    enc2b = (_subsample_proj_fwd_flops(cfg, 2 * b, mel_frames)
+             + _blocks_fwd_flops(cfg, 2 * b, l))
+    mlp_proj = 2.0 * (2 * b) * l * (m.d_model * pre.predictor_hidden
+                                    + pre.predictor_hidden * pre.proj_dim)
+    mlp_pred = 2.0 * (2 * b) * l * (pre.proj_dim * pre.predictor_hidden
+                                    + pre.predictor_hidden * pre.proj_dim)
+    online = enc2b + mlp_proj + mlp_pred
+    target = enc2b + mlp_proj
+    return 3.0 * online + target + _mel_fwd_flops(cfg, b, mel_frames)
 
 
 def transducer_train_flops(cfg, batch: int, mel_frames: int,
@@ -460,12 +536,19 @@ def _bench_pretrain(cfg, tx, batch_size, audio_s, num_samples, steps,
     jax.block_until_ready(metrics["loss"])
     dt = _time.perf_counter() - t0
     throughput = batch_size * audio_s * steps / dt
-    print(_json.dumps({
+    record = {
         "metric": f"pretrain_{method}_throughput_audio_seconds_per_s_per_chip",
         "value": round(throughput, 2),
         "unit": f"audio-s/s ({method} objective, batch {batch_size})",
         "vs_baseline": 1.0,
-    }))
+        "step_time_ms": round(dt / steps * 1e3, 2),
+    }
+    flops_fn = wav2vec2_train_flops if method == "wav2vec2" \
+        else byol_train_flops
+    mfu = _mfu(cfg, batch_size, mel_frames, dt / steps, flops_fn=flops_fn)
+    if mfu:
+        record.update(mfu)
+    print(_json.dumps(record))
 
 
 def _bench_stream(cfg, variables):
