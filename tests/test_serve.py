@@ -285,3 +285,133 @@ class TestHTTPServer:
                 assert json.loads(r.read())["text"].startswith("UTT")
         finally:
             server.shutdown()
+
+
+class TestRouter:
+    """Cross-host routing front (make_router_handler): round-robin
+    /transcribe with failover, session-pinned /stream/*, aggregated stats.
+    Backends are real in-process servers over FakePipe/FakeTranscriber —
+    the router sees only HTTP, exactly as across hosts."""
+
+    def _backend(self):
+        from http.server import ThreadingHTTPServer
+
+        from conformer_tpu.cli.serve import StreamSessions
+
+        pipe = FakePipe(cost_s=0.0)
+        mb = MicroBatcher(pipe, [2 * SR], max_batch=2, window_ms=5)
+        sessions = StreamSessions(FakeTranscriber)
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(mb, Config(), sessions))
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server, pipe
+
+    def _router(self, backend_servers, **kw):
+        from http.server import ThreadingHTTPServer
+
+        from conformer_tpu.cli.serve import make_router_handler
+
+        urls = [f"http://127.0.0.1:{s.server_address[1]}"
+                for s in backend_servers]
+        router = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_router_handler(urls, **kw))
+        threading.Thread(target=router.serve_forever, daemon=True).start()
+        return router, f"http://127.0.0.1:{router.server_address[1]}"
+
+    def _wav_bytes(self):
+        from scipy.io import wavfile
+
+        buf = io.BytesIO()
+        wavfile.write(buf, SR, (np.ones(SR) * 1000).astype(np.int16))
+        return buf.getvalue()
+
+    def _post(self, url, data=b"", headers=None):
+        req = urllib.request.Request(url, data=data,
+                                     headers=headers or {})
+        with urllib.request.urlopen(req, timeout=15) as r:
+            return r.status, json.loads(r.read())
+
+    def test_round_robin_and_stats(self):
+        b1, p1 = self._backend()
+        b2, p2 = self._backend()
+        router, base = self._router([b1, b2])
+        try:
+            raw = self._wav_bytes()
+            for _ in range(6):
+                code, payload = self._post(f"{base}/transcribe", raw)
+                assert code == 200 and payload["text"].startswith("UTT")
+            n1 = sum(real for _, real in p1.batches)
+            n2 = sum(real for _, real in p2.batches)
+            assert n1 == 3 and n2 == 3, (n1, n2)  # strict round-robin
+            with urllib.request.urlopen(f"{base}/stats", timeout=15) as r:
+                stats = json.loads(r.read())
+            assert stats["router"]["routed"] == 6
+            assert len(stats["backends"]) == 2
+            assert sum(b["requests"] for b in stats["backends"]) == 6
+            with urllib.request.urlopen(f"{base}/healthz", timeout=15) as r:
+                assert json.loads(r.read())["backends_up"] == 2
+        finally:
+            router.shutdown(); b1.shutdown(); b2.shutdown()
+
+    def test_stream_session_affinity(self):
+        b1, _ = self._backend()
+        b2, _ = self._backend()
+        router, base = self._router([b1, b2])
+        try:
+            sids = [self._post(f"{base}/stream/start")[1]["session"]
+                    for _ in range(2)]
+            # Round-robin start: one session per backend.
+            assert {s.split("-")[0] for s in sids} == {"b0", "b1"}
+            for sid in sids:
+                pcm = (np.ones(400) * 1000).astype("<i2").tobytes()
+                code, payload = self._post(
+                    f"{base}/stream/{sid}", pcm,
+                    {"Content-Type": "audio/l16"})
+                assert code == 200 and payload["text_delta"] == "<400>"
+            # Feed the SAME session again: must reach the same transcriber
+            # (text accumulates), proving affinity through the prefix.
+            sid = sids[0]
+            pcm = (np.ones(200) * 1000).astype("<i2").tobytes()
+            self._post(f"{base}/stream/{sid}", pcm,
+                       {"Content-Type": "audio/l16"})
+            with urllib.request.urlopen(f"{base}/stream/{sid}/text",
+                                        timeout=15) as r:
+                assert json.loads(r.read())["text"] == "400|200"
+            code, payload = self._post(f"{base}/stream/{sid}/finish")
+            assert payload["text"] == "400|200|0"
+        finally:
+            router.shutdown(); b1.shutdown(); b2.shutdown()
+
+    def test_failover_and_cooldown(self):
+        b1, _ = self._backend()
+        b2, p2 = self._backend()
+        router, base = self._router([b1, b2], cooldown_s=30.0,
+                                    timeout_s=2.0)
+        try:
+            # Kill one backend (close the listening socket too, so forwards
+            # fail fast instead of hanging in the dead accept queue).
+            b1.shutdown()
+            b1.server_close()
+            raw = self._wav_bytes()
+            for _ in range(4):
+                code, payload = self._post(f"{base}/transcribe", raw)
+                assert code == 200 and payload["text"].startswith("UTT")
+            assert sum(real for _, real in p2.batches) == 4
+            with urllib.request.urlopen(f"{base}/healthz", timeout=15) as r:
+                health = json.loads(r.read())
+            assert health["backends_up"] == 1  # b1 cooled down after failure
+        finally:
+            router.shutdown(); b2.shutdown()
+
+    def test_unroutable_session_404(self):
+        b1, _ = self._backend()
+        router, base = self._router([b1])
+        try:
+            req = urllib.request.Request(f"{base}/stream/nonsense/text")
+            try:
+                urllib.request.urlopen(req, timeout=15)
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            router.shutdown(); b1.shutdown()
