@@ -303,14 +303,17 @@ class PretrainConfig:
     mask_span: int = 10
     # contrastive loss
     num_negatives: int = 100
-    # 'sampled' (default): K per-anchor uniform in-utterance negatives,
-    # fairseq-wav2vec2 semantics. 'all': full-softmax InfoNCE over every
-    # in-utterance candidate (same-quantized-target candidates masked) —
-    # gather-free: the sampled path's (B,T,K)-from-(B,T,T) gathers + the
-    # backward scatter measured ~31 ms of the ~150 ms pretrain step (21%,
-    # tools/trace_step.py --mode pretrain); 'all' removes them and uses a
-    # strictly larger negative set (w2v-BERT-style).
-    negatives_impl: str = "sampled"
+    # 'all' (default since r5): full-softmax InfoNCE over every in-utterance
+    # candidate (same-quantized-target candidates masked), w2v-BERT-style —
+    # gather-free (+32% measured throughput: the sampled path's
+    # (B,T,K)-from-(B,T,T) gathers + backward scatter were ~21% of the
+    # step, tools/trace_step.py --mode pretrain). Promoted on downstream
+    # evidence: a 3-seed toy-scale pretrain->transfer->CTC-fine-tune A/B
+    # (tools/ab_infonce.py; docs/PERFORMANCE.md "InfoNCE negatives A/B")
+    # found the two objectives indistinguishable (seed variance dominates).
+    # 'sampled': K per-anchor uniform in-utterance negatives — the exact
+    # fairseq-wav2vec2 paper objective, kept for fidelity.
+    negatives_impl: str = "all"
     contrastive_temperature: float = 0.1
     diversity_weight: float = 0.1
     # byol

@@ -84,8 +84,8 @@ def run_variant(root, train_csv, eval_csv, impl, pretrain_steps=30,
     from conformer_tpu.decode.pipeline import InferencePipeline
     from conformer_tpu.text.tokenizer import load_tokenizer
 
-    pre_dir = os.path.join(root, f"pre_{impl}")
-    ft_dir = os.path.join(root, f"ft_{impl}")
+    pre_dir = os.path.join(root, f"pre_{impl}_s{seed}")
+    ft_dir = os.path.join(root, f"ft_{impl}_s{seed}")
     pretrain.main([
         "--manifest", train_csv, "--method", "wav2vec2",
         "--checkpoint-dir", pre_dir, *TINY,
@@ -132,7 +132,7 @@ def main():
     with tempfile.TemporaryDirectory() as root:
         train_csv = _manifest(root, "train", seed_base=0, repeats=8)
         eval_csv = _manifest(root, "eval", seed_base=1000, repeats=1)
-        for seed in (0, 1):
+        for seed in (0, 1, 2):
             for impl in ("sampled", "all"):
                 r = run_variant(root, train_csv, eval_csv, impl, seed=seed)
                 r["seed"] = seed
