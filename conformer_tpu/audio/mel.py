@@ -166,7 +166,7 @@ class MelFrontend:
     def power_spectrogram(self, signal: jnp.ndarray) -> jnp.ndarray:
         """(..., samples) -> (..., n_frames, n_bins) power spectrogram."""
         frames = frame_signal(signal, self.cfg.n_fft, self.cfg.hop_length)
-        if self.cfg.stft_impl == "matmul":
+        if self.cfg.stft_impl != "rfft":
             proj = jnp.einsum(
                 "...tn,nk->...tk", frames, self._dft,
                 preferred_element_type=jnp.float32,
@@ -177,9 +177,22 @@ class MelFrontend:
             spec = jnp.fft.rfft(frames * self._window, n=self.cfg.n_fft, axis=-1)
             return (spec.real**2 + spec.imag**2).astype(jnp.float32)
 
+    # 'auto' threshold: the fused Pallas kernel is NEUTRAL at the 8s bucket
+    # (801 frames; XLA overlaps the frontend) but wins +4.2% end-to-end at
+    # 24s (2401 frames), where the XLA frame-extraction gather goes
+    # pathological — 9.6 ms/step, 13x its 8s cost for 3x the data (r5
+    # 24s-bucket attribution, docs/PERFORMANCE.md). Frame counts are static
+    # at trace time, so the dispatch is per-bucket, not per-run.
+    AUTO_PALLAS_MIN_FRAMES = 2000
+
     def __call__(self, signal: jnp.ndarray) -> jnp.ndarray:
         """(..., samples) -> (..., n_frames, n_mels) log-mel features."""
-        if self.cfg.stft_impl == "pallas":
+        impl = self.cfg.stft_impl
+        if impl == "auto":
+            n_frames = signal.shape[-1] // self.cfg.hop_length + 1
+            impl = ("pallas" if n_frames >= self.AUTO_PALLAS_MIN_FRAMES
+                    else "matmul")
+        if impl == "pallas":
             return self._pallas_logmel(signal)
         power = self.power_spectrogram(signal)
         mel = jnp.einsum(

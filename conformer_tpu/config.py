@@ -34,9 +34,13 @@ class AudioConfig:
     # torchaudio default in processor.py:53-63) or 'htk'.
     mel_scale: str = "slaney"
     log_clamp_min: float = 1e-5
-    # 'rfft' uses jnp.fft.rfft; 'matmul' uses an explicit DFT-as-matmul that maps
-    # onto the MXU (useful when XLA's TPU FFT underperforms for small n_fft).
-    stft_impl: str = "matmul"
+    # 'rfft' uses jnp.fft.rfft; 'matmul' uses an explicit DFT-as-matmul that
+    # maps onto the MXU; 'pallas' fuses frame+window+DFT+mel+log in one TPU
+    # kernel (no frame-extraction gather); 'auto' (default since r5) picks
+    # 'pallas' for long traced lengths (>= MelFrontend.AUTO_PALLAS_MIN_FRAMES
+    # frames, where the XLA framing gather goes pathological: +4.2%
+    # end-to-end at the 24s bucket) and 'matmul' otherwise (neutral at 8s).
+    stft_impl: str = "auto"
 
 
 @dataclass
