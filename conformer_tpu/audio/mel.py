@@ -178,12 +178,12 @@ class MelFrontend:
             return (spec.real**2 + spec.imag**2).astype(jnp.float32)
 
     # 'auto' threshold: the fused Pallas kernel is NEUTRAL at the 8s bucket
-    # (801 frames; XLA overlaps the frontend) but wins +4.2% end-to-end at
-    # 24s (2401 frames), where the XLA frame-extraction gather goes
-    # pathological — 9.6 ms/step, 13x its 8s cost for 3x the data (r5
-    # 24s-bucket attribution, docs/PERFORMANCE.md). Frame counts are static
-    # at trace time, so the dispatch is per-bucket, not per-run.
-    AUTO_PALLAS_MIN_FRAMES = 2000
+    # (801 frames; XLA overlaps the frontend), +1.5% at 16s (1601 frames)
+    # and +5.3% at 24s (2401 frames), where the XLA frame-extraction gather
+    # goes pathological — 9.6 ms/step, 13x its 8s cost for 3x the data (r5
+    # 24s-bucket attribution + same-session pairs, docs/PERFORMANCE.md).
+    # Frame counts are static at trace time, so the dispatch is per-bucket.
+    AUTO_PALLAS_MIN_FRAMES = 1600
 
     def __call__(self, signal: jnp.ndarray) -> jnp.ndarray:
         """(..., samples) -> (..., n_frames, n_mels) log-mel features."""
