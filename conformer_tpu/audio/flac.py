@@ -576,6 +576,13 @@ def encode_flac_bytes(signal: np.ndarray, sample_rate: int,
     channels, n = sig.shape
     if not (1 <= channels <= 8):
         raise ValueError("FLAC supports 1..8 channels")
+    if not (16 <= block_size <= 65535):
+        raise ValueError("block_size must be in [16, 65535] (16-bit "
+                         "STREAMINFO/frame fields)")
+    if not (1 <= sample_rate < 1 << 20):
+        raise ValueError("sample_rate must fit the 20-bit STREAMINFO field")
+    if not (4 <= bits_per_sample <= 32):
+        raise ValueError("bits_per_sample must be in [4, 32]")
     bps = bits_per_sample
     if np.issubdtype(sig.dtype, np.floating):
         full = 1 << (bps - 1)
@@ -617,11 +624,9 @@ def encode_flac_bytes(signal: np.ndarray, sample_rate: int,
                "right_side": 9, "mid_side": 10}[stereo]
     ss = _SS_CODE.get(bps, 0)
 
-    for frame_idx, start in enumerate(range(0, n, block_size) or [0]):
+    for frame_idx, start in enumerate(range(0, n, block_size)):
         block = ints[:, start: start + block_size]
         blocksize = block.shape[1]
-        if blocksize == 0:
-            break
         fw = _BitWriter()
         fw.bits(0x3FFE, 14)  # sync
         fw.bits(0, 1)        # reserved
@@ -656,8 +661,6 @@ def encode_flac_bytes(signal: np.ndarray, sample_rate: int,
         fw.bits(_crc16(frame), 16)
         for byte in fw.bytes_out():
             bw.bits(byte, 8)
-        if n == 0:
-            break
 
     bw.align()
     return bw.bytes_out()

@@ -48,19 +48,27 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     covers no-scipy environments and encodings scipy rejects (e.g. some
     WAVE_FORMAT_EXTENSIBLE files).
     """
+    import os as _os
+
     from conformer_tpu.audio import native as _native
 
+    if not _os.path.exists(path):
+        raise FileNotFoundError(path)
+    scipy_err = None
     if _wavfile is not None:
         try:
             sr, data = _wavfile.read(path)
             return _pcm_to_float(data), int(sr)
-        except Exception:
-            pass  # fall through to the native decoder
+        except Exception as e:  # parse error: try the native decoder
+            scipy_err = e
     if _native.available():
-        return _native.read_wav(path)
-    if _wavfile is None:
+        try:
+            return _native.read_wav(path)
+        except ValueError:
+            pass
+    if _wavfile is None and not _native.available():
         raise RuntimeError("scipy is required for WAV decoding")
-    raise ValueError(f"unreadable WAV: {path}")
+    raise ValueError(f"unreadable WAV: {path}") from scipy_err
 
 
 def read_flac(path: str) -> Tuple[np.ndarray, int]:
@@ -85,6 +93,32 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     return _flac.read_flac(path)
 
 
+def _sniff_format(magic: bytes, what: str) -> str:
+    """First post-ID3 bytes -> 'flac' | 'wav', or a named ValueError for
+    recognized-but-unsupported formats. Single source of truth for both
+    path (read_audio) and in-memory (decode_audio_bytes) dispatch."""
+    if magic[:4] == b"fLaC":
+        return "flac"
+    if magic[:4] in (b"RIFF", b"RIFX"):
+        return "wav"
+    for prefix, name in ((b"OggS", "OGG"), (b"\xff\xfb", "MP3"),
+                         (b"\xff\xf3", "MP3"), (b"\xff\xf2", "MP3")):
+        if magic[: len(prefix)] == prefix:
+            raise ValueError(f"{name} is not supported ({what}); "
+                             "supported formats: WAV, FLAC")
+    raise ValueError(f"unrecognized audio format ({what}); "
+                     "supported formats: WAV, FLAC")
+
+
+def _skip_id3(header: bytes) -> int:
+    """-> offset past a leading ID3v2 tag (0 when none)."""
+    if header[:3] == b"ID3" and len(header) >= 10:
+        size = ((header[6] & 0x7F) << 21) | ((header[7] & 0x7F) << 14) | \
+               ((header[8] & 0x7F) << 7) | (header[9] & 0x7F)
+        return 10 + size
+    return 0
+
+
 def read_audio(path: str) -> Tuple[np.ndarray, int]:
     """Format-sniffing audio load: WAV (RIFF/RIFX) or FLAC by magic bytes
     -> (float32 signal in [-1, 1], sr). An ID3v2 tag is skipped before
@@ -92,22 +126,12 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
     the named unsupported-format error)."""
     with open(path, "rb") as f:
         magic = f.read(10)
-        if magic[:3] == b"ID3" and len(magic) == 10:
-            size = ((magic[6] & 0x7F) << 21) | ((magic[7] & 0x7F) << 14) | \
-                   ((magic[8] & 0x7F) << 7) | (magic[9] & 0x7F)
-            f.seek(10 + size)
+        off = _skip_id3(magic)
+        if off:
+            f.seek(off)
             magic = f.read(4)
-    if magic[:4] == b"fLaC":
-        return read_flac(path)
-    if magic[:4] in (b"RIFF", b"RIFX"):
-        return read_wav(path)
-    for prefix, name in ((b"OggS", "OGG"), (b"\xff\xfb", "MP3"),
-                         (b"\xff\xf3", "MP3"), (b"\xff\xf2", "MP3")):
-        if magic[: len(prefix)] == prefix:
-            raise ValueError(f"{name} is not supported ({path}); "
-                             "supported formats: WAV, FLAC")
-    raise ValueError(f"unrecognized audio format ({path}); "
-                     "supported formats: WAV, FLAC")
+    fmt = _sniff_format(magic, path)
+    return read_flac(path) if fmt == "flac" else read_wav(path)
 
 
 def decode_wav_bytes(raw: bytes) -> Tuple[np.ndarray, int]:
@@ -122,13 +146,15 @@ def decode_wav_bytes(raw: bytes) -> Tuple[np.ndarray, int]:
 
 
 def decode_audio_bytes(raw: bytes) -> Tuple[np.ndarray, int]:
-    """In-memory counterpart of read_audio: sniffs WAV vs FLAC by magic
-    bytes (serve uploads arrive as raw payloads, not paths)."""
-    if raw[:4] == b"fLaC" or raw[:3] == b"ID3":
+    """In-memory counterpart of read_audio: same sniffing + named errors
+    (serve uploads arrive as raw payloads, not paths)."""
+    off = _skip_id3(raw[:10])
+    fmt = _sniff_format(raw[off: off + 4], "<uploaded payload>")
+    if fmt == "flac":
         from conformer_tpu.audio.flac import decode_flac_bytes
 
         return decode_flac_bytes(raw)
-    return decode_wav_bytes(raw)
+    return decode_wav_bytes(raw[off:] if off else raw)
 
 
 def resample(signal: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

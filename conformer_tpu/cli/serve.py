@@ -390,13 +390,25 @@ def make_router_handler(backends, cooldown_s: float = 5.0,
         with state["lock"]:
             state["down_until"][i] = time.monotonic() + cooldown_s
 
-    def _forward(i, method, path, body=None, content_type=None):
+    def _forward(i, method, path, body=None, content_type=None,
+                 timeout=None):
+        """-> (status, payload). A backend HTTP error status (4xx/5xx) is a
+        RESPONSE to relay, not an outage — only transport-level failures
+        (URLError/OSError) propagate to the caller's failover handling."""
         req = urllib.request.Request(backends[i] + path, data=body,
                                      method=method)
         if content_type:
             req.add_header("Content-Type", content_type)
-        with urllib.request.urlopen(req, timeout=timeout_s) as r:
-            return r.status, json.loads(r.read())
+        try:
+            with urllib.request.urlopen(
+                    req, timeout=timeout or timeout_s) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            try:
+                payload = json.loads(e.read())
+            except ValueError:
+                payload = {"error": f"backend returned HTTP {e.code}"}
+            return e.code, payload
 
     class RouterHandler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -411,7 +423,9 @@ def make_router_handler(backends, cooldown_s: float = 5.0,
             self.wfile.write(body)
 
         def _route_stateless(self, method, path, body=None, ctype=None):
-            """Forward to the next healthy backend; failover on error."""
+            """Forward to the next healthy backend; failover on TRANSPORT
+            errors only (an HTTP error status from a live backend is
+            relayed as-is and does not mark it down)."""
             last_err = "no healthy backends"
             for _ in range(len(backends)):
                 i = _pick()
@@ -444,7 +458,7 @@ def make_router_handler(backends, cooldown_s: float = 5.0,
             try:
                 code, payload = _forward(i, method,
                                          "/stream/" + m.group(2), body, ctype)
-                self._reply(code, payload)
+                self._reply(code, payload)  # incl. relayed 4xx/5xx
             except (urllib.error.URLError, OSError, ValueError) as e:
                 _mark_down(i)
                 self._reply(502, {"error": f"backend b{i} failed: "
@@ -460,9 +474,15 @@ def make_router_handler(backends, cooldown_s: float = 5.0,
                              "backends_up": up, "backends": len(backends)})
             elif self.path == "/stats":
                 per = []
+                now = time.monotonic()
                 for i in range(len(backends)):
+                    with state["lock"]:
+                        down = state["down_until"][i] > now
+                    if down:  # don't stall stats on a dead host
+                        per.append({"error": "backend in cooldown"})
+                        continue
                     try:
-                        _, payload = _forward(i, "GET", "/stats")
+                        _, payload = _forward(i, "GET", "/stats", timeout=5.0)
                         per.append(payload)
                     except (urllib.error.URLError, OSError, ValueError) as e:
                         per.append({"error": f"{type(e).__name__}: {e}"})

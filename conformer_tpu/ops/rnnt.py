@@ -568,11 +568,11 @@ def rnnt_beam_search_sharded(joint_fn, enc, enc_lengths, pred_step_fn,
     m_ax = (model_axis if model_axis in names and n_model > 1
             and lm_tables is not None
             and lm_tables[0].shape[1] % n_model == 0 else None)
+    if enc_lengths is None:  # default BEFORE the fallback so both paths take it
+        enc_lengths = jnp.full((b,), enc.shape[1], jnp.int32)
     if d_ax is None and m_ax is None:
         return rnnt_beam_search(joint_fn, enc, enc_lengths, pred_step_fn,
                                 pred_init, **kw)
-    if enc_lengths is None:
-        enc_lengths = jnp.full((b,), enc.shape[1], jnp.int32)
     start = kw.pop("start_frames", None)
     if start is None:
         start = jnp.zeros((b,), jnp.int32)

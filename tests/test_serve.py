@@ -415,3 +415,32 @@ class TestRouter:
                 assert e.code == 404
         finally:
             router.shutdown(); b1.shutdown()
+
+    def test_backend_http_errors_relayed_not_treated_as_outage(self):
+        """A 4xx/5xx RESPONSE from a live backend must be relayed verbatim
+        and must NOT cool the backend down (r5 review finding: one bad
+        upload used to mark every backend down and 502 all clients for
+        cooldown_s)."""
+        b1, _ = self._backend()
+        router, base = self._router([b1], cooldown_s=60.0)
+        try:
+            # Garbage body -> backend replies 500; router must relay it.
+            try:
+                self._post(f"{base}/transcribe", b"not audio at all")
+                assert False, "expected HTTPError"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                assert "error" in json.loads(e.read())
+            # Expired/unknown session -> backend 404 relayed, not 502.
+            try:
+                self._post(f"{base}/stream/b0-nonsense/finish")
+                assert False, "expected HTTPError"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+            # The backend must still be healthy: a valid request succeeds.
+            code, payload = self._post(f"{base}/transcribe", self._wav_bytes())
+            assert code == 200 and payload["text"].startswith("UTT")
+            with urllib.request.urlopen(f"{base}/healthz", timeout=15) as r:
+                assert json.loads(r.read())["backends_up"] == 1
+        finally:
+            router.shutdown(); b1.shutdown()

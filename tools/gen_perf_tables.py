@@ -120,14 +120,9 @@ def render_table() -> str:
         if unit != "RTF":
             val += f" {unit}"
         lines.append(f"| {label} | {val} | {ctx} | {mfu_s} | {len(entries)} |")
-    try:
-        with open(BENCH_LAST, encoding="utf8") as f:
-            last = json.load(f)
-        lines += ["",
-                  f"Driver headline (`BENCH_LAST.json`): "
-                  f"**{last['value']:,.1f} audio-s/s**."]
-    except (OSError, ValueError, KeyError):
-        pass
+    # BENCH_LAST.json deliberately NOT rendered: it holds the last bench
+    # run of ANY config (often a sweep at another bucket/batch), which read
+    # as a regression next to the best-of rows above.
     lines += ["", END]
     return "\n".join(lines)
 
