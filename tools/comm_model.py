@@ -35,8 +35,11 @@ import argparse
 P_GRAD = 118_048_114          # prod CTC params (17 blocks, d512, vocab 370)
 OPERATING_POINTS = {
     # name: (batch, audio_s, audio_s_per_s measured, L frames post-subsample)
-    "8s":  (56, 8.0, 3439.0, 199),
-    "24s": (32, 24.0, 2241.0, 599),
+    # r5 numbers: 8s b56 headline 3977; 24s b32 remat + auto-stft 3181.
+    # Faster steps make the gradient psum RELATIVELY larger, so these are
+    # the conservative direction to refresh in.
+    "8s":  (56, 8.0, 3977.0, 199),
+    "24s": (32, 24.0, 3181.0, 599),
 }
 D_MODEL = 512
 N_BLOCKS = 17
