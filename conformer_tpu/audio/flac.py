@@ -428,37 +428,77 @@ def _best_rice_param(zig: Sequence[int], plen: int) -> int:
     return p
 
 
-def _write_residual(bw: _BitWriter, resid: Sequence[int]) -> None:
-    """Partition order 0. Picks Rice (4-bit param), Rice2 (5-bit), or the raw
-    escape — whichever the residual magnitudes demand."""
-    zig = [(abs(r) << 1) - (1 if r < 0 else 0) for r in resid]
-    p4 = _best_rice_param(zig, 4)
-    worst_q = max(((z >> p4) for z in zig), default=0)
-    if worst_q <= 1 << 16:
-        bw.bits(0, 2)        # Rice, 4-bit params
-        bw.bits(0, 4)        # partition order 0
-        bw.bits(p4, 4)
-        for z in zig:
-            bw.unary(z >> p4)
-            bw.bits(z & ((1 << p4) - 1), p4)
-        return
-    p5 = _best_rice_param(zig, 5)
-    worst_q = max(((z >> p5) for z in zig), default=0)
-    bw.bits(1, 2)            # Rice2, 5-bit params
-    bw.bits(0, 4)
-    if worst_q <= 1 << 16:
-        bw.bits(p5, 5)
-        for z in zig:
-            bw.unary(z >> p5)
-            bw.bits(z & ((1 << p5) - 1), p5)
-    else:                    # escape: raw fixed-width residuals
-        raw = max(max((abs(r) for r in resid), default=0).bit_length() + 1, 1)
-        if raw > 31:
-            raise ValueError("residual exceeds FLAC escape width")
-        bw.bits(0x1F, 5)
-        bw.bits(raw, 5)
-        for r in resid:
-            bw.bits(r & ((1 << raw) - 1), raw)
+def _best_partition_plan(zig: "np.ndarray", blocksize: int,
+                         order: int) -> Tuple[int, List[int]]:
+    """-> (partition order p, per-partition Rice params) minimizing the
+    estimated bit cost. Partition p splits the block into 2^p runs of
+    blocksize/2^p samples (the first short by `order` warmup samples)."""
+    best = (0, [int(_best_rice_param(zig.tolist(), 5))], float("inf"))
+    for p in range(0, 5):
+        nparts = 1 << p
+        if blocksize % nparts or (blocksize >> p) <= order:
+            continue
+        size = blocksize >> p
+        params, cost = [], 4 * nparts
+        idx = 0
+        for part in range(nparts):
+            count = size - (order if part == 0 else 0)
+            seg = zig[idx: idx + count]
+            idx += count
+            if count == 0:
+                params.append(0)
+                continue
+            k_best, c_best = 0, float("inf")
+            for k in range(0, 31):
+                c = count * (k + 1) + int(np.sum(seg >> k))
+                if c < c_best:
+                    k_best, c_best = k, c
+                if k > k_best + 2:   # cost is convex in k; stop early
+                    break
+            params.append(k_best)
+            cost += c_best
+        if cost < best[2]:
+            best = (p, params, cost)
+    return best[0], best[1]
+
+
+def _write_residual(bw: _BitWriter, resid: Sequence[int], blocksize: int,
+                    order: int) -> None:
+    """Rice-coded residual with a cost-chosen partition order (0..4) and
+    per-partition parameters; Rice (4-bit params) when every parameter
+    fits, Rice2 (5-bit) otherwise, with the raw escape per partition when
+    fixed-width beats Rice."""
+    zig = np.fromiter(((abs(r) << 1) - (1 if r < 0 else 0) for r in resid),
+                      dtype=np.int64, count=len(resid))
+    porder, params = _best_partition_plan(zig, blocksize, order)
+    method = 0 if all(k <= 14 for k in params) else 1
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    bw.bits(method, 2)
+    bw.bits(porder, 4)
+    size = blocksize >> porder
+    idx = 0
+    for part, k in enumerate(params):
+        count = size - (order if part == 0 else 0)
+        seg = zig[idx: idx + count]
+        rs = resid[idx: idx + count]
+        idx += count
+        raw = max(int(max((abs(int(r)) for r in rs), default=0)).bit_length()
+                  + 1, 1)
+        rice_cost = count * (k + 1) + int(np.sum(seg >> k))
+        if k >= escape or raw * count + 5 < rice_cost:
+            if raw > 31:
+                raise ValueError("residual exceeds FLAC escape width")
+            bw.bits(escape, plen)
+            bw.bits(raw, 5)
+            for r in rs:
+                bw.bits(int(r) & ((1 << raw) - 1), raw)
+        else:
+            bw.bits(k, plen)
+            mask = (1 << k) - 1
+            for z in seg.tolist():
+                bw.unary(z >> k)
+                bw.bits(z & mask, k)
 
 
 def _fixed_residual(samples: Sequence[int], order: int) -> List[int]:
@@ -531,7 +571,7 @@ def _write_subframe(bw: _BitWriter, samples: Sequence[int], bps: int,
         bw.bits(0, 1); bw.bits(0x08 | order, 6); bw.bits(0, 1)
         for i in range(order):
             bw.bits(samples[i] & ((1 << bps) - 1), bps)
-        _write_residual(bw, _fixed_residual(samples, order))
+        _write_residual(bw, _fixed_residual(samples, order), n, order)
         return
     if kind == "lpc":
         order = min(8, max(1, n - 1))
@@ -551,7 +591,7 @@ def _write_subframe(bw: _BitWriter, samples: Sequence[int], bps: int,
         resid = [samples[i] - (sum(c * samples[i - 1 - j]
                                    for j, c in enumerate(coef)) >> shift)
                  for i in range(order, n)]
-        _write_residual(bw, resid)
+        _write_residual(bw, resid, n, order)
         return
     raise ValueError(f"unknown subframe kind: {kind}")
 
